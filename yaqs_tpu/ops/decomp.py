@@ -1,0 +1,143 @@
+"""QR / SVD site decompositions on fixed-shape padded tensors.
+
+MPS site tensors are rank-3 ``(d, l, r)`` (physical, left bond, right bond)
+padded to a uniform bond dimension chi; MPO tensors are rank-4
+``(d_out, d_in, wl, wr)``.  All functions here keep shapes fixed so they jit
+and vmap cleanly; truncation is expressed as singular-value masking
+(:mod:`yaqs_tpu.ops.truncation`) rather than shape shrinking.
+
+Reference semantics: mqt-yaqs core/methods/decompositions.py:30-188 (right_qr,
+left_qr, merge_two_site, split_two_site) re-derived for fixed shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .truncation import keep_mask
+
+__all__ = [
+    "right_qr",
+    "left_qr",
+    "merge_two_site",
+    "split_two_site_truncated",
+    "split_matrix_truncated",
+]
+
+
+def right_qr(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Left-orthonormalize ``a``: returns ``(q, r)`` with ``a = q . r``.
+
+    ``q`` has orthonormal columns in the combined ``(d*l)`` index, i.e.
+    ``sum_{d,l} conj(q[d,l,m]) q[d,l,m'] = delta_{mm'}``; ``r`` is ``(r_old?, )``
+    -- concretely ``a[d,l,r] = sum_m q[d,l,m] r[m,r]``.
+    """
+    d, l, r = a.shape
+    m = a.reshape(d * l, r)
+    q, rr = jnp.linalg.qr(m)
+    return q.reshape(d, l, -1), rr
+
+
+def left_qr(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Right-orthonormalize ``a``: returns ``(q, lmat)`` with
+    ``a[d,l,r] = sum_m lmat[l,m] q[d,m,r]`` and
+    ``sum_{d,r} q[d,m,r] conj(q[d,m',r]) = delta_{mm'}``.
+
+    Implemented as QR of the conjugate-transposed unfolding (an LQ
+    decomposition).
+    """
+    d, l, r = a.shape
+    m = jnp.transpose(a, (1, 0, 2)).reshape(l, d * r)  # rows l, cols (d r)
+    qh, rh = jnp.linalg.qr(m.conj().T)  # m = rh^H qh^H
+    q = qh.conj().T.reshape(-1, d, r).transpose(1, 0, 2)  # (d, m, r)
+    lmat = rh.conj().T  # (l, m)
+    return q, lmat
+
+
+def merge_two_site(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Contract neighboring site tensors into a two-site block.
+
+    ``a (d1, l, m)``, ``b (d2, m, r)`` -> ``theta (d1, d2, l, r)``.
+    """
+    return jnp.einsum("alm,bmr->ablr", a, b)
+
+
+def split_matrix_truncated(
+    m: jnp.ndarray,
+    chi: int,
+    *,
+    mode: str,
+    threshold,
+    max_bond_dim: int | None = None,
+    min_keep: int = 1,
+    svd_distribution: str = "right",
+):
+    """Truncated SVD split of matrix ``m`` with a fixed output bond ``chi``.
+
+    Returns ``(left (rows, chi), right (chi, cols), s_kept (chi,), keep)``.
+    Masked-out singular directions are zeroed, reproducing the reference's
+    shrink-to-keep semantics at fixed shape.  ``svd_distribution`` places the
+    kept singular values on the ``left`` factor, the ``right`` factor, or
+    ``sqrt`` on both.
+    """
+    u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+    k = s.shape[-1]
+    if k < chi:  # pad up so the output bond is exactly chi
+        pad = chi - k
+        u = jnp.pad(u, [(0, 0)] * (u.ndim - 1) + [(0, pad)])
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, pad)])
+        vh = jnp.pad(vh, [(0, 0)] * (vh.ndim - 2) + [(0, pad), (0, 0)])
+    else:
+        u = u[..., :, :chi]
+        s = s[..., :chi]
+        vh = vh[..., :chi, :]
+    cap = None if max_bond_dim is None else min(max_bond_dim, chi)
+    mask, keep = keep_mask(
+        s, mode=mode, threshold=threshold, max_bond_dim=cap, min_keep=min_keep
+    )
+    s_kept = s * mask
+    sc = s_kept.astype(m.dtype)
+    if svd_distribution == "left":
+        left = u * sc[..., None, :]
+        right = vh * mask.astype(m.dtype)[..., :, None]
+    elif svd_distribution == "right":
+        left = u * mask.astype(m.dtype)[..., None, :]
+        right = vh * sc[..., :, None]
+    elif svd_distribution == "sqrt":
+        sq = jnp.sqrt(s_kept).astype(m.dtype)
+        left = u * sq[..., None, :]
+        right = vh * sq[..., :, None]
+    else:
+        msg = f"Unknown svd_distribution: {svd_distribution!r}"
+        raise ValueError(msg)
+    return left, right, s_kept, keep
+
+
+def split_two_site_truncated(
+    theta: jnp.ndarray,
+    chi: int,
+    *,
+    mode: str,
+    threshold,
+    max_bond_dim: int | None = None,
+    min_keep: int = 1,
+    svd_distribution: str = "right",
+):
+    """Split a two-site block back into site tensors with masked truncation.
+
+    ``theta (d1, d2, l, r)`` -> ``(a (d1, l, chi), b (d2, chi, r), s, keep)``.
+    """
+    d1, d2, l, r = theta.shape
+    m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(d1 * l, d2 * r)
+    left, right, s_kept, keep = split_matrix_truncated(
+        m,
+        chi,
+        mode=mode,
+        threshold=threshold,
+        max_bond_dim=max_bond_dim,
+        min_keep=min_keep,
+        svd_distribution=svd_distribution,
+    )
+    a = left.reshape(d1, l, chi)
+    b = right.reshape(chi, d2, r).transpose(1, 0, 2)
+    return a, b, s_kept, keep
