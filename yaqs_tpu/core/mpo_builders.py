@@ -1,0 +1,238 @@
+"""Host-side MPO construction (numpy), producing fixed-shape padded arrays.
+
+Device representation: an MPO over ``L`` sites is
+
+    ``w: (L, d, d, Dw, Dw)`` complex, index order ``(out, in, wl, wr)``
+
+with boundary bond vectors absorbed: site 0 uses left index 0 only, site L-1
+uses right index 0 only; interior bonds smaller than ``Dw`` are zero padded.
+
+The central builder is a finite-state-machine Pauli-sum construction that
+produces near-optimal bond dimensions without compression: terms crossing a
+bond share an automaton state whenever their remaining suffix is identical
+(coefficients are absorbed at the *first* site of each term so suffix sharing
+is exact).  This reimplements the behavior of the reference's
+``MPO.from_pauli_sum`` suffix automaton (mqt-yaqs mpo.py:1156-1303) directly
+as a host-side staging step — MPO construction runs once per simulation, so
+it stays in numpy; only the padded array ships to device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.operators import PAULI
+
+__all__ = [
+    "mpo_from_terms",
+    "mpo_from_pauli_sum",
+    "ising_mpo",
+    "heisenberg_mpo",
+    "identity_mpo",
+    "mpo_to_matrix",
+    "pad_mpo",
+]
+
+
+def _op_matrix(op, d: int) -> np.ndarray:
+    if isinstance(op, str):
+        m = PAULI[op.upper()]
+    else:
+        m = np.asarray(op, dtype=np.complex128)
+    if m.shape[0] < d:
+        out = np.zeros((d, d), dtype=np.complex128)
+        out[: m.shape[0], : m.shape[1]] = m
+        return out
+    return m
+
+
+def _op_key(op) -> object:
+    if isinstance(op, str):
+        return op.upper()
+    return np.asarray(op).tobytes()
+
+
+def mpo_from_terms(
+    terms: list[tuple[complex, list[tuple[int, object]]]],
+    length: int,
+    d: int = 2,
+    dtype=np.complex128,
+) -> np.ndarray:
+    """Build a padded MPO from a sum of operator strings.
+
+    Args:
+        terms: list of ``(coeff, [(site, op), ...])`` with sites strictly
+            increasing within each term; ``op`` is a Pauli label or a ``(d,d)``
+            matrix. An empty site list adds a constant ``coeff * I``.
+        length: Number of sites.
+        d: Padded physical dimension.
+
+    Returns:
+        numpy array ``(L, d, d, Dw, Dw)``.
+    """
+    if length <= 0:
+        msg = "length must be positive"
+        raise ValueError(msg)
+    norm_terms: list[tuple[complex, list[tuple[int, object]]]] = []
+    for coeff, ops in terms:
+        ops = sorted(ops, key=lambda t: t[0])
+        sites = [s for s, _ in ops]
+        if sites and (sites[0] < 0 or sites[-1] >= length):
+            msg = f"term sites {sites} out of range for length {length}"
+            raise ValueError(msg)
+        if len(set(sites)) != len(sites):
+            msg = f"duplicate sites in term: {sites}"
+            raise ValueError(msg)
+        norm_terms.append((complex(coeff), ops))
+
+    READY, DONE = "ready", "done"
+
+    # Suffix states per bond b (between sites b and b+1): key -> index.
+    bond_states: list[dict[object, int]] = []
+    for b in range(length - 1):
+        states: dict[object, int] = {READY: 0, DONE: 1}
+        for _, ops in norm_terms:
+            if not ops:
+                continue
+            first, last = ops[0][0], ops[-1][0]
+            if first <= b < last:
+                suffix = tuple((s, _op_key(o)) for s, o in ops if s > b)
+                states.setdefault(suffix, len(states))
+        bond_states.append(states)
+
+    def bond_dim(b: int) -> int:
+        if b < 0 or b >= length - 1:
+            return 1
+        return len(bond_states[b])
+
+    dw = max((bond_dim(b) for b in range(length - 1)), default=1)
+    dw = max(dw, 1)
+
+    def state_index(b: int, key: object) -> int:
+        # Virtual boundary bonds: single index 0 plays READY on the left edge
+        # and DONE on the right edge.
+        if b < 0 or b >= length - 1:
+            return 0
+        return bond_states[b][key]
+
+    w = np.zeros((length, d, d, dw, dw), dtype=dtype)
+    eye = np.eye(d, dtype=dtype)
+
+    for i in range(length):
+        lb, rb = i - 1, i  # left bond index, right bond index
+        # Identity chains. On the left edge, index 0 plays READY; on the right
+        # edge, index 0 plays DONE — the pass-through identities only exist
+        # where the corresponding automaton state does.
+        if rb < length - 1:  # ready -> ready
+            w[i, :, :, state_index(lb, READY), state_index(rb, READY)] += eye
+        if lb >= 0:  # done -> done
+            w[i, :, :, state_index(lb, DONE), state_index(rb, DONE)] += eye
+
+    # Entry transitions (in-state READY) accumulate across terms (summing
+    # coefficients of identical strings); every other transition is fully
+    # determined by its in-state suffix, so shared-suffix terms must write it
+    # exactly once.
+    written: set[tuple[int, int, int]] = set()
+    for coeff, ops in norm_terms:
+        if not ops:  # constant shift: ready -> done at site 0
+            w[0, :, :, state_index(-1, READY), state_index(0, DONE)] += coeff * eye
+            continue
+        first, last = ops[0][0], ops[-1][0]
+        op_at = {s: o for s, o in ops}
+        for i in range(first, last + 1):
+            m = _op_matrix(op_at[i], d) if i in op_at else eye
+            if i == first:
+                m = coeff * m
+            in_key = (
+                READY
+                if i == first
+                else tuple((s, _op_key(o)) for s, o in ops if s >= i)
+            )
+            out_key = (
+                DONE
+                if i == last
+                else tuple((s, _op_key(o)) for s, o in ops if s > i)
+            )
+            in_idx = state_index(i - 1, in_key)
+            out_idx = state_index(i, out_key)
+            if i != first:
+                tag = (i, in_idx, out_idx)
+                if tag in written:
+                    continue
+                written.add(tag)
+            w[i, :, :, in_idx, out_idx] += m
+
+    return w
+
+
+def mpo_from_pauli_sum(
+    terms: list[tuple[complex, str]], length: int, d: int = 2
+) -> np.ndarray:
+    """Build an MPO from Pauli-string terms like ``(0.5, "X0 Z3")``.
+
+    String format matches the reference ``from_pauli_sum`` input: whitespace
+    separated ``<P><site>`` tokens.
+    """
+    parsed = []
+    for coeff, s in terms:
+        ops = []
+        for tok in s.split():
+            p, idx = tok[0], int(tok[1:])
+            ops.append((idx, p))
+        parsed.append((coeff, ops))
+    return mpo_from_terms(parsed, length, d=d)
+
+
+def ising_mpo(length: int, j: float, g: float, d: int = 2) -> np.ndarray:
+    """Transverse-field Ising chain ``H = -J sum Z_i Z_{i+1} - g sum X_i``
+    (reference convention, mpo.ising, mpo.py:328-367)."""
+    terms: list[tuple[complex, list[tuple[int, object]]]] = []
+    terms += [(-j, [(i, "Z"), (i + 1, "Z")]) for i in range(length - 1)]
+    terms += [(-g, [(i, "X")]) for i in range(length)]
+    return mpo_from_terms(terms, length, d=d)
+
+
+def heisenberg_mpo(
+    length: int, jx: float, jy: float, jz: float, h: float = 0.0, d: int = 2
+) -> np.ndarray:
+    """XYZ chain ``H = -Jx sum XX - Jy sum YY - Jz sum ZZ - h sum Z``
+    (reference convention, mpo.heisenberg, mpo.py:367-410)."""
+    terms: list[tuple[complex, list[tuple[int, object]]]] = []
+    for coeff, p in ((-jx, "X"), (-jy, "Y"), (-jz, "Z")):
+        if coeff != 0:
+            terms += [(coeff, [(i, p), (i + 1, p)]) for i in range(length - 1)]
+    if h != 0:
+        terms += [(-h, [(i, "Z")]) for i in range(length)]
+    return mpo_from_terms(terms, length, d=d)
+
+
+def identity_mpo(length: int, d: int = 2, dw: int = 1) -> np.ndarray:
+    w = np.zeros((length, d, d, dw, dw), dtype=np.complex128)
+    w[:, :, :, 0, 0] = np.eye(d)
+    return w
+
+
+def pad_mpo(w: np.ndarray, dw: int) -> np.ndarray:
+    """Pad the MPO bond dimension up to ``dw``."""
+    length, d, d2, a, b = w.shape
+    out = np.zeros((length, d, d2, dw, dw), dtype=w.dtype)
+    out[:, :, :, :a, :b] = w
+    return out
+
+
+def mpo_to_matrix(w: np.ndarray) -> np.ndarray:
+    """Dense operator with site 0 as the least significant index (matching
+    :func:`yaqs_tpu.core.mps_ops.to_statevector`). Test utility, O(d^2L)."""
+    length, d = w.shape[0], w.shape[1]
+    # accumulate T[(s0..si), (s0'..si'), wr]
+    t = w[0][:, :, 0, :]  # (d, d, Dw)
+    for i in range(1, length):
+        t = np.einsum("abw,cdwv->acbdv", t, w[i])
+        t = t.reshape(t.shape[0] * d, t.shape[2] * d, -1)
+    m = t[:, :, 0]
+    n = d**length
+    # current row multi-index: (s0 slowest ... s_{L-1} fastest); we want site 0
+    # least significant -> reverse axes.
+    m = m.reshape([d] * length + [d] * length)
+    perm = list(reversed(range(length))) + [length + p for p in reversed(range(length))]
+    return m.transpose(perm).reshape(n, n)

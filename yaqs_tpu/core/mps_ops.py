@@ -1,0 +1,303 @@
+"""Functional MPS kernels on fixed-shape padded arrays.
+
+TPU-native representation: an MPS over ``L`` sites with uniform (padded)
+physical dimension ``d`` and padded bond dimension ``chi`` is a single array
+
+    ``tensors: (L, d, chi, chi)`` complex, index order ``(sigma, left, right)``
+
+Bond dimensions smaller than ``chi`` (including the dangling boundary bonds,
+which are dimension 1) are represented by zero padding: the boundary bonds use
+index 0 only.  Every chain contraction starts from a boundary, so stray
+orthonormal completions introduced by QR/SVD in padded directions never
+contribute (they are annihilated by the zero rows of the factors carried along
+the chain).
+
+Gauge discipline replaces the reference's mutable ``orthogonality_center``
+bookkeeping (mqt-yaqs core/data_structures/mps.py:303-393): every routine here
+documents the canonical form it expects/produces.  "Canonical at 0" means
+``tensors[1:]`` are right-orthonormal (B tensors) and ``tensors[0]`` carries
+the norm and phase.
+
+All functions are jit- and vmap-compatible (batch over a leading trajectory
+axis via ``jax.vmap``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "product_state_tensors",
+    "transfer_right",
+    "norm_squared",
+    "scalar_product",
+    "canonicalize_right",
+    "normalize_canonical",
+    "left_gram_environments",
+    "site_expectation",
+    "site_expectations",
+    "all_site_expectations",
+    "apply_one_site_operator",
+    "apply_operator_everywhere",
+    "to_statevector",
+    "bond_entropies",
+]
+
+# ---------------------------------------------------------------------------
+# Construction (host-side helpers; return numpy for cheap staging)
+# ---------------------------------------------------------------------------
+
+_LOCAL_STATES = {
+    "zeros": np.array([1.0, 0.0]),
+    "ones": np.array([0.0, 1.0]),
+    "x+": np.array([1.0, 1.0]) / np.sqrt(2),
+    "x-": np.array([1.0, -1.0]) / np.sqrt(2),
+    "y+": np.array([1.0, 1.0j]) / np.sqrt(2),
+    "y-": np.array([1.0, -1.0j]) / np.sqrt(2),
+}
+
+
+def product_state_tensors(
+    local_states: list[np.ndarray] | np.ndarray,
+    chi: int,
+    d: int | None = None,
+    dtype=np.complex128,
+) -> np.ndarray:
+    """Build padded product-state tensors from per-site local vectors.
+
+    Args:
+        local_states: Sequence of length-``d_i`` state vectors (normalized by
+            the caller or not; no normalization is applied here).
+        chi: Padded bond dimension.
+        d: Padded physical dimension (defaults to the max local dimension).
+
+    Returns:
+        numpy array ``(L, d, chi, chi)`` with only ``[:, :, 0, 0]`` populated.
+    """
+    locals_ = [np.asarray(v, dtype=dtype).reshape(-1) for v in local_states]
+    length = len(locals_)
+    if d is None:
+        d = max(v.shape[0] for v in locals_)
+    out = np.zeros((length, d, chi, chi), dtype=dtype)
+    for i, v in enumerate(locals_):
+        out[i, : v.shape[0], 0, 0] = v
+    return out
+
+
+def named_product_state(
+    name: str, length: int, chi: int, d: int = 2, dtype=np.complex128
+) -> np.ndarray:
+    """Preset product states matching the reference naming
+    (mqt-yaqs core/data_structures/mps.py:170-221): zeros, ones, x+/-, y+/-,
+    Neel (alternating 01), wall (half 0 half 1).
+    """
+    if name in _LOCAL_STATES:
+        vecs = [_LOCAL_STATES[name]] * length
+    elif name == "Neel":
+        vecs = [_LOCAL_STATES["zeros" if i % 2 == 0 else "ones"] for i in range(length)]
+    elif name == "wall":
+        vecs = [_LOCAL_STATES["zeros" if i < length // 2 else "ones"] for i in range(length)]
+    else:
+        msg = f"Unknown preset state {name!r}"
+        raise ValueError(msg)
+    return product_state_tensors(vecs, chi, d=d, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Transfer / overlap primitives
+# ---------------------------------------------------------------------------
+
+
+def transfer_right(env: jnp.ndarray, a_bra: jnp.ndarray, a_ket: jnp.ndarray) -> jnp.ndarray:
+    """One-site transfer: ``env'[rb, rk] = sum conj(Ab[s,lb,rb]) env[lb,lk] Ak[s,lk,rk]``."""
+    tmp = jnp.einsum("lm,smr->slr", env, a_ket)
+    return jnp.einsum("slb,slr->br", a_bra.conj(), tmp)
+
+
+def scalar_product(bra: jnp.ndarray, ket: jnp.ndarray) -> jnp.ndarray:
+    """Full overlap ``<bra|ket>`` of two padded MPS arrays (any gauge)."""
+    chi = bra.shape[-1]
+    env0 = jnp.eye(chi, dtype=ket.dtype)
+
+    def step(env, tensors):
+        ab, ak = tensors
+        return transfer_right(env, ab, ak), None
+
+    env, _ = jax.lax.scan(step, env0, (bra, ket))
+    return jnp.trace(env)
+
+
+def norm_squared(tensors: jnp.ndarray) -> jnp.ndarray:
+    """``<psi|psi>`` via the full transfer chain (gauge-free, real output)."""
+    return jnp.real(scalar_product(tensors, tensors))
+
+
+def norm_squared_center0(tensors: jnp.ndarray) -> jnp.ndarray:
+    """``<psi|psi>`` assuming canonical form at site 0 (O(d chi^2))."""
+    t0 = tensors[0]
+    return jnp.real(jnp.vdot(t0, t0))
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_right(tensors: jnp.ndarray) -> jnp.ndarray:
+    """Bring the MPS to canonical form at site 0 without normalizing.
+
+    ``tensors[1:]`` become right-orthonormal; ``tensors[0]`` absorbs the
+    leftover factor (norm and phase preserved: the represented state is
+    unchanged).
+    """
+    length, d, chi, _ = tensors.shape
+    if length == 1:
+        return tensors
+
+    def step(c, a):
+        # Absorb carried factor from the right, then LQ-split.
+        t = jnp.einsum("slr,rm->slm", a, c)
+        m = jnp.transpose(t, (1, 0, 2)).reshape(chi, d * chi)
+        qh, rh = jnp.linalg.qr(m.conj().T)  # m = rh^H qh^H
+        b = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
+        return rh.conj().T, b
+
+    c0 = jnp.eye(chi, dtype=tensors.dtype)
+    c, bs_rev = jax.lax.scan(step, c0, jnp.flip(tensors[1:], axis=0))
+    bs = jnp.flip(bs_rev, axis=0)
+    a0 = jnp.einsum("slr,rm->slm", tensors[0], c)
+    return jnp.concatenate([a0[None], bs], axis=0)
+
+
+def normalize_canonical(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Canonicalize at site 0 and scale to unit norm.
+
+    Returns ``(tensors, norm)`` where ``norm`` is the pre-normalization norm
+    (reference ``MPS.normalize("B")``, mps.py:788-837).
+    """
+    canon = canonicalize_right(tensors)
+    nrm = jnp.sqrt(norm_squared_center0(canon))
+    safe = jnp.where(nrm > 0, nrm, 1.0)
+    canon = canon.at[0].divide(safe.astype(canon.dtype))
+    return canon, nrm
+
+
+# ---------------------------------------------------------------------------
+# Expectation values (state canonical at 0 and normalized)
+# ---------------------------------------------------------------------------
+
+
+def left_gram_environments(tensors: jnp.ndarray) -> jnp.ndarray:
+    """Stacked left Gram environments ``rho[i]`` (before site i), ``(L, chi, chi)``."""
+    chi = tensors.shape[-1]
+    env0 = jnp.eye(chi, dtype=tensors.dtype)
+
+    def step(env, a):
+        return transfer_right(env, a, a), env
+
+    _, envs = jax.lax.scan(step, env0, tensors)
+    return envs
+
+
+def site_expectation(
+    tensors: jnp.ndarray, envs: jnp.ndarray, op: jnp.ndarray, site
+) -> jnp.ndarray:
+    """``<psi| O_site |psi>`` for canonical-at-0 normalized ``tensors``.
+
+    ``envs`` are the stacked left Gram environments; the right part is
+    orthonormal so the right environment is the identity.
+    """
+    a = tensors[site]
+    env = envs[site]
+    return jnp.einsum("blr,bk,kmr,lm->", a.conj(), op.astype(a.dtype), a, env)
+
+
+def site_expectations(
+    tensors: jnp.ndarray, ops: jnp.ndarray, sites: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched one-site expectations: ``ops (n, d, d)``, ``sites (n,)`` -> ``(n,)``."""
+    envs = left_gram_environments(tensors)
+    return jax.vmap(lambda o, s: site_expectation(tensors, envs, o, s))(ops, sites)
+
+
+def all_site_expectations(tensors: jnp.ndarray, op: jnp.ndarray) -> jnp.ndarray:
+    """``<O_i>`` for one operator at every site, ``(L,)``; single scan."""
+
+    chi = tensors.shape[-1]
+    env0 = jnp.eye(chi, dtype=tensors.dtype)
+
+    def step(env, a):
+        val = jnp.einsum("blr,bk,kmr,lm->", a.conj(), op.astype(a.dtype), a, env)
+        return transfer_right(env, a, a), val
+
+    _, vals = jax.lax.scan(step, env0, tensors)
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Local operator application
+# ---------------------------------------------------------------------------
+
+
+def apply_one_site_operator(tensors: jnp.ndarray, op: jnp.ndarray, site) -> jnp.ndarray:
+    """Apply a ``(d, d)`` operator at a (possibly traced) site index."""
+    a = tensors[site]
+    a2 = jnp.einsum("ab,blr->alr", op.astype(a.dtype), a)
+    return tensors.at[site].set(a2)
+
+
+def apply_operator_everywhere(tensors: jnp.ndarray, ops: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-site ``(L, d, d)`` operators to all sites at once (one einsum)."""
+    return jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
+
+
+# ---------------------------------------------------------------------------
+# Dense conversion + diagnostics (test/small-system paths)
+# ---------------------------------------------------------------------------
+
+
+def to_statevector(tensors: jnp.ndarray) -> jnp.ndarray:
+    """Contract to a dense state vector with site 0 as the least significant
+    index (reference kron order, mps.py:1629-1654 via flip_network).
+
+    Host/test utility — exponential in L.
+    """
+    length, d, chi, _ = tensors.shape
+    vec = tensors[0][:, 0, :]  # (d, chi): boundary left bond index 0
+    dims = [d]
+    for i in range(1, length):
+        vec = jnp.einsum("...r,srm->...sm", vec, tensors[i])
+        dims.append(d)
+    vec = vec[..., 0]  # right boundary index 0
+    # vec index order (s_0, s_1, ..., s_{L-1}); site 0 least significant
+    # => flatten with s_{L-1} slowest.
+    perm = tuple(reversed(range(length)))
+    return jnp.transpose(vec, perm).reshape(-1)
+
+
+def bond_entropies(tensors: jnp.ndarray) -> jnp.ndarray:
+    """Von Neumann entanglement entropy at every internal bond, ``(L-1,)``.
+
+    Assumes canonical form at site 0 with unit norm. Sweeps the center
+    rightward via QR, computing the Schmidt spectrum at each bond by SVD of
+    the center matrix.
+    """
+    length, d, chi, _ = tensors.shape
+    eps = jnp.finfo(jnp.zeros((), tensors.real.dtype).dtype).tiny
+
+    def step(carry, a):
+        center = carry  # (chi, chi) factor to absorb into this site
+        t = jnp.einsum("lm,smr->slr", center, a)
+        m = t.reshape(d * chi, chi)
+        q, r = jnp.linalg.qr(m)
+        s = jnp.linalg.svd(r, compute_uv=False)
+        p = s * s
+        p = p / jnp.maximum(jnp.sum(p), eps)
+        ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
+        return r, ent
+
+    center0 = jnp.eye(chi, dtype=tensors.dtype)
+    _, ents = jax.lax.scan(step, center0, tensors[:-1])
+    return ents
