@@ -1,0 +1,159 @@
+"""TDVP sweeps vs dense exact evolution (the core physics oracle).
+
+Mirrors the reference's validation strategy (tests/core/methods/tdvp/): small
+chains where the MPS bond dimension covers the full Hilbert space must
+reproduce exp(-i H t) |psi> to high accuracy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import jax.numpy as jnp
+
+from yaqs_tpu.core import mps_ops
+from yaqs_tpu.core.mpo_builders import heisenberg_mpo, ising_mpo, mpo_to_matrix
+from yaqs_tpu.methods.tdvp import TDVPConfig, sweep_1site, sweep_2site, tdvp_step
+
+
+def dense_evolve(h, psi0, t):
+    return scipy.linalg.expm(-1j * t * h) @ psi0
+
+
+def fidelity(a, b):
+    return abs(np.vdot(a, b)) ** 2 / (np.vdot(a, a).real * np.vdot(b, b).real)
+
+
+def test_2tdvp_matches_dense_tfim():
+    L, chi, dt, steps = 6, 16, 0.05, 4
+    w = ising_mpo(L, 1.0, 0.7)
+    h = mpo_to_matrix(w)
+    tensors = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(tensors))
+    cfg = TDVPConfig(krylov_dim=25, trunc_mode="discarded_weight", threshold=1e-14, max_bond_dim=chi)
+    wj = jnp.asarray(w)
+    for _ in range(steps):
+        tensors = sweep_2site(tensors, wj, dt, cfg)
+    psi = np.asarray(mps_ops.to_statevector(tensors))
+    expected = dense_evolve(h, psi0, dt * steps)
+    assert fidelity(psi, expected) > 1 - 1e-10
+    np.testing.assert_allclose(np.vdot(psi, psi).real, 1.0, atol=1e-10)
+    # phase-sensitive comparison as well
+    np.testing.assert_allclose(psi, expected, atol=1e-6)
+
+
+def test_2tdvp_matches_dense_heisenberg():
+    L, chi, dt, steps = 5, 8, 0.04, 3
+    w = heisenberg_mpo(L, 0.4, 0.6, 1.0, h=0.3)
+    h = mpo_to_matrix(w)
+    tensors = jnp.asarray(mps_ops.named_product_state("Neel", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(tensors))
+    cfg = TDVPConfig(krylov_dim=25, threshold=1e-14, max_bond_dim=chi)
+    wj = jnp.asarray(w)
+    for _ in range(steps):
+        tensors = sweep_2site(tensors, wj, dt, cfg)
+    psi = np.asarray(mps_ops.to_statevector(tensors))
+    expected = dense_evolve(h, psi0, dt * steps)
+    # symmetric-sweep splitting error is O(dt^3) per step
+    np.testing.assert_allclose(psi, expected, atol=5e-5)
+
+
+def test_2tdvp_second_order_convergence():
+    L, chi, t_final = 5, 8, 0.12
+    w = heisenberg_mpo(L, 0.4, 0.6, 1.0, h=0.3)
+    h = mpo_to_matrix(w)
+    t0 = jnp.asarray(mps_ops.named_product_state("Neel", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(t0))
+    expected = dense_evolve(h, psi0, t_final)
+    wj = jnp.asarray(w)
+    cfg = TDVPConfig(krylov_dim=25, threshold=1e-14, max_bond_dim=chi)
+    errs = []
+    for steps in (2, 4):
+        tensors = t0
+        for _ in range(steps):
+            tensors = sweep_2site(tensors, wj, t_final / steps, cfg)
+        errs.append(np.linalg.norm(np.asarray(mps_ops.to_statevector(tensors)) - expected))
+    # halving dt must cut the error by ~2^2 (allow slack)
+    assert errs[1] < errs[0] / 2.5
+
+
+def test_1tdvp_matches_dense_at_full_bond():
+    # Start from an entangled state at full bond dimension so 1TDVP's fixed
+    # bond manifold contains the exact trajectory.
+    L, chi, dt, steps = 4, 8, 0.05, 3
+    w = ising_mpo(L, 1.0, 0.5)
+    h = mpo_to_matrix(w)
+    rng = np.random.default_rng(7)
+    psi0 = rng.normal(size=2**L) + 1j * rng.normal(size=2**L)
+    psi0 /= np.linalg.norm(psi0)
+    # dense -> MPS via successive SVDs (site 0 least significant)
+    tensors = np.zeros((L, 2, chi, chi), dtype=np.complex128)
+    # reshape psi with site0 fastest: index (s3 s2 s1 s0) -> tensor train L->R
+    amp = psi0.reshape([2] * L)  # axes (s3, s2, s1, s0)
+    amp = amp.transpose(tuple(reversed(range(L))))  # (s0, s1, s2, s3)
+    m = amp.reshape(1, -1)  # (bond0 * s0-slowest layout)
+    left_dim = 1
+    for i in range(L - 1):
+        m = m.reshape(left_dim * 2, -1)
+        u, s, vh = np.linalg.svd(m, full_matrices=False)
+        k = min(len(s), chi)
+        tensors[i, :, :left_dim, :k] = u[:, :k].reshape(left_dim, 2, -1).transpose(1, 0, 2)[
+            :, :, :k
+        ]
+        m = (np.diag(s[:k]) @ vh[:k]).reshape(k, -1)
+        left_dim = k
+    tensors[L - 1, :, :left_dim, 0] = m.reshape(left_dim, 2).T
+    tj = jnp.asarray(tensors)
+    np.testing.assert_allclose(
+        np.asarray(mps_ops.to_statevector(tj)), psi0, atol=1e-12
+    )
+    tj = mps_ops.canonicalize_right(tj)  # sweeps expect canonical form at site 0
+    cfg = TDVPConfig(krylov_dim=25, mode="1site")
+    wj = jnp.asarray(w)
+    for _ in range(steps):
+        tj = sweep_1site(tj, wj, dt, cfg)
+    psi = np.asarray(mps_ops.to_statevector(tj))
+    expected = dense_evolve(h, psi0, dt * steps)
+    np.testing.assert_allclose(psi, expected, atol=1e-6)
+
+
+def test_two_site_chain():
+    L, chi, dt = 2, 4, 0.1
+    w = ising_mpo(L, 1.0, 0.3)
+    h = mpo_to_matrix(w)
+    tensors = jnp.asarray(mps_ops.named_product_state("zeros", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(tensors))
+    cfg = TDVPConfig(krylov_dim=10, threshold=1e-14, max_bond_dim=chi)
+    out = sweep_2site(tensors, jnp.asarray(w), dt, cfg)
+    psi = np.asarray(mps_ops.to_statevector(out))
+    np.testing.assert_allclose(psi, dense_evolve(h, psi0, dt), atol=1e-9)
+
+
+def test_tdvp_step_substeps_improve_accuracy():
+    L, chi = 5, 16
+    w = ising_mpo(L, 1.0, 1.0)
+    h = mpo_to_matrix(w)
+    t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(t0))
+    expected = dense_evolve(h, psi0, 0.2)
+    wj = jnp.asarray(w)
+    errs = []
+    for sweeps in (1, 2):
+        cfg = TDVPConfig(krylov_dim=20, threshold=1e-14, max_bond_dim=chi, sweeps=sweeps)
+        out = tdvp_step(t0, wj, 0.2, cfg)
+        errs.append(np.linalg.norm(np.asarray(mps_ops.to_statevector(out)) - expected))
+    assert errs[1] <= errs[0] * 1.05  # substeps never hurt
+    assert errs[0] < 1e-4
+
+
+def test_truncation_keeps_norm_reasonable():
+    # chi smaller than needed: truncation loses weight but sweep stays stable.
+    L, chi, dt = 8, 4, 0.05
+    w = ising_mpo(L, 1.0, 1.2)
+    tensors = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    cfg = TDVPConfig(krylov_dim=15, threshold=1e-10, max_bond_dim=chi)
+    wj = jnp.asarray(w)
+    for _ in range(5):
+        tensors = sweep_2site(tensors, wj, dt, cfg)
+    n2 = float(mps_ops.norm_squared(tensors))
+    assert 0.9 < n2 <= 1.0 + 1e-9
