@@ -1,0 +1,163 @@
+"""TJM trajectory physics: noiseless parity with dense evolution, and noisy
+ensemble agreement with the exact Lindblad solution (the reference's dominant
+cross-backend validation pattern, tests/analog/test_analog_tjm.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import jax
+import jax.numpy as jnp
+
+from yaqs_tpu.analog.lindblad import lindblad_expectations, noise_model_jump_ops
+from yaqs_tpu.analog.tjm import (
+    TrajectoryPlan,
+    sample_key,
+    tjm_trajectory,
+    trajectory_key,
+)
+from yaqs_tpu.analog.embedding import embed_one_site
+from yaqs_tpu.core import mps_ops
+from yaqs_tpu.core.mpo_builders import ising_mpo, mpo_to_matrix
+from yaqs_tpu.core.noise_model import NoiseModel, compile_noise
+from yaqs_tpu.methods.dissipation import apply_dissipation
+from yaqs_tpu.methods.stochastic import channel_weights, stochastic_process
+from yaqs_tpu.methods.tdvp import TDVPConfig
+from yaqs_tpu.models.operators import lowering, pauli_x, pauli_z
+
+
+def make_obs_z(length):
+    ops = jnp.asarray(np.stack([pauli_z] * length))
+    sites = jnp.asarray(np.arange(length, dtype=np.int32))
+    return ops, sites
+
+
+def test_dissipation_norm_decay_pauli():
+    # Pauli dephasing: dissipator is the scalar exp(-gamma dt / 2) per site.
+    L, chi, gamma, dt = 4, 4, 0.3, 0.1
+    nm = NoiseModel([{"name": "dephasing", "sites": [i], "strength": gamma} for i in range(L)])
+    cn = compile_noise(nm, L, 2)
+    t = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    t2 = apply_dissipation(t, cn, dt)
+    expected_norm2 = np.exp(-gamma * dt) ** L  # each site scales by e^{-gamma dt/2}
+    np.testing.assert_allclose(float(mps_ops.norm_squared(t2)), expected_norm2, rtol=1e-10)
+
+
+def test_dissipation_matches_dense_nonpauli():
+    L, chi, gamma, dt = 3, 4, 0.4, 0.07
+    nm = NoiseModel([{"name": "lowering", "sites": [i], "strength": gamma} for i in range(L)])
+    cn = compile_noise(nm, L, 2)
+    t = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(t))
+    t2 = apply_dissipation(t, cn, dt)
+    psi = np.asarray(mps_ops.to_statevector(t2))
+    gen = np.zeros((8, 8), dtype=complex)
+    for i in range(L):
+        ldl = lowering.conj().T @ lowering
+        gen += gamma * embed_one_site(ldl, i, L)
+    expected = scipy.linalg.expm(-0.5 * dt * gen) @ psi0
+    np.testing.assert_allclose(psi, expected, atol=1e-10)
+
+
+def test_channel_weights_match_expectations(seed):
+    L, chi, gamma = 3, 4, 0.5
+    nm = NoiseModel([{"name": "lowering", "sites": [i], "strength": gamma} for i in range(L)])
+    cn = compile_noise(nm, L, 2)
+    rng = np.random.default_rng(seed)
+    raw = np.zeros((L, 2, chi, chi), dtype=np.complex128)
+    raw[:, :, 0, 0] = rng.normal(size=(L, 2)) + 1j * rng.normal(size=(L, 2))
+    t, _ = mps_ops.normalize_canonical(jnp.asarray(raw))
+    psi = np.asarray(mps_ops.to_statevector(t))
+    dt = 0.1
+    w = np.asarray(channel_weights(t, cn, dt))
+    for i in range(L):
+        ldl = embed_one_site(lowering.conj().T @ lowering, i, L)
+        expected = dt * gamma * np.vdot(psi, ldl @ psi).real
+        np.testing.assert_allclose(w[i], expected, atol=1e-10)
+
+
+def test_stochastic_process_no_noise_normalizes(seed):
+    L, chi = 3, 4
+    t = jnp.asarray(mps_ops.named_product_state("x+", L, chi)) * 0.9
+    out, jumped = stochastic_process(t, None, 0.1, jax.random.PRNGKey(seed))
+    assert not bool(jumped)
+    np.testing.assert_allclose(float(mps_ops.norm_squared(out)), 1.0, rtol=1e-10)
+
+
+def test_noiseless_tjm_order2_matches_dense():
+    L, chi, dt, steps = 4, 8, 0.05, 6
+    w = ising_mpo(L, 1.0, 0.8)
+    h = mpo_to_matrix(w)
+    t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(t0))
+    obs_ops, obs_sites = make_obs_z(L)
+    plan = TrajectoryPlan(
+        dt=dt,
+        num_steps=steps,
+        order=2,
+        evolution=TDVPConfig(krylov_dim=20, threshold=1e-14, max_bond_dim=chi),
+    )
+    key = jax.random.PRNGKey(0)
+    res, final = tjm_trajectory(
+        trajectory_key(key, 0),
+        sample_key(key, 0),
+        t0,
+        jnp.asarray(w),
+        None,
+        obs_ops,
+        obs_sites,
+        plan,
+    )
+    res = np.asarray(res)
+    for j in range(steps + 1):
+        psi_t = scipy.linalg.expm(-1j * h * dt * j) @ psi0
+        for i in range(L):
+            expected = np.vdot(psi_t, embed_one_site(pauli_z, i, L) @ psi_t).real
+            np.testing.assert_allclose(res[i, j], expected, atol=1e-6)
+
+
+def test_tjm_ensemble_matches_lindblad():
+    """Ensemble mean over trajectories must agree with the exact master
+    equation within statistical error (lowering + dephasing noise)."""
+    L, chi, dt, steps = 3, 8, 0.1, 5
+    gamma_relax, gamma_deph = 0.15, 0.1
+    w = ising_mpo(L, 1.0, 0.5)
+    h = mpo_to_matrix(w)
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": gamma_relax} for i in range(L)]
+        + [{"name": "z", "sites": [i], "strength": gamma_deph} for i in range(L)]
+    )
+    cn = compile_noise(nm, L, 2)
+    t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(t0))
+    obs_ops, obs_sites = make_obs_z(L)
+    plan = TrajectoryPlan(
+        dt=dt,
+        num_steps=steps,
+        order=2,
+        evolution=TDVPConfig(krylov_dim=15, threshold=1e-12, max_bond_dim=chi),
+    )
+    n_traj = 300
+    base = jax.random.PRNGKey(42)
+    wj = jnp.asarray(w)
+
+    run = jax.vmap(
+        lambda tk, sk: tjm_trajectory(tk, sk, t0, wj, cn, obs_ops, obs_sites, plan)[0]
+    )
+    idx = jnp.arange(n_traj)
+    tks = jax.vmap(lambda i: trajectory_key(base, i))(idx)
+    sks = jax.vmap(lambda i: sample_key(base, i))(idx)
+    results = np.asarray(run(tks, sks))  # (n_traj, n_obs, T)
+    mean = results.mean(axis=0)
+    stderr = results.std(axis=0) / np.sqrt(n_traj)
+
+    jumps = noise_model_jump_ops(nm, L)
+    z_obs = [embed_one_site(pauli_z, i, L) for i in range(L)]
+    exact = lindblad_expectations(h, jumps, psi0, z_obs, dt, steps)
+
+    # 5-sigma + small deterministic floor for Trotter/TJM order-2 error
+    tol = 5 * stderr + 0.02
+    assert np.all(np.abs(mean - exact) < tol), (
+        np.abs(mean - exact).max(),
+        stderr.max(),
+    )

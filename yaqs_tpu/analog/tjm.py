@@ -1,0 +1,179 @@
+"""Tensor Jump Method trajectories as jit-compiled scan programs.
+
+The reference runs each trajectory as a Python loop over timesteps in a
+process-pool worker (mqt-yaqs analog/analog_tjm.py).  Here one trajectory is a
+single jitted function — ``lax.scan`` over the time grid around the TDVP +
+dissipation + jump kernel — and the trajectory ensemble is ``vmap`` over
+per-trajectory PRNG keys (sharded across chips by the runtime layer).
+
+Scheme parity (analog_tjm.py:161-313):
+
+- order 2 (``analog_tjm_2``): sampling MPS ``Phi_0 = jump(dissipate(psi0, dt/2))``;
+  step ``Phi_{j+1} = jump(dissipate(tdvp(Phi_j, dt), dt))``; measurements are
+  taken on a *copy* ``Psi_j = jump(dissipate(tdvp(Phi_j, dt), dt/2))`` using an
+  independent per-timestep RNG stream so sampling never perturbs the
+  trajectory stream (reference random_utils.py:20-79; here
+  ``fold_in``-derived key hierarchies).
+- order 1 (``analog_tjm_1``): in-place evolve -> dissipate -> jump -> measure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mps_ops import normalize_canonical, site_expectations
+from ..core.noise_model import CompiledNoise
+from ..methods.dissipation import apply_dissipation
+from ..methods.stochastic import stochastic_process
+from ..methods.tdvp import TDVPConfig, tdvp_step
+
+__all__ = ["TrajectoryPlan", "tjm_trajectory", "trajectory_key", "sample_key"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrajectoryPlan:
+    """Static trajectory schedule (hashable; jit static argument).
+
+    ``num_steps`` is the number of dt-steps, i.e. ``len(times) - 1``;
+    observables are sampled at every grid point when ``sample_timesteps`` else
+    only at the final time.
+    """
+
+    dt: float
+    num_steps: int
+    order: int = 2
+    sample_timesteps: bool = True
+    evolution: TDVPConfig = dataclasses.field(default_factory=TDVPConfig)
+
+    @property
+    def num_times(self) -> int:
+        return self.num_steps + 1
+
+
+def trajectory_key(base_key, traj_idx) -> jax.Array:
+    """Trajectory RNG stream (initialize + step_through jumps)."""
+    return jax.random.fold_in(jax.random.fold_in(base_key, 0), traj_idx)
+
+
+def sample_key(base_key, traj_idx) -> jax.Array:
+    """Independent per-trajectory sampling stream (measurement copies)."""
+    return jax.random.fold_in(jax.random.fold_in(base_key, 1), traj_idx)
+
+
+def _evaluate(tensors, obs_ops, obs_sites):
+    return jnp.real(site_expectations(tensors, obs_ops, obs_sites))
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def tjm_trajectory(
+    traj_key: jax.Array,
+    smpl_key: jax.Array,
+    tensors0: jnp.ndarray,
+    mpo: jnp.ndarray,
+    noise: CompiledNoise | None,
+    obs_ops: jnp.ndarray,
+    obs_sites: jnp.ndarray,
+    plan: TrajectoryPlan,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run one TJM trajectory.
+
+    Args:
+        traj_key / smpl_key: independent PRNG streams (see ``trajectory_key``).
+        tensors0: initial padded MPS, canonical at 0 and normalized.
+        mpo: padded Hamiltonian MPO ``(L, d, d, Dw, Dw)``.
+        noise: compiled noise model or None (noiseless).
+        obs_ops / obs_sites: one-site observables ``(n_obs, d, d)`` / ``(n_obs,)``.
+        plan: static schedule.
+
+    Returns:
+        ``(results, final_tensors)`` with ``results`` of shape
+        ``(n_obs, num_times)`` when ``plan.sample_timesteps`` else ``(n_obs, 1)``.
+    """
+    dt = plan.dt
+    cfg = plan.evolution
+    n_obs = obs_ops.shape[0]
+    n_cols = plan.num_times if plan.sample_timesteps else 1
+
+    evolve = lambda t, step_dt: tdvp_step(t, mpo, step_dt, cfg)
+
+    if plan.num_steps == 0:
+        vals = _evaluate(tensors0, obs_ops, obs_sites)
+        return vals[:, None] * jnp.ones((n_obs, n_cols), vals.dtype), tensors0
+
+    if plan.order == 2:
+        return _run_order2(
+            traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, evolve
+        )
+    return _run_order1(traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve)
+
+
+def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, evolve):
+    dt = plan.dt
+    n_obs = obs_ops.shape[0]
+    t_total = plan.num_times
+
+    def sample(phi, j):
+        """Measure a copy evolved by dt + dissipated dt/2 + jumped (indep. RNG)."""
+        psi = evolve(phi, dt)
+        psi = apply_dissipation(psi, noise, dt / 2)
+        psi, _ = stochastic_process(psi, noise, dt, jax.random.fold_in(smpl_key, j))
+        return _evaluate(psi, obs_ops, obs_sites), psi
+
+    def step_through(phi, j):
+        phi = evolve(phi, dt)
+        phi = apply_dissipation(phi, noise, dt)
+        phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, j))
+        return phi
+
+    obs0 = _evaluate(tensors0, obs_ops, obs_sites)
+
+    # F0: dissipate dt/2 + jump
+    phi = apply_dissipation(tensors0, noise, dt / 2)
+    phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0))
+
+    obs1, psi1 = sample(phi, 1)
+
+    if plan.num_steps >= 2:
+
+        def body(carry, j):
+            phi, _ = carry
+            phi = step_through(phi, j)
+            obs_j, psi_j = sample(phi, j)
+            return (phi, psi_j), obs_j
+
+        (phi, final_psi), obs_rest = jax.lax.scan(
+            body, (phi, psi1), jnp.arange(2, t_total)
+        )
+        cols = jnp.concatenate([obs0[None], obs1[None], obs_rest], axis=0)  # (T, n_obs)
+    else:
+        final_psi = psi1
+        cols = jnp.stack([obs0, obs1], axis=0)
+
+    if plan.sample_timesteps:
+        return cols.T, final_psi  # (n_obs, T)
+    return cols[-1][:, None], final_psi
+
+
+def _run_order1(traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve):
+    dt = plan.dt
+    t_total = plan.num_times
+
+    def body(state, j):
+        state = evolve(state, dt)
+        if noise is not None:
+            state = apply_dissipation(state, noise, dt)
+            state, _ = stochastic_process(state, noise, dt, jax.random.fold_in(traj_key, j))
+        else:
+            state, _ = normalize_canonical(state)
+        return state, _evaluate(state, obs_ops, obs_sites)
+
+    obs0 = _evaluate(tensors0, obs_ops, obs_sites)
+    state, obs_rest = jax.lax.scan(body, tensors0, jnp.arange(1, t_total))
+    cols = jnp.concatenate([obs0[None], obs_rest], axis=0)
+    if plan.sample_timesteps:
+        return cols.T, state
+    return cols[-1][:, None], state
