@@ -1,0 +1,124 @@
+"""Benchmark: TJM trajectory throughput on the BASELINE flagship config.
+
+Workload (BASELINE.json primary metric): 100-site transverse-field Ising
+chain at padded bond dimension chi=64, analog TJM order 2 with one-site
+dephasing+relaxation noise, dt=0.1 over 10 steps, Z observables on all sites,
+per-timestep sampling.  Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "traj/sec/chip", "vs_baseline": N}
+
+vs_baseline references the driver-assigned target of >= 1000 trajectories/min
+on a v5p-8, i.e. ~2.083 trajectories/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# allow CPU fallback for local runs: BENCH_CPU=1 forces the CPU backend
+if os.environ.get("BENCH_CPU") == "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from yaqs_tpu.analog.tjm import (  # noqa: E402
+    TrajectoryPlan,
+    sample_key,
+    tjm_trajectory,
+    trajectory_key,
+)
+from yaqs_tpu.core import mps_ops  # noqa: E402
+from yaqs_tpu.core.mpo_builders import ising_mpo  # noqa: E402
+from yaqs_tpu.core.noise_model import NoiseModel, compile_noise  # noqa: E402
+from yaqs_tpu.methods.tdvp import TDVPConfig  # noqa: E402
+from yaqs_tpu.models.operators import pauli_z  # noqa: E402
+
+L = int(os.environ.get("BENCH_L", 100))
+CHI = int(os.environ.get("BENCH_CHI", 64))
+DT = 0.1
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+KRYLOV = int(os.environ.get("BENCH_KRYLOV", 12))
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
+TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    cdtype = jnp.complex64 if dev.platform != "cpu" else (
+        jnp.complex64 if not jax.config.read("jax_enable_x64") else jnp.complex128
+    )
+
+    w = jnp.asarray(ising_mpo(L, 1.0, 0.5), dtype=cdtype)
+    tensors0 = jnp.asarray(mps_ops.named_product_state("x+", L, CHI), dtype=cdtype)
+    nm = NoiseModel(
+        [{"name": "z", "sites": [i], "strength": 0.05} for i in range(L)]
+        + [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(L)]
+    )
+    noise = compile_noise(nm, L, 2)
+    noise = jax.tree.map(
+        lambda x: x.astype(cdtype) if jnp.iscomplexobj(x) else x, noise
+    )
+    obs_ops = jnp.asarray(np.stack([pauli_z] * L), dtype=cdtype)
+    obs_sites = jnp.asarray(np.arange(L, dtype=np.int32))
+
+    plan = TrajectoryPlan(
+        dt=DT,
+        num_steps=STEPS,
+        order=2,
+        sample_timesteps=True,
+        evolution=TDVPConfig(
+            krylov_dim=KRYLOV,
+            trunc_mode="discarded_weight",
+            threshold=1e-6,
+            max_bond_dim=CHI,
+        ),
+    )
+
+    base = jax.random.PRNGKey(0)
+
+    def one(tk, sk):
+        res, _ = tjm_trajectory(tk, sk, tensors0, w, noise, obs_ops, obs_sites, plan)
+        return res
+
+    batched = jax.jit(jax.vmap(one))
+    idx = jnp.arange(BATCH)
+    tks = jax.vmap(lambda i: trajectory_key(base, i))(idx)
+    sks = jax.vmap(lambda i: sample_key(base, i))(idx)
+
+    # compile + warm up
+    out = batched(tks, sks)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        idx = jnp.arange(BATCH * (r + 1), BATCH * (r + 2))
+        tks = jax.vmap(lambda i: trajectory_key(base, i))(idx)
+        sks = jax.vmap(lambda i: sample_key(base, i))(idx)
+        out = batched(tks, sks)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    traj_per_sec = BATCH * reps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"TJM trajectories/sec/chip (TFIM L={L}, chi={CHI}, "
+                f"{STEPS} steps dt={DT}, order 2, noisy)",
+                "value": round(traj_per_sec, 4),
+                "unit": "traj/sec/chip",
+                "vs_baseline": round(traj_per_sec / TARGET_TRAJ_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

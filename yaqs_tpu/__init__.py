@@ -6,9 +6,37 @@ Jump Method on matrix-product states, noisy digital circuit simulation,
 MPO-based equivalence checking, exact small-system backends (MCWF, Lindblad),
 and memory/noise characterization — designed TPU-first (fixed shapes, jit,
 vmap over trajectories, shard_map over device meshes).
+
+Public API parity with the reference facade (mqt-yaqs __init__.py:37-55).
 """
 
 from __future__ import annotations
 
+from .core.hamiltonian import Hamiltonian
+from .core.noise_model import NoiseModel
+from .core.result import Result
+from .core.sim_params import (
+    SIMULATION_PRESETS,
+    AnalogSimParams,
+    DigitalSimParams,
+    Observable,
+)
+from .core.state import State
+from .simulator import Simulator
+
 __version__ = "0.1.0"
 version_info = (0, 1, 0)
+
+__all__ = [
+    "SIMULATION_PRESETS",
+    "AnalogSimParams",
+    "DigitalSimParams",
+    "Hamiltonian",
+    "NoiseModel",
+    "Observable",
+    "Result",
+    "Simulator",
+    "State",
+    "__version__",
+    "version_info",
+]

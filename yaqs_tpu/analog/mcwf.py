@@ -1,0 +1,105 @@
+"""Dense state-vector Monte Carlo wavefunction (MCWF) backend.
+
+Reference parity: mqt-yaqs analog/mcwf.py — effective Hamiltonian
+``H_eff = H - (i/2) sum gamma L^dag L`` with a precomputed dense step
+propagator (dim <= 4096 in the reference; here the propagator is always
+precomputed host-side since this backend is for small systems), norm-deficit
+jump decision, channel choice proportional to ``gamma ||L psi||^2``.
+
+The per-trajectory program is a jitted ``lax.scan``; the ensemble is ``vmap``
+over fold_in keys like the TJM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+__all__ = ["MCWFContext", "make_mcwf_context", "mcwf_trajectory"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MCWFContext:
+    """Precomputed dense operators for MCWF stepping.
+
+    ``propagator``: ``exp(-i dt H_eff)`` (D, D); ``jump_ops``: ``(nc, D, D)``
+    embedded jump operators (rates *not* folded in); ``gammas``: ``(nc,)``;
+    ``obs``: ``(n_obs, D, D)`` observables.
+    """
+
+    propagator: jax.Array
+    jump_ops: jax.Array
+    gammas: jax.Array
+    obs: jax.Array
+
+
+def make_mcwf_context(
+    h: np.ndarray,
+    jump_ops: list[np.ndarray],
+    gammas: list[float],
+    observables: list[np.ndarray],
+    dt: float,
+) -> MCWFContext:
+    heff = np.asarray(h, dtype=np.complex128).copy()
+    for gamma, jump in zip(gammas, jump_ops):
+        heff = heff - 0.5j * gamma * (jump.conj().T @ jump)
+    prop = scipy.linalg.expm(-1j * dt * heff)
+    dim = h.shape[0]
+    jumps = (
+        np.stack(jump_ops).astype(np.complex128)
+        if jump_ops
+        else np.zeros((0, dim, dim), dtype=np.complex128)
+    )
+    return MCWFContext(
+        propagator=jnp.asarray(prop),
+        jump_ops=jnp.asarray(jumps),
+        gammas=jnp.asarray(np.asarray(gammas, dtype=np.float64).reshape(-1)),
+        obs=jnp.asarray(np.stack(observables)),
+    )
+
+
+@partial(jax.jit, static_argnames=("num_steps",))
+def mcwf_trajectory(
+    key: jax.Array, psi0: jnp.ndarray, ctx: MCWFContext, num_steps: int
+) -> jnp.ndarray:
+    """One MCWF trajectory; returns ``(n_obs, num_steps + 1)`` real values."""
+
+    def measure(psi):
+        n2 = jnp.real(jnp.vdot(psi, psi))
+        return jnp.real(jnp.einsum("i,kij,j->k", psi.conj(), ctx.obs, psi)) / n2
+
+    has_noise = ctx.jump_ops.shape[0] > 0
+
+    def step(psi, k):
+        psi_evolved = ctx.propagator @ psi
+        n2 = jnp.real(jnp.vdot(psi_evolved, psi_evolved))
+        if not has_noise:
+            out = psi_evolved / jnp.sqrt(n2)
+            return out, measure(out)
+        dp = 1.0 - n2
+        k1, k2 = jax.random.split(k)
+        u = jax.random.uniform(k1, dtype=n2.dtype)
+
+        def no_jump(_):
+            return psi_evolved / jnp.sqrt(n2).astype(psi.dtype)
+
+        def do_jump(_):
+            lpsi = jnp.einsum("kij,j->ki", ctx.jump_ops, psi)  # pre-step state
+            w = ctx.gammas * jnp.real(jnp.einsum("ki,ki->k", lpsi.conj(), lpsi))
+            idx = jax.random.categorical(k2, jnp.log(jnp.maximum(w, 1e-300)))
+            out = lpsi[idx]
+            return out / jnp.linalg.norm(out).astype(psi.dtype)
+
+        psi_next = jax.lax.cond(u < dp, do_jump, no_jump, None)
+        return psi_next, measure(psi_next)
+
+    vals0 = measure(psi0)
+    keys = jax.random.split(key, num_steps)
+    _, vals = jax.lax.scan(step, psi0, keys)
+    return jnp.concatenate([vals0[None], vals], axis=0).T

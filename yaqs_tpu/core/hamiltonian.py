@@ -1,0 +1,107 @@
+"""User-facing Hamiltonian specification with MPO / dense encodings.
+
+Reference parity: mqt-yaqs core/data_structures/hamiltonian.py — factories
+delegate to the MPO builders; dense/sparse forms are cached for the
+small-system backends; the backend is chosen by the *State's* representation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mpo_builders import (
+    heisenberg_mpo,
+    identity_mpo,
+    ising_mpo,
+    mpo_from_pauli_sum,
+    mpo_from_terms,
+    mpo_to_matrix,
+)
+
+__all__ = ["Hamiltonian"]
+
+
+class Hamiltonian:
+    """Operator spec holding a padded MPO array and/or a dense matrix."""
+
+    def __init__(self, mpo: np.ndarray | None = None, matrix: np.ndarray | None = None, length: int | None = None, d: int = 2):
+        if mpo is None and matrix is None:
+            msg = "Hamiltonian requires an MPO or a dense matrix."
+            raise ValueError(msg)
+        self._mpo = None if mpo is None else np.asarray(mpo)
+        self._matrix = None if matrix is None else np.asarray(matrix, dtype=np.complex128)
+        if self._mpo is not None:
+            self.length = self._mpo.shape[0]
+            self.d = self._mpo.shape[1]
+        else:
+            if length is None:
+                length = int(round(np.log(self._matrix.shape[0]) / np.log(d)))
+            self.length = length
+            self.d = d
+
+    # -- factories (reference hamiltonian.py:176-315) ----------------------
+
+    @classmethod
+    def ising(cls, length: int, J: float = 1.0, g: float = 0.5) -> Hamiltonian:
+        return cls(mpo=ising_mpo(length, J, g))
+
+    @classmethod
+    def heisenberg(
+        cls, length: int, Jx: float = 1.0, Jy: float = 1.0, Jz: float = 1.0, h: float = 0.0
+    ) -> Hamiltonian:
+        return cls(mpo=heisenberg_mpo(length, Jx, Jy, Jz, h))
+
+    @classmethod
+    def pauli(
+        cls,
+        length: int,
+        two_body: list[tuple[complex, str, str]] | None = None,
+        one_body: list[tuple[complex, str]] | None = None,
+        bc: str = "open",
+    ) -> Hamiltonian:
+        """Generic nearest-neighbor two-body + one-body Pauli Hamiltonian
+        (reference mpo.pauli, mpo.py:249)."""
+        terms: list[tuple[complex, list[tuple[int, object]]]] = []
+        bonds = range(length) if bc == "periodic" else range(length - 1)
+        for c, a, b in two_body or []:
+            for i in bonds:
+                j = (i + 1) % length
+                if j < i:  # periodic wrap term: keep ascending site order
+                    terms.append((c, [(j, b), (i, a)]))
+                else:
+                    terms.append((c, [(i, a), (j, b)]))
+        for c, a in one_body or []:
+            terms.extend((c, [(i, a)]) for i in range(length))
+        return cls(mpo=mpo_from_terms(terms, length))
+
+    @classmethod
+    def from_pauli_sum(cls, terms: list[tuple[complex, str]], length: int) -> Hamiltonian:
+        return cls(mpo=mpo_from_pauli_sum(terms, length))
+
+    @classmethod
+    def from_mpo(cls, mpo: np.ndarray) -> Hamiltonian:
+        return cls(mpo=np.asarray(mpo))
+
+    @classmethod
+    def from_matrix(cls, matrix: np.ndarray, length: int | None = None, d: int = 2) -> Hamiltonian:
+        return cls(matrix=matrix, length=length, d=d)
+
+    @classmethod
+    def identity(cls, length: int, d: int = 2) -> Hamiltonian:
+        return cls(mpo=identity_mpo(length, d))
+
+    # -- encodings ---------------------------------------------------------
+
+    def ensure_mpo(self) -> np.ndarray:
+        if self._mpo is None:
+            msg = (
+                "Dense-matrix Hamiltonians have no MPO encoding yet; "
+                "construct via a factory or from_mpo."
+            )
+            raise ValueError(msg)
+        return self._mpo
+
+    def ensure_matrix(self) -> np.ndarray:
+        if self._matrix is None:
+            self._matrix = mpo_to_matrix(self._mpo)
+        return self._matrix

@@ -277,6 +277,34 @@ def to_statevector(tensors: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(vec, perm).reshape(-1)
 
 
+def statevector_to_mps(
+    psi: np.ndarray, length: int, chi: int, d: int = 2, dtype=np.complex128
+) -> np.ndarray:
+    """Factor a dense state vector (site 0 least significant) into a padded
+    MPS via successive truncated SVDs. Host-side utility (numpy).
+    """
+    psi = np.asarray(psi, dtype=dtype).reshape(-1)
+    if psi.size != d**length:
+        msg = f"state vector size {psi.size} != {d}**{length}"
+        raise ValueError(msg)
+    tensors = np.zeros((length, d, chi, chi), dtype=dtype)
+    amp = psi.reshape([d] * length)  # axes (s_{L-1}, ..., s_0)
+    amp = amp.transpose(tuple(reversed(range(length))))  # (s_0, ..., s_{L-1})
+    m = amp.reshape(1, -1)
+    left_dim = 1
+    for i in range(length - 1):
+        m = m.reshape(left_dim * d, -1)
+        u, s, vh = np.linalg.svd(m, full_matrices=False)
+        k = min(len(s), chi)
+        tensors[i, :, :left_dim, :k] = (
+            u[:, :k].reshape(left_dim, d, -1).transpose(1, 0, 2)[:, :, :k]
+        )
+        m = (np.diag(s[:k]) @ vh[:k]).reshape(k, -1)
+        left_dim = k
+    tensors[length - 1, :, :left_dim, 0] = m.reshape(left_dim, d).T
+    return tensors
+
+
 def bond_entropies(tensors: jnp.ndarray) -> jnp.ndarray:
     """Von Neumann entanglement entropy at every internal bond, ``(L-1,)``.
 

@@ -1,0 +1,58 @@
+"""Run results: observables in user order, trajectories, aggregation.
+
+Reference parity: mqt-yaqs core/data_structures/result.py (Result dataclass,
+mean-over-trajectory aggregation, counts merging). On TPU the per-trajectory
+buffers arrive as one batched device array; aggregation is a single mean.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+__all__ = ["Result"]
+
+
+@dataclasses.dataclass
+class Result:
+    """Aggregated simulation output.
+
+    Attributes:
+        observables: the user-supplied observable list.
+        expectation_values: ``(n_obs, n_times)`` mean over trajectories, rows
+            in user order.
+        trajectories: optional per-trajectory values ``(n_traj, n_obs, n_times)``.
+        times: sampled time grid (analog) or None.
+        num_trajectories: ensemble size that produced the averages.
+        output_state: optional final state (first trajectory), engine-specific.
+        measurements: optional per-shot bitstring arrays (digital).
+        counts: optional aggregated counts dict (digital).
+        noise_model: the (sampled) noise model actually used.
+        runtime_cost / max_bond / total_bond: per-timestep diagnostics curves.
+    """
+
+    observables: list[Any]
+    expectation_values: np.ndarray | None = None
+    trajectories: np.ndarray | None = None
+    times: np.ndarray | None = None
+    num_trajectories: int = 0
+    output_state: Any = None
+    measurements: Any = None
+    counts: dict[str, int] | None = None
+    noise_model: Any = None
+    runtime_cost: np.ndarray | None = None
+    max_bond: np.ndarray | None = None
+    total_bond: np.ndarray | None = None
+    elapsed_wall_time: float | None = None
+
+    def observable(self, index_or_name) -> np.ndarray:
+        """Expectation trajectory for one observable (by user index)."""
+        assert self.expectation_values is not None
+        return self.expectation_values[index_or_name]
+
+    @staticmethod
+    def aggregate(per_traj: np.ndarray) -> np.ndarray:
+        """Mean over the leading trajectory axis."""
+        return np.mean(per_traj, axis=0)

@@ -1,0 +1,231 @@
+"""Simulation parameters and observables (user-facing, host-side).
+
+API parity with the reference's simulation_parameters module (mqt-yaqs
+core/data_structures/simulation_parameters.py): ``SIMULATION_PRESETS``,
+``Observable``, ``AnalogSimParams``, ``DigitalSimParams``, with the TPU build's
+additions (``krylov_dim`` instead of only a tolerance — the Krylov dimension is
+a static compile parameter on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from ..models.operators import PAULI, hadamard, identity, projector_0, projector_1
+
+__all__ = [
+    "SIMULATION_PRESETS",
+    "EvolutionMode",
+    "Observable",
+    "AnalogSimParams",
+    "DigitalSimParams",
+]
+
+SIMULATION_PRESETS: dict[str, dict[str, Any]] = {
+    "fast": {"svd_threshold": 1e-3, "max_bond_dim": 16, "num_traj": 128, "krylov_dim": 8},
+    "balanced": {"svd_threshold": 1e-6, "max_bond_dim": 128, "num_traj": 256, "krylov_dim": 12},
+    "accurate": {"svd_threshold": 1e-9, "max_bond_dim": 4096, "num_traj": 1024, "krylov_dim": 20},
+    "exact": {"svd_threshold": 1e-13, "max_bond_dim": None, "num_traj": 1024, "krylov_dim": 25},
+}
+
+_USE_PRESET = object()
+
+
+class EvolutionMode:
+    TDVP = "tdvp"
+    BUG = "bug"
+
+
+_NAMED_OBSERVABLES: dict[str, np.ndarray] = {
+    "x": PAULI["X"],
+    "y": PAULI["Y"],
+    "z": PAULI["Z"],
+    "id": identity,
+    "h": hadamard,
+    "p0": projector_0,
+    "p1": projector_1,
+}
+
+
+class Observable:
+    """What to measure: a named one-site operator or raw matrix plus site(s).
+
+    Reference parity: Observable(gate, sites) resolving named gates
+    (simulation_parameters.py:299-356). Multi-site observables, ``pvm``
+    projectors, and entropy/Schmidt pseudo-observables are resolved at the
+    engine level; this class records the spec.
+    """
+
+    def __init__(self, gate, sites: int | list[int] | None = None, **gate_kwargs) -> None:
+        self.kwargs = dict(gate_kwargs)
+        if isinstance(gate, str):
+            name = gate.lower()
+            if name in _NAMED_OBSERVABLES:
+                self.name = name
+                self.matrix = _NAMED_OBSERVABLES[name].copy()
+            elif name in {"entropy", "schmidt_spectrum"}:
+                self.name = name
+                self.matrix = None
+            elif all(c in "01" for c in gate) and gate:
+                # bitstring projector (PVM)
+                self.name = "pvm"
+                self.bitstring = gate
+                self.matrix = None
+            elif name == "pvm":
+                self.name = "pvm"
+                self.bitstring = gate_kwargs.get("bitstring")
+                self.matrix = None
+            else:
+                msg = f"Unknown observable {gate!r}"
+                raise ValueError(msg)
+        else:
+            self.name = "local"
+            self.matrix = np.asarray(gate, dtype=np.complex128)
+            if self.matrix.ndim != 2 or self.matrix.shape[0] != self.matrix.shape[1]:
+                msg = "local observable must be a square matrix"
+                raise ValueError(msg)
+        if self.name != "pvm" and sites is None:
+            msg = "Observable requires sites"
+            raise ValueError(msg)
+        self.sites = sites
+
+    @property
+    def site_list(self) -> list[int]:
+        if self.sites is None:
+            return []
+        return [self.sites] if isinstance(self.sites, int) else list(self.sites)
+
+    def __repr__(self) -> str:
+        return f"Observable({self.name!r}, sites={self.sites!r})"
+
+
+def _sorted_observables(observables: list[Observable]) -> tuple[list[Observable], tuple[int, ...]]:
+    """Stable site-ascending evaluation order + user->sorted index map
+    (reference _prepare_observable_ordering, simulation_parameters.py:358-395).
+    """
+    if not observables:
+        return [], ()
+    indexed = list(enumerate(observables))
+    sortable = [(i, o) for i, o in indexed if o.name != "pvm"]
+    pvm = [(i, o) for i, o in indexed if o.name == "pvm"]
+    sorted_pairs = sorted(sortable, key=lambda p: (p[1].site_list[0], p[0])) + pvm
+    user_to_sorted = [0] * len(observables)
+    for row, (user_i, _) in enumerate(sorted_pairs):
+        user_to_sorted[user_i] = row
+    return [o for _, o in sorted_pairs], tuple(user_to_sorted)
+
+
+class _BaseSimParams:
+    def _apply_preset(self, preset, num_traj, max_bond_dim, svd_threshold, krylov_dim):
+        if preset not in SIMULATION_PRESETS:
+            msg = f"Unknown preset {preset!r}; valid: {sorted(SIMULATION_PRESETS)}"
+            raise ValueError(msg)
+        p = SIMULATION_PRESETS[preset]
+        self.preset = preset
+        self.num_traj = p["num_traj"] if num_traj is None else int(num_traj)
+        self.max_bond_dim = p["max_bond_dim"] if max_bond_dim is _USE_PRESET else max_bond_dim
+        self.svd_threshold = p["svd_threshold"] if svd_threshold is None else float(svd_threshold)
+        self.krylov_dim = p["krylov_dim"] if krylov_dim is None else int(krylov_dim)
+
+    @property
+    def sorted_observables(self) -> list[Observable]:
+        return _sorted_observables(self.observables)[0]
+
+    @property
+    def observable_sorted_indices(self) -> tuple[int, ...]:
+        return _sorted_observables(self.observables)[1]
+
+
+class AnalogSimParams(_BaseSimParams):
+    """Parameters for analog (Hamiltonian) evolution.
+
+    Reference-parity constructor (simulation_parameters.py:457-477); the
+    adaptive ``krylov_tol`` is replaced by a static ``krylov_dim``.
+    """
+
+    def __init__(
+        self,
+        observables: list[Observable] | None = None,
+        elapsed_time: float = 0.1,
+        dt: float = 0.1,
+        num_traj: int | None = None,
+        max_bond_dim=_USE_PRESET,
+        trunc_mode: str = "discarded_weight",
+        svd_threshold: float | None = None,
+        krylov_dim: int | None = None,
+        order: int = 1,
+        *,
+        preset: str = "balanced",
+        sample_timesteps: bool = True,
+        evolution_mode: str = EvolutionMode.TDVP,
+        get_state: bool = False,
+        random_seed: int | None = None,
+        multi_time_observables=None,
+        tdvp_sweeps: int = 1,
+        tdvp_mode: str = "2site",
+    ) -> None:
+        self.observables = list(observables or [])
+        self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
+        if dt <= 0 or not np.isfinite(dt):
+            msg = "dt must be positive and finite"
+            raise ValueError(msg)
+        if elapsed_time < 0 or not np.isfinite(elapsed_time):
+            msg = "elapsed_time must be nonnegative and finite"
+            raise ValueError(msg)
+        n_steps = round(elapsed_time / dt)
+        if abs(n_steps * dt - elapsed_time) > 1e-9 * max(1.0, abs(elapsed_time)):
+            msg = f"elapsed_time ({elapsed_time}) must be an integer multiple of dt ({dt})"
+            raise ValueError(msg)
+        self.elapsed_time = float(elapsed_time)
+        self.dt = float(dt)
+        self.num_steps = int(n_steps)
+        self.times = np.arange(n_steps + 1) * dt
+        self.sample_timesteps = bool(sample_timesteps)
+        self.trunc_mode = trunc_mode
+        self.order = int(order)
+        self.evolution_mode = evolution_mode
+        self.get_state = bool(get_state)
+        self.random_seed = random_seed
+        self.multi_time_observables = multi_time_observables
+        self.tdvp_sweeps = int(tdvp_sweeps)
+        self.tdvp_mode = tdvp_mode
+
+
+class DigitalSimParams(_BaseSimParams):
+    """Parameters for noisy digital circuit simulation.
+
+    Reference parity (simulation_parameters.py:550-): ``num_traj`` vs
+    ``shots`` semantics, gate application mode, mid-circuit sampling layers.
+    """
+
+    def __init__(
+        self,
+        observables: list[Observable] | None = None,
+        num_traj: int | None = None,
+        shots: int = 0,
+        max_bond_dim=_USE_PRESET,
+        trunc_mode: str = "discarded_weight",
+        svd_threshold: float | None = None,
+        krylov_dim: int | None = None,
+        *,
+        preset: str = "balanced",
+        gate_mode: str = "tdvp",
+        sample_layers: bool = False,
+        num_mid_measurements: int = 0,
+        get_state: bool = False,
+        random_seed: int | None = None,
+    ) -> None:
+        self.observables = list(observables or [])
+        self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
+        self.shots = int(shots)
+        self.trunc_mode = trunc_mode
+        self.gate_mode = gate_mode
+        self.sample_layers = bool(sample_layers)
+        self.num_mid_measurements = int(num_mid_measurements)
+        self.get_state = bool(get_state)
+        self.random_seed = random_seed
+        self.sample_timesteps = False
+        self.dt = 1.0

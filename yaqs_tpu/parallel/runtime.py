@@ -1,0 +1,99 @@
+"""Trajectory-ensemble runtime: vmap within a chip, mesh sharding across chips.
+
+This replaces the reference's ProcessPoolExecutor runtime (mqt-yaqs
+core/parallel_utils.py:331-391) with the TPU-native equivalent: the
+embarrassingly-parallel trajectory ensemble is the data-parallel axis, batched
+with ``vmap`` and laid out over a 1-D device mesh (axis ``"traj"``) via
+sharding annotations, so XLA partitions the batch across chips over ICI with
+no per-trajectory host traffic.  Results come back as one batched array; the
+only cross-device communication is the final gather of the small
+``(n_traj, n_obs, T)`` observable buffer.
+
+Determinism: trajectory RNG keys are derived from the trajectory index alone
+(``fold_in`` hierarchies), so results are bit-identical regardless of device
+count or batch chunking — the analogue of the reference's
+parallel/serial-equivalence guarantee (tests/test_simulator.py:86).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ExecutionConfig", "make_trajectory_mesh", "run_ensemble"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecutionConfig:
+    """Execution-side configuration (TPU analogue of the reference's
+    ExecutionConfig, parallel_utils.py:185-259).
+
+    Attributes:
+        parallel: shard the trajectory batch over all visible devices.
+        batch_size: max trajectories evaluated in one device dispatch (bounds
+            peak memory); None = all at once.
+        devices: explicit device list; None = ``jax.devices()``.
+        show_progress: print chunk progress (host-side).
+    """
+
+    parallel: bool = True
+    batch_size: int | None = None
+    devices: tuple | None = None
+    show_progress: bool = False
+
+
+def make_trajectory_mesh(config: ExecutionConfig | None = None) -> Mesh:
+    devices = list((config.devices if config and config.devices else jax.devices()))
+    if config is not None and not config.parallel:
+        devices = devices[:1]
+    return Mesh(np.array(devices), ("traj",))
+
+
+def run_ensemble(
+    traj_fn: Callable,
+    num_traj: int,
+    base_key: jax.Array,
+    key_fns: tuple[Callable, Callable],
+    config: ExecutionConfig | None = None,
+) -> np.ndarray:
+    """Run ``traj_fn(traj_key, smpl_key) -> (n_obs, T)`` for ``num_traj``
+    trajectories and return the stacked ``(num_traj, n_obs, T)`` host array.
+
+    The batch axis is padded up to a multiple of the device count per chunk,
+    sharded over the ``traj`` mesh axis, and chunked by ``batch_size``.
+    """
+    config = config or ExecutionConfig()
+    mesh = make_trajectory_mesh(config)
+    n_dev = mesh.devices.size
+
+    traj_key_fn, sample_key_fn = key_fns
+    batched = jax.jit(jax.vmap(traj_fn))
+
+    chunk = config.batch_size or num_traj
+    chunk = max(1, min(chunk, num_traj))
+    # round the chunk to a device multiple so shards are even
+    chunk = int(math.ceil(chunk / n_dev) * n_dev)
+
+    key_sharding = NamedSharding(mesh, P("traj"))
+    outs = []
+    start = 0
+    while start < num_traj:
+        idx = np.arange(start, start + chunk)  # pad past num_traj; sliced later
+        idx_arr = jnp.asarray(idx)
+        tks = jax.vmap(lambda i: traj_key_fn(base_key, i))(idx_arr)
+        sks = jax.vmap(lambda i: sample_key_fn(base_key, i))(idx_arr)
+        tks = jax.device_put(tks, key_sharding)
+        sks = jax.device_put(sks, key_sharding)
+        res = batched(tks, sks)
+        outs.append(np.asarray(res))
+        if config.show_progress:
+            done = min(start + chunk, num_traj)
+            print(f"[yaqs_tpu] trajectories {done}/{num_traj}", flush=True)
+        start += chunk
+    return np.concatenate(outs, axis=0)[:num_traj]
