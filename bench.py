@@ -51,22 +51,22 @@ TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-
 
 def main() -> None:
     dev = jax.devices()[0]
-    cdtype = jnp.complex64 if dev.platform != "cpu" else (
-        jnp.complex64 if not jax.config.read("jax_enable_x64") else jnp.complex128
-    )
-
-    w = jnp.asarray(ising_mpo(L, 1.0, 0.5), dtype=cdtype)
-    tensors0 = jnp.asarray(mps_ops.named_product_state("x+", L, CHI), dtype=cdtype)
+    use_x64 = dev.platform == "cpu" and jax.config.read("jax_enable_x64")
+    # operands stay host-side numpy (complex device arrays cannot be jit
+    # constants on the tunneled TPU platform)
+    np_cdtype = np.complex128 if use_x64 else np.complex64
+    w = ising_mpo(L, 1.0, 0.5).astype(np_cdtype)
+    tensors0 = mps_ops.named_product_state("x+", L, CHI).astype(np_cdtype)
     nm = NoiseModel(
         [{"name": "z", "sites": [i], "strength": 0.05} for i in range(L)]
         + [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(L)]
     )
     noise = compile_noise(nm, L, 2)
     noise = jax.tree.map(
-        lambda x: x.astype(cdtype) if jnp.iscomplexobj(x) else x, noise
+        lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, noise
     )
-    obs_ops = jnp.asarray(np.stack([pauli_z] * L), dtype=cdtype)
-    obs_sites = jnp.asarray(np.arange(L, dtype=np.int32))
+    obs_ops = np.stack([pauli_z] * L).astype(np_cdtype)
+    obs_sites = np.arange(L, dtype=np.int32)
 
     plan = TrajectoryPlan(
         dt=DT,

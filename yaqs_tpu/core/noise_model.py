@@ -284,15 +284,18 @@ def compile_noise(
         evals[i] = lam
         evecs[i] = v
 
+    # Leaves stay host-side numpy: complex device arrays cannot round-trip to
+    # the host on the tunneled TPU platform, so they must enter jit as call
+    # arguments or host constants (see yaqs_tpu.utils.host).
     return CompiledNoise(
-        diss_evals=jax.numpy.asarray(evals),
-        diss_evecs=jax.numpy.asarray(evecs),
-        ch_site1=jax.numpy.asarray(np.asarray(site1, dtype=np.int32)),
-        ch_site2=jax.numpy.asarray(np.asarray(site2, dtype=np.int32)),
-        ch_op1=jax.numpy.asarray(np.stack(op1)),
-        ch_op2=jax.numpy.asarray(np.stack(op2)),
-        ch_weight_op=jax.numpy.asarray(np.stack(wop)),
-        ch_gamma=jax.numpy.asarray(np.asarray(gammas)),
+        diss_evals=np.asarray(evals),
+        diss_evecs=np.asarray(evecs),
+        ch_site1=np.asarray(site1, dtype=np.int32),
+        ch_site2=np.asarray(site2, dtype=np.int32),
+        ch_op1=np.stack(op1),
+        ch_op2=np.stack(op2),
+        ch_weight_op=np.stack(wop),
+        ch_gamma=np.asarray(gammas),
     )
 
 

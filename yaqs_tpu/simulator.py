@@ -30,6 +30,7 @@ from .core.result import Result
 from .core.sim_params import AnalogSimParams, DigitalSimParams
 from .core.state import State
 from .methods.tdvp import TDVPConfig
+from .utils.host import fetch
 from .parallel.runtime import ExecutionConfig, run_ensemble
 
 __all__ = ["Simulator"]
@@ -169,13 +170,14 @@ class Simulator:
         length = initial_state.length
         d = max(initial_state.d, ham.d)
         chi = self._resolve_chi(sim_params, length, d)
-        mpo = jnp.asarray(ham.ensure_mpo())
-        tensors0 = jnp.asarray(initial_state.to_padded_mps(chi))
+        # Operands stay host-side numpy: complex device arrays cannot be
+        # embedded as jit constants on the tunneled TPU platform (see
+        # yaqs_tpu.utils.host). They are converted at trace time.
+        mpo = np.asarray(ham.ensure_mpo())
+        tensors0 = np.asarray(initial_state.to_padded_mps(chi))
         compiled = compile_noise(noise, length, d) if noise is not None else None
 
-        obs_ops, obs_sites = self._one_site_observables(sim_params, d)
-        obs_ops_j = jnp.asarray(obs_ops)
-        obs_sites_j = jnp.asarray(obs_sites)
+        obs_ops_j, obs_sites_j = self._one_site_observables(sim_params, d)
 
         plan = TrajectoryPlan(
             dt=sim_params.dt,
@@ -223,7 +225,7 @@ class Simulator:
                 obs_sites_j,
                 plan,
             )
-            output_state = np.asarray(final)
+            output_state = fetch(final)
 
         return Result(
             observables=list(sim_params.observables),
@@ -256,11 +258,9 @@ class Simulator:
         num_traj = sim_params.num_traj if jumps else 1
         seed = sim_params.random_seed if sim_params.random_seed is not None else 0
         base_key = jax.random.PRNGKey(seed)
-        psi0_j = jnp.asarray(psi0)
-
         def traj_obs(tk, sk):
             del sk
-            return mcwf_trajectory(tk, psi0_j, ctx, sim_params.num_steps)
+            return mcwf_trajectory(tk, jnp.asarray(psi0), ctx, sim_params.num_steps)
 
         per_traj = run_ensemble(
             traj_obs, num_traj, base_key, (trajectory_key, sample_key), self._execution
