@@ -1,0 +1,203 @@
+"""Digital engine physics: noiseless parity with dense statevector simulation,
+long-range routing, shots, and noisy-circuit agreement with a dense
+channel-composition oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import jax
+import jax.numpy as jnp
+
+from yaqs_tpu import DigitalSimParams, NoiseModel, Observable, Simulator, State
+from yaqs_tpu.analog.embedding import embed_one_site, embed_operator
+from yaqs_tpu.digital.circuit import Circuit
+from yaqs_tpu.models.gates import gate_matrix
+from yaqs_tpu.models.operators import lowering, pauli_z
+
+
+def dense_apply(psi, mat, qubits, length):
+    """Apply a k-qubit gate (first listed = most significant) to a dense state
+    with site 0 least significant."""
+    k = len(qubits)
+    full = np.zeros((2**length, 2**length), dtype=complex)
+    # build by embedding: decompose matrix indices over listed qubits
+    t = mat.reshape([2] * (2 * k))
+    psi_t = psi.reshape([2] * length)  # axes: site L-1 ... site 0
+    axes = [length - 1 - q for q in qubits]  # numpy axis of each listed qubit
+    # tensordot: contract in-indices of t with psi axes
+    out = np.tensordot(t, psi_t, axes=(list(range(k, 2 * k)), axes))
+    # out axes: [listed qubits (out indices)..., remaining psi axes in order]
+    remaining = [ax for ax in range(length) if ax not in axes]
+    perm = np.argsort(axes + remaining)
+    out = out.transpose(perm)
+    del full
+    return out.reshape(-1)
+
+
+def run_dense(circuit: Circuit, psi0):
+    psi = psi0.copy()
+    for op in circuit.ops:
+        if op.name in {"barrier", "measure"}:
+            continue
+        psi = dense_apply(psi, op.resolved_matrix(), list(op.qubits), circuit.num_qubits)
+    return psi
+
+
+def zexp(psi, site, length):
+    return np.vdot(psi, embed_one_site(pauli_z, site, length) @ psi).real
+
+
+def test_noiseless_brickwork_vs_dense():
+    length = 5
+    c = Circuit(length)
+    for q in range(length):
+        c.h(q)
+    for q in range(0, length - 1, 2):
+        c.cx(q, q + 1)
+    for q in range(1, length - 1, 2):
+        c.cx(q, q + 1)
+    for q in range(length):
+        c.rz(q, params=(0.3 + 0.1 * q,))
+    for q in range(0, length - 1, 2):
+        c.append("rzz", (q, q + 1), params=(0.7,))
+
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[0] = 1.0
+    psi_exact = run_dense(c, psi0)
+
+    params = DigitalSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        max_bond_dim=16,
+        svd_threshold=1e-12,
+        random_seed=5,
+    )
+    res = Simulator().run(State(length), c, params, None)
+    for i in range(length):
+        np.testing.assert_allclose(
+            res.expectation_values[i, -1], zexp(psi_exact, i, length), atol=1e-8
+        )
+
+
+def test_long_range_gate_routing_vs_dense():
+    length = 5
+    c = Circuit(length)
+    c.h(0)
+    c.cx(0, 4)  # distant gate -> SWAP routed
+    c.h(2)
+    c.cx(4, 1)  # distant + reversed order
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[0] = 1.0
+    psi_exact = run_dense(c, psi0)
+    params = DigitalSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        max_bond_dim=16,
+        svd_threshold=1e-12,
+        random_seed=1,
+    )
+    res = Simulator().run(State(length), c, params, None)
+    for i in range(length):
+        np.testing.assert_allclose(
+            res.expectation_values[i, -1], zexp(psi_exact, i, length), atol=1e-8
+        )
+
+
+def test_ghz_shots():
+    length = 4
+    c = Circuit(length)
+    c.h(0)
+    for q in range(length - 1):
+        c.cx(q, q + 1)
+    params = DigitalSimParams(shots=500, max_bond_dim=8, random_seed=11)
+    res = Simulator().run(State(length), c, params, None)
+    assert res.counts is not None
+    keys = set(res.counts)
+    assert keys <= {0, 2**length - 1}
+    assert sum(res.counts.values()) == 500
+    # roughly balanced
+    assert 150 < res.counts.get(0, 0) < 350
+
+
+def test_mid_circuit_sampling_columns():
+    length = 3
+    c = Circuit(length)
+    c.x(0)
+    c.sample_observables()
+    c.x(0)
+    params = DigitalSimParams(
+        observables=[Observable("z", 0)],
+        max_bond_dim=4,
+        sample_layers=True,
+        random_seed=0,
+    )
+    res = Simulator().run(State(length), c, params, None)
+    # columns: initial, after first segment (X applied -> Z=-1), final (Z=+1)
+    np.testing.assert_allclose(res.expectation_values[0], [1.0, -1.0, 1.0], atol=1e-10)
+
+
+def dense_noisy_oracle(circuit: Circuit, rho0, noise_procs, length):
+    """Compose unitaries with per-2q-gate local Lindblad channels (dt=1),
+    exactly the reference's semantics for single-gate layers."""
+    from yaqs_tpu.analog.lindblad import build_liouvillian
+
+    rho = rho0.copy()
+    dim = 2**length
+
+    def apply_noise(rho, sites):
+        jumps = []
+        for proc in noise_procs:
+            if set(proc["sites"]) <= set(sites):
+                full = embed_one_site(proc["matrix"], proc["sites"][0], length)
+                jumps.append(np.sqrt(proc["strength"]) * full)
+        if not jumps:
+            return rho
+        liou = build_liouvillian(np.zeros((dim, dim)), jumps)
+        prop = scipy.linalg.expm(liou)  # dt = 1
+        return (prop @ rho.reshape(-1)).reshape(dim, dim)
+
+    for op in circuit.ops:
+        if op.name in {"barrier", "measure"}:
+            continue
+        u_full = np.eye(dim, dtype=complex)
+        psi_cols = []
+        for col in range(dim):
+            e = np.zeros(dim, dtype=complex)
+            e[col] = 1.0
+            psi_cols.append(dense_apply(e, op.resolved_matrix(), list(op.qubits), length))
+        u_full = np.stack(psi_cols, axis=1)
+        rho = u_full @ rho @ u_full.conj().T
+        if len(op.qubits) == 2:
+            rho = apply_noise(rho, op.qubits)
+    return rho
+
+
+def test_noisy_digital_vs_dense_channel_oracle():
+    length = 3
+    gamma = 0.08
+    c = Circuit(length)
+    c.h(0)
+    c.cx(0, 1)  # single 2q gate per half-layer -> semantics match exactly
+    c.cx(1, 2)
+    nm_procs = [
+        {"name": "lowering", "sites": [i], "strength": gamma, "matrix": lowering}
+        for i in range(length)
+    ]
+    nm = NoiseModel([{k: v for k, v in p.items() if k != "matrix"} | {"matrix": p["matrix"]} for p in nm_procs])
+
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[0] = 1.0
+    rho = dense_noisy_oracle(c, np.outer(psi0, psi0.conj()), nm.processes, length)
+    exact = [np.real(np.trace(embed_one_site(pauli_z, i, length) @ rho)) for i in range(length)]
+
+    params = DigitalSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        num_traj=400,
+        max_bond_dim=8,
+        svd_threshold=1e-12,
+        random_seed=23,
+    )
+    res = Simulator().run(State(length), c, params, nm)
+    n = res.num_trajectories
+    stderr = res.trajectories.std(axis=0)[:, -1] / np.sqrt(n)
+    diff = np.abs(res.expectation_values[:, -1] - np.asarray(exact))
+    assert np.all(diff < 5 * stderr + 0.02), (diff, stderr)

@@ -1,0 +1,94 @@
+"""Equivalence checker: matrix and MPO backends."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yaqs_tpu.digital.circuit import Circuit
+from yaqs_tpu.equivalence import EquivalenceChecker
+
+
+def qft_circuit(n: int, decompose_cp: bool = False) -> Circuit:
+    c = Circuit(n)
+    for i in range(n):
+        c.h(i)
+        for j in range(i + 1, n):
+            theta = np.pi / (2 ** (j - i))
+            if decompose_cp:
+                # cp(theta) = rz(t/2) (x) rz... standard CX decomposition
+                c.rz(i, params=(theta / 2,))
+                c.cx(i, j)
+                c.rz(j, params=(-theta / 2,))
+                c.cx(i, j)
+                c.rz(j, params=(theta / 2,))
+            else:
+                c.cp(i, j, params=(theta,))
+    return c
+
+
+def test_identical_circuits_equivalent_matrix():
+    c = Circuit(3).h(0).cx(0, 1).rz(2, params=(0.7,))
+    res = EquivalenceChecker().check(c, c)
+    assert res.method == "matrix"
+    assert res.equivalent
+    np.testing.assert_allclose(res.fidelity, 1.0, atol=1e-12)
+
+
+def test_different_circuits_not_equivalent():
+    c1 = Circuit(3).h(0).cx(0, 1)
+    c2 = Circuit(3).h(0).cx(0, 1).x(2)
+    res = EquivalenceChecker().check(c1, c2)
+    assert not res.equivalent
+    assert res.fidelity < 0.9
+
+
+def test_qft_vs_decomposed_qft_matrix():
+    res = EquivalenceChecker().check(qft_circuit(4), qft_circuit(4, decompose_cp=True))
+    assert res.method == "matrix"
+    assert res.equivalent, res.fidelity
+
+
+def test_mpo_backend_identical():
+    c = Circuit(4).h(0).cx(0, 1).cx(1, 2).rz(3, params=(0.3,))
+    res = EquivalenceChecker().check(c, c, method="mpo", max_bond_dim=16)
+    np.testing.assert_allclose(res.fidelity, 1.0, atol=1e-8)
+    assert res.equivalent
+    assert res.schmidt_values is not None
+    assert res.entanglement_entropies.shape == (3,)
+
+
+def test_mpo_matches_matrix_backend():
+    c1 = qft_circuit(4)
+    c2 = qft_circuit(4, decompose_cp=True)
+    res_m = EquivalenceChecker().check(c1, c2, method="matrix")
+    res_t = EquivalenceChecker().check(c1, c2, method="mpo", max_bond_dim=32)
+    np.testing.assert_allclose(res_t.fidelity, res_m.fidelity, atol=1e-6)
+
+    # and an inequivalent pair
+    c3 = qft_circuit(4)
+    c3.rz(0, params=(0.2,))
+    res_m2 = EquivalenceChecker().check(c1, c3, method="matrix")
+    res_t2 = EquivalenceChecker().check(c1, c3, method="mpo", max_bond_dim=32)
+    np.testing.assert_allclose(res_t2.fidelity, res_m2.fidelity, atol=1e-6)
+    assert not res_t2.equivalent
+
+
+def test_mpo_backend_larger_circuit():
+    # brickwork circuit at 12 qubits: MPO path only
+    n = 12
+    c1 = Circuit(n)
+    for q in range(n):
+        c1.h(q)
+    for q in range(0, n - 1, 2):
+        c1.cx(q, q + 1)
+    for q in range(1, n - 1, 2):
+        c1.append("rzz", (q, q + 1), params=(0.4,))
+    res = EquivalenceChecker().check(c1, c1, threshold=1e-6, max_bond_dim=32)
+    assert res.method == "mpo"
+    assert res.equivalent, res.fidelity
+
+
+def test_width_mismatch_raises():
+    with pytest.raises(ValueError):
+        EquivalenceChecker().check(Circuit(2), Circuit(3))

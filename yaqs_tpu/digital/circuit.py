@@ -1,0 +1,352 @@
+"""Circuit intermediate representation + OpenQASM loading.
+
+The reference leans on Qiskit's circuit/DAG objects (mqt-yaqs
+digital/utils/{dag_utils,qasm_utils}.py); this build carries its own minimal
+IR — a flat gate list with explicit matrices — plus an OpenQASM 2 parser
+(including user ``gate`` definitions, expanded recursively) and optional
+Qiskit interop when qiskit is installed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+
+import numpy as np
+
+from ..models.gates import GATES, gate_matrix
+
+__all__ = ["GateOp", "Circuit", "load_circuit"]
+
+
+@dataclasses.dataclass
+class GateOp:
+    """One operation: a named gate on explicit qubits.
+
+    ``matrix`` is the dense ``2^k x 2^k`` matrix with the FIRST entry of
+    ``qubits`` as the most significant index.
+    """
+
+    name: str
+    qubits: tuple[int, ...]
+    params: tuple[float, ...] = ()
+    matrix: np.ndarray | None = None
+    label: str | None = None  # barriers: sampling label
+
+    def resolved_matrix(self) -> np.ndarray:
+        if self.matrix is not None:
+            return self.matrix
+        return gate_matrix(self.name, self.params)
+
+
+class Circuit:
+    """Flat-gate-list circuit over ``num_qubits`` sites."""
+
+    def __init__(self, num_qubits: int) -> None:
+        self.num_qubits = int(num_qubits)
+        self.ops: list[GateOp] = []
+        self.measured_qubits: list[int] = []
+
+    # -- construction API --------------------------------------------------
+    def append(self, name: str, qubits, params=(), matrix=None) -> Circuit:
+        name = name.lower()
+        qubits = tuple(int(q) for q in (qubits if hasattr(qubits, "__len__") else [qubits]))
+        for q in qubits:
+            if not 0 <= q < self.num_qubits:
+                msg = f"qubit {q} out of range [0, {self.num_qubits})"
+                raise ValueError(msg)
+        if len(set(qubits)) != len(qubits):
+            msg = f"duplicate qubits in gate {name}: {qubits}"
+            raise ValueError(msg)
+        if matrix is None and name not in GATES and name not in {"barrier", "measure"}:
+            msg = f"unknown gate {name!r} (provide an explicit matrix)"
+            raise ValueError(msg)
+        if matrix is not None:
+            matrix = np.asarray(matrix, dtype=np.complex128)
+            dim = 2 ** len(qubits)
+            if matrix.shape != (dim, dim):
+                msg = f"matrix shape {matrix.shape} != ({dim},{dim}) for {len(qubits)} qubits"
+                raise ValueError(msg)
+        self.ops.append(GateOp(name, qubits, tuple(float(p) for p in params), matrix))
+        return self
+
+    def __getattr__(self, name):
+        if name.lower() in GATES:
+
+            def adder(*qubits, params=()):
+                return self.append(name, qubits, params)
+
+            return adder
+        raise AttributeError(name)
+
+    def barrier(self, label: str | None = None) -> Circuit:
+        self.ops.append(GateOp("barrier", (), label=label))
+        return self
+
+    def sample_observables(self) -> Circuit:
+        """Mid-circuit sampling point (reference SAMPLE_OBSERVABLES barrier)."""
+        return self.barrier("SAMPLE_OBSERVABLES")
+
+    def measure(self, qubits=None) -> Circuit:
+        qs = list(range(self.num_qubits)) if qubits is None else list(qubits)
+        self.measured_qubits.extend(int(q) for q in qs)
+        return self
+
+    @property
+    def depth_ops(self) -> int:
+        return sum(1 for op in self.ops if op.name not in {"barrier", "measure"})
+
+    # -- interop -----------------------------------------------------------
+    @classmethod
+    def from_qiskit(cls, qc) -> Circuit:
+        """Convert a qiskit QuantumCircuit (requires qiskit installed)."""
+        out = cls(qc.num_qubits)
+        for inst in qc.data:
+            name = inst.operation.name.lower()
+            qubits = tuple(qc.find_bit(q).index for q in inst.qubits)
+            if name == "measure":
+                out.measure(qubits)
+                continue
+            if name == "barrier":
+                out.barrier(getattr(inst.operation, "label", None))
+                continue
+            params = tuple(float(p) for p in inst.operation.params)
+            if name in GATES:
+                out.append(name, qubits, params)
+            else:
+                mat = np.asarray(inst.operation.to_matrix())
+                # qiskit matrices are little-endian (first qubit least
+                # significant); our convention is first-listed = most
+                # significant, so reverse the qubit order instead of the matrix
+                out.append(name, tuple(reversed(qubits)), matrix=mat)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# OpenQASM 2 parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(OPENQASM|include|qreg|creg|gate|barrier|measure|reset|if|opaque)\b"
+    r"|([a-zA-Z_][a-zA-Z0-9_]*)|(->)|([0-9]*\.[0-9]+(?:[eE][+-]?[0-9]+)?|[0-9]+)"
+    r"|(\S))"
+)
+
+
+def _eval_expr(expr: str, bindings: dict[str, float]) -> float:
+    """Evaluate a QASM parameter expression (pi, named params, + - * / ^, fns)."""
+    safe = {
+        "pi": math.pi,
+        "sin": math.sin,
+        "cos": math.cos,
+        "tan": math.tan,
+        "exp": math.exp,
+        "ln": math.log,
+        "sqrt": math.sqrt,
+        **bindings,
+    }
+    expr = expr.replace("^", "**")
+    if not re.fullmatch(r"[\w\s+\-*/().,*]*", expr):
+        msg = f"unsupported expression: {expr!r}"
+        raise ValueError(msg)
+    return float(eval(expr, {"__builtins__": {}}, safe))  # noqa: S307 - sandboxed
+
+
+@dataclasses.dataclass
+class _GateDef:
+    params: list[str]
+    qubits: list[str]
+    body: list[str]  # raw statements
+
+
+def _strip_comments(text: str) -> str:
+    text = re.sub(r"//[^\n]*", "", text)
+    return re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split on ';' while keeping gate-definition blocks together."""
+    stmts: list[str] = []
+    buf = []
+    depth = 0
+    for ch in text:
+        if ch == "{":
+            depth += 1
+            buf.append(ch)
+        elif ch == "}":
+            depth -= 1
+            buf.append(ch)
+            if depth == 0 and "".join(buf).lstrip().startswith("gate"):
+                stmts.append("".join(buf).strip())
+                buf = []
+        elif ch == ";" and depth == 0:
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
+_APP_RE = re.compile(
+    r"^([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\(([^)]*)\))?\s+(.+)$"
+)
+
+
+def parse_qasm2(text: str) -> Circuit:
+    """Parse an OpenQASM 2.0 program into a Circuit.
+
+    Supports: qreg/creg, qelib1 standard gates, user gate definitions
+    (recursively expanded), barrier, terminal measure, parameter expressions.
+    """
+    text = _strip_comments(text)
+    stmts = _split_statements(text)
+
+    qregs: dict[str, tuple[int, int]] = {}  # name -> (offset, size)
+    total_qubits = 0
+    gate_defs: dict[str, _GateDef] = {}
+    circuit: Circuit | None = None
+    pending: list[tuple] = []
+
+    def resolve_qubits(qlist: str) -> list[list[int]]:
+        """Each operand resolves to one index, or a whole register (broadcast)."""
+        out = []
+        for tok in [t.strip() for t in qlist.split(",") if t.strip()]:
+            m = re.fullmatch(r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\[(\d+)\])?", tok)
+            if not m:
+                msg = f"cannot parse qubit operand {tok!r}"
+                raise ValueError(msg)
+            reg, idx = m.group(1), m.group(2)
+            if reg not in qregs:
+                msg = f"unknown qreg {reg!r}"
+                raise ValueError(msg)
+            off, size = qregs[reg]
+            if idx is None:
+                out.append([off + i for i in range(size)])
+            else:
+                out.append([off + int(idx)])
+        return out
+
+    def emit(name: str, params: list[float], qubits: list[int]) -> None:
+        assert circuit is not None
+        lname = name.lower()
+        if lname in gate_defs:
+            gd = gate_defs[lname]
+            if len(params) != len(gd.params) or len(qubits) != len(gd.qubits):
+                msg = f"gate {name} arity mismatch"
+                raise ValueError(msg)
+            bind_p = dict(zip(gd.params, params))
+            bind_q = dict(zip(gd.qubits, qubits))
+            for stmt in gd.body:
+                m = _APP_RE.match(stmt)
+                if not m:
+                    if stmt.startswith("barrier"):
+                        continue
+                    msg = f"cannot parse gate-body statement {stmt!r}"
+                    raise ValueError(msg)
+                sub_name, sub_params_s, sub_qs = m.group(1), m.group(2), m.group(3)
+                sub_params = (
+                    [_eval_expr(e, bind_p) for e in sub_params_s.split(",")]
+                    if sub_params_s
+                    else []
+                )
+                sub_qubits = [bind_q[t.strip()] for t in sub_qs.split(",")]
+                emit(sub_name, sub_params, sub_qubits)
+        elif lname in GATES:
+            circuit.append(lname, qubits, params)
+        else:
+            msg = f"unknown gate {name!r}"
+            raise ValueError(msg)
+
+    # first pass: registers (so total size is known before any gate)
+    for stmt in stmts:
+        m = re.fullmatch(r"qreg\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*\[(\d+)\]", stmt)
+        if m:
+            qregs[m.group(1)] = (total_qubits, int(m.group(2)))
+            total_qubits += int(m.group(2))
+    circuit = Circuit(max(total_qubits, 1))
+
+    for stmt in stmts:
+        if (
+            stmt.startswith("OPENQASM")
+            or stmt.startswith("include")
+            or stmt.startswith("creg")
+            or re.fullmatch(r"qreg\s+.*", stmt)
+        ):
+            continue
+        if stmt.startswith("gate "):
+            header, body = stmt.split("{", 1)
+            body = body.rsplit("}", 1)[0]
+            m = re.fullmatch(
+                r"gate\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\(([^)]*)\))?\s*(.*)",
+                header.strip(),
+            )
+            if not m:
+                msg = f"cannot parse gate definition {header!r}"
+                raise ValueError(msg)
+            gname, gparams, gqubits = m.group(1), m.group(2), m.group(3)
+            gate_defs[gname.lower()] = _GateDef(
+                params=[p.strip() for p in (gparams or "").split(",") if p.strip()],
+                qubits=[q.strip() for q in gqubits.split(",") if q.strip()],
+                body=[s.strip() for s in body.split(";") if s.strip()],
+            )
+            continue
+        if stmt.startswith("barrier"):
+            circuit.barrier()
+            continue
+        if stmt.startswith("measure"):
+            m = re.fullmatch(r"measure\s+(\S+)\s*->\s*\S+", stmt)
+            if m:
+                groups = resolve_qubits(m.group(1))
+                circuit.measure(groups[0])
+            continue
+        if stmt.startswith("reset") or stmt.startswith("if") or stmt.startswith("opaque"):
+            msg = f"unsupported QASM statement: {stmt.split()[0]}"
+            raise NotImplementedError(msg)
+        m = _APP_RE.match(stmt)
+        if not m:
+            msg = f"cannot parse statement {stmt!r}"
+            raise ValueError(msg)
+        name, params_s, qs = m.group(1), m.group(2), m.group(3)
+        params = [_eval_expr(e, {}) for e in params_s.split(",")] if params_s else []
+        groups = resolve_qubits(qs)
+        # broadcast whole-register application
+        sizes = {len(g) for g in groups if len(g) > 1}
+        if sizes:
+            n = sizes.pop()
+            if sizes:
+                msg = "mismatched register sizes in broadcast"
+                raise ValueError(msg)
+            for k in range(n):
+                emit(name, params, [g[k] if len(g) > 1 else g[0] for g in groups])
+        else:
+            emit(name, params, [g[0] for g in groups])
+
+    return circuit
+
+
+def load_circuit(source) -> Circuit:
+    """Load a circuit from a Circuit, QASM string, file path, or qiskit object
+    (reference qasm_utils.load_circuit, qasm_utils.py:133)."""
+    if isinstance(source, Circuit):
+        return source
+    if hasattr(source, "num_qubits") and hasattr(source, "data"):
+        return Circuit.from_qiskit(source)
+    import os
+
+    if isinstance(source, (str, os.PathLike)):
+        text = str(source)
+        if "\n" not in text and os.path.exists(text):
+            with open(text) as f:
+                text = f.read()
+        if "OPENQASM 3" in text:
+            msg = "OpenQASM 3 parsing is not implemented yet; use QASM 2"
+            raise NotImplementedError(msg)
+        return parse_qasm2(text)
+    msg = f"cannot load circuit from {type(source).__name__}"
+    raise TypeError(msg)

@@ -1,0 +1,372 @@
+"""Digital TJM engine: batched TEBD over compiled half-layer schedules.
+
+One trajectory = a sequence of jitted segment programs; each segment is a
+``lax.scan`` over half-layer *pairs* (L→R sweep then R→L sweep), applying
+
+1. per-site composed one-qubit gates (single einsum, gauge-preserving),
+2. per-bond two-qubit gates inside the canonical-center sweep (masked
+   identity bonds still QR through the SVD split, keeping shapes fixed),
+3. the per-gate-scoped dissipation + jump process with ``dt = 1``
+   (reference digital_tjm.py:521-522), with channel masks restricting jumps
+   to the half-layer's gate sites.
+
+Deviation from the reference (documented): the reference applies noise after
+*each* two-qubit gate sequentially; this engine applies it once per
+half-layer over the union of that half-layer's gate sites.  For disjoint
+gates the dissipation is identical; jump statistics differ at
+``O((gamma dt)^2)`` (at most one jump per half-layer instead of per gate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mps_ops import normalize_canonical, site_expectations
+from ..core.noise_model import CompiledNoise, compile_noise
+from ..core.result import Result
+from ..methods.stochastic import channel_weights
+from ..methods.tdvp import TDVPConfig
+from ..ops.decomp import merge_two_site, split_two_site_truncated
+from ..utils.host import fetch
+from .circuit import load_circuit
+from .compile import CompiledSegment, compile_circuit
+
+__all__ = ["run_digital", "apply_segment", "sample_bitstrings"]
+
+
+# ---------------------------------------------------------------------------
+# Bond-gate sweeps
+# ---------------------------------------------------------------------------
+
+
+def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
+    return split_two_site_truncated(
+        theta,
+        chi,
+        mode=cfg.trunc_mode,
+        threshold=cfg.threshold,
+        max_bond_dim=cfg.max_bond_dim,
+        min_keep=cfg.min_keep,
+        svd_distribution=distribution,
+    )
+
+
+def _apply_bond_gate(theta, gate):
+    d1, d2, l, r = theta.shape
+    th = theta.reshape(d1 * d2, l * r)
+    th = gate.astype(th.dtype) @ th
+    return th.reshape(d1, d2, l, r)
+
+
+def bond_sweep_ltr(tensors, gates, cfg: TDVPConfig):
+    """Apply per-bond gates moving the center 0 -> L-1 (split right)."""
+    length, d, chi, _ = tensors.shape
+
+    def body(tensors, xs):
+        i, gate = xs
+        theta = merge_two_site(tensors[i], tensors[i + 1])
+        theta = _apply_bond_gate(theta, gate)
+        a, b, _, _ = _split_cfg(theta, chi, cfg, "right")
+        return tensors.at[i].set(a).at[i + 1].set(b), None
+
+    tensors, _ = jax.lax.scan(body, tensors, (jnp.arange(length - 1), gates))
+    return tensors
+
+
+def bond_sweep_rtl(tensors, gates, cfg: TDVPConfig):
+    """Apply per-bond gates moving the center L-1 -> 0 (split left)."""
+    length, d, chi, _ = tensors.shape
+
+    def body(tensors, xs):
+        i, gate = xs
+        theta = merge_two_site(tensors[i], tensors[i + 1])
+        theta = _apply_bond_gate(theta, gate)
+        a, b, _, _ = _split_cfg(theta, chi, cfg, "left")
+        return tensors.at[i].set(a).at[i + 1].set(b), None
+
+    tensors, _ = jax.lax.scan(
+        body, tensors, (jnp.arange(length - 2, -1, -1), jnp.flip(gates, 0))
+    )
+    return tensors
+
+
+# ---------------------------------------------------------------------------
+# Masked noise (dt = 1, per-gate scope)
+# ---------------------------------------------------------------------------
+
+
+def _masked_dissipation_ops(noise: CompiledNoise, site_mask):
+    """Per-site dissipators with masked sites active: ``V e^{-m lam/2} V^dag``."""
+    evals = jnp.asarray(noise.diss_evals)
+    v = jnp.asarray(noise.diss_evecs)
+    phases = jnp.exp(-0.5 * evals * site_mask[:, None])
+    return jnp.einsum("iab,ib,icb->iac", v, phases.astype(v.dtype), v.conj())
+
+
+def _masked_jump(tensors, noise: CompiledNoise, ch_mask, key):
+    """Jump-or-not with channels masked to the active scope; renormalizes."""
+    from ..core.mps_ops import norm_squared_center0
+    from ..methods.stochastic import _apply_channel
+
+    key_decide, key_choose = jax.random.split(key)
+    n2 = norm_squared_center0(tensors)
+    dp = 1.0 - n2
+    u = jax.random.uniform(key_decide, dtype=n2.dtype)
+    jumped = u < dp
+
+    def do_jump(t):
+        w = channel_weights(t, noise, 1.0) * ch_mask
+        w = jnp.maximum(w, 0.0)
+        total = jnp.sum(w)
+        safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
+        idx = jax.random.categorical(key_choose, jnp.log(safe_w))
+        return _apply_channel(t, noise, idx)
+
+    tensors = jax.lax.cond(jumped, do_jump, lambda t: t, tensors)
+    tensors, _ = normalize_canonical(tensors)
+    return tensors
+
+
+# ---------------------------------------------------------------------------
+# Segment program
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "noisy"))
+def apply_segment(
+    tensors: jnp.ndarray,
+    mats1q: jnp.ndarray,
+    bond_mats: jnp.ndarray,
+    noise_masks: jnp.ndarray,
+    noise: CompiledNoise | None,
+    ch_scope: jnp.ndarray | None,
+    key,
+    cfg: TDVPConfig,
+    noisy: bool,
+) -> jnp.ndarray:
+    """Run one compiled segment (expects canonical-at-0 normalized input).
+
+    Every half-layer runs as a single L→R bond sweep (splits occur in the
+    correct mixed-canonical gauge) followed by a QR recanonicalization back to
+    site 0 — which the noisy path needs anyway for jump-norm bookkeeping.
+    """
+    n_hl = mats1q.shape[0]
+
+    def half_layer(tensors, xs):
+        h, key = xs
+        ops1 = mats1q[h]
+        tensors = jnp.einsum("iab,iblr->ialr", ops1.astype(tensors.dtype), tensors)
+        tensors = bond_sweep_ltr(tensors, bond_mats[h], cfg)
+        if noisy:
+            ops = _masked_dissipation_ops(noise, noise_masks[h])
+            tensors = jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
+            from ..core.mps_ops import canonicalize_right
+
+            tensors = canonicalize_right(tensors)
+            tensors = _masked_jump(tensors, noise, ch_scope[h], key)
+        else:
+            tensors, _ = normalize_canonical(tensors)
+        return tensors, None
+
+    keys = jax.random.split(key, n_hl)
+    tensors, _ = jax.lax.scan(half_layer, tensors, (jnp.arange(n_hl), keys))
+    return tensors
+
+
+def _channel_scope_masks(segment: CompiledSegment, noise: CompiledNoise | None):
+    """(n_hl, nc) channel activation from the half-layer site masks:
+    a channel is active when all its sites are in the scope (reference
+    create_local_noise_model subset rule)."""
+    if noise is None:
+        return None
+    n_hl = segment.n_half_layers
+    nc = noise.ch_gamma.shape[0]
+    out = np.zeros((n_hl, nc))
+    for h in range(n_hl):
+        active = set(np.nonzero(segment.noise_site_mask[h])[0].tolist())
+        for k in range(nc):
+            sites = {int(noise.ch_site1[k]), int(noise.ch_site2[k])}
+            out[h, k] = 1.0 if sites <= active else 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shot sampling
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_shots",))
+def sample_bitstrings(tensors: jnp.ndarray, key, num_shots: int) -> jnp.ndarray:
+    """Projective Z-basis samples from a canonical-at-0 normalized MPS.
+
+    Sequential per-site conditional sampling (reference
+    MPS.measure_single_shot, mps.py:1278), vmapped over shots.
+    Returns ``(num_shots, L)`` int32 outcomes.
+    """
+    length, d, chi, _ = tensors.shape
+
+    def one_shot(k):
+        def body(carry, xs):
+            v, k = carry
+            a = xs  # (d, chi, chi)
+            w = jnp.einsum("l,slr->sr", v, a)  # (d, chi)
+            p = jnp.real(jnp.einsum("sr,sr->s", w.conj(), w))
+            p = jnp.maximum(p, 0.0)
+            p = p / jnp.sum(p)
+            k, sub = jax.random.split(k)
+            s = jax.random.categorical(sub, jnp.log(jnp.maximum(p, 1e-300)))
+            w_s = w[s]
+            v_next = w_s / jnp.linalg.norm(w_s).astype(w_s.dtype)
+            return (v_next, k), s
+
+        v0 = jnp.zeros((chi,), dtype=tensors.dtype).at[0].set(1.0)
+        (_, _), outcomes = jax.lax.scan(body, (v0, k), tensors)
+        return outcomes.astype(jnp.int32)
+
+    return jax.vmap(one_shot)(jax.random.split(key, num_shots))
+
+
+def counts_from_samples(samples: np.ndarray, d: int = 2) -> dict[int, int]:
+    """Aggregate ``(shots, L)`` outcomes into basis-state counts
+    (integer keys, site 0 least significant — reference kron order)."""
+    weights = d ** np.arange(samples.shape[1])
+    ints = (samples * weights).sum(axis=1)
+    vals, cnts = np.unique(ints, return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, cnts)}
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> Result:
+    """Execute a digital run (called from Simulator._run_digital)."""
+    circ = load_circuit(circuit)
+    length = circ.num_qubits
+    if initial_state.length != length:
+        msg = f"state has {initial_state.length} sites but circuit {length} qubits"
+        raise ValueError(msg)
+    if initial_state.representation != "mps":
+        msg = "digital simulation requires an MPS-representation State"
+        raise ValueError(msg)
+    d = 2
+    compiled_circ = compile_circuit(circ)
+    chi = simulator._resolve_chi(sim_params, length, d)
+
+    sampled_noise = simulator._sample_noise(noise_model, sim_params)
+    noisy = sampled_noise is not None and not sampled_noise.all_zero()
+    noise = compile_noise(sampled_noise, length, d) if noisy else None
+
+    tensors0 = initial_state.to_padded_mps(chi)
+    cfg = TDVPConfig(
+        krylov_dim=sim_params.krylov_dim,
+        trunc_mode=sim_params.trunc_mode,
+        threshold=sim_params.svd_threshold,
+        max_bond_dim=chi,
+    )
+
+    wants_obs = bool(sim_params.observables)
+    obs_ops, obs_sites = (
+        simulator._one_site_observables(sim_params, d) if wants_obs else (None, None)
+    )
+
+    num_traj = sim_params.num_traj if noisy else 1
+    shots = sim_params.shots or 0
+    shots_only = shots > 0 and not wants_obs
+    if shots_only and noisy:
+        num_traj = shots  # reference: one shot per noisy trajectory
+
+    seed = sim_params.random_seed if sim_params.random_seed is not None else 0
+    base_key = jax.random.PRNGKey(seed)
+
+    # batched trajectory evolution, segment by segment
+    batch = num_traj
+    tensors_b = jnp.broadcast_to(
+        jnp.asarray(tensors0)[None], (batch,) + tensors0.shape
+    )
+    scopes = [_channel_scope_masks(seg, noise) for seg in compiled_circ.segments]
+
+    mid_cols: list[np.ndarray] = []
+    if sim_params.sample_layers and wants_obs:
+        col0 = jax.vmap(lambda t: site_expectations(t, jnp.asarray(obs_ops), jnp.asarray(obs_sites)))(
+            tensors_b
+        )
+        mid_cols.append(np.real(np.asarray(col0)))
+
+    for seg_idx, seg in enumerate(compiled_circ.segments):
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(base_key, seg_idx), i)
+        )(jnp.arange(batch))
+        seg_fn = jax.vmap(
+            lambda t, k: apply_segment(
+                t,
+                seg.mats1q,
+                seg.bond_mats,
+                seg.noise_site_mask,
+                noise,
+                scopes[seg_idx],
+                k,
+                cfg,
+                noisy,
+            )
+        )
+        tensors_b = seg_fn(tensors_b, keys)
+        is_last = seg_idx == len(compiled_circ.segments) - 1
+        if wants_obs and (sim_params.sample_layers or is_last):
+            col = jax.vmap(
+                lambda t: site_expectations(
+                    t, jnp.asarray(obs_ops), jnp.asarray(obs_sites)
+                )
+            )(tensors_b)
+            mid_cols.append(np.real(np.asarray(col)))
+
+    # ---- results ----------------------------------------------------------
+    expectation_values = None
+    trajectories = None
+    if wants_obs and mid_cols:
+        per_traj = np.stack(mid_cols, axis=-1)  # (n_traj, n_obs, n_cols)
+        trajectories = simulator._user_order(sim_params, per_traj)
+        expectation_values = trajectories.mean(axis=0)
+
+    counts = None
+    measurements = None
+    if shots > 0:
+        if noisy:
+            base, rem = divmod(shots, batch)
+            shot_keys = jax.random.split(jax.random.fold_in(base_key, 999983), batch)
+            all_samples = []
+            per_shot_max = base + 1
+            samples_b = jax.vmap(
+                lambda t, k: sample_bitstrings(t, k, per_shot_max)
+            )(tensors_b, shot_keys)
+            samples_np = np.asarray(samples_b)
+            for i in range(batch):
+                alloc = base + (1 if i < rem else 0)
+                if alloc > 0:
+                    all_samples.append(samples_np[i, :alloc])
+            measurements = np.concatenate(all_samples, axis=0) if all_samples else None
+        else:
+            samples = sample_bitstrings(tensors_b[0], jax.random.fold_in(base_key, 999983), shots)
+            measurements = np.asarray(samples)
+        if measurements is not None:
+            counts = counts_from_samples(measurements, d)
+
+    output_state = fetch(tensors_b[0]) if sim_params.get_state else None
+
+    times = np.arange(len(mid_cols), dtype=float) if mid_cols else None
+    return Result(
+        observables=list(sim_params.observables),
+        expectation_values=expectation_values,
+        trajectories=trajectories,
+        times=times,
+        num_trajectories=num_traj,
+        output_state=output_state,
+        measurements=measurements,
+        counts=counts,
+        noise_model=sampled_noise,
+    )
