@@ -90,6 +90,42 @@ class Hamiltonian:
     def identity(cls, length: int, d: int = 2) -> Hamiltonian:
         return cls(mpo=identity_mpo(length, d))
 
+    @classmethod
+    def fermi_hubbard_1d(
+        cls, length: int, t: float, u: float, *, jordan_wigner: bool = False
+    ) -> Hamiltonian:
+        from ..models.hamiltonians import fermi_hubbard_1d_mpo
+
+        return cls(mpo=fermi_hubbard_1d_mpo(length, t, u, jordan_wigner=jordan_wigner))
+
+    @classmethod
+    def coupled_transmon(
+        cls,
+        length: int,
+        qubit_dim: int,
+        resonator_dim: int,
+        qubit_freq: float,
+        resonator_freq: float,
+        anharmonicity: float,
+        coupling: float,
+    ) -> Hamiltonian:
+        from ..models.hamiltonians import coupled_transmon_mpo
+
+        return cls(
+            mpo=coupled_transmon_mpo(
+                length, qubit_dim, resonator_dim, qubit_freq, resonator_freq,
+                anharmonicity, coupling,
+            )
+        )
+
+    @classmethod
+    def bose_hubbard(
+        cls, length: int, local_dim: int, omega: float, hopping_j: float, hubbard_u: float
+    ) -> Hamiltonian:
+        from ..models.hamiltonians import bose_hubbard_mpo
+
+        return cls(mpo=bose_hubbard_mpo(length, local_dim, omega, hopping_j, hubbard_u))
+
     # -- encodings ---------------------------------------------------------
 
     def ensure_mpo(self) -> np.ndarray:
