@@ -29,6 +29,7 @@ from ..core.mps_ops import normalize_canonical, site_expectations
 from ..core.noise_model import CompiledNoise
 from ..methods.dissipation import apply_dissipation
 from ..methods.stochastic import stochastic_process
+from ..methods.bug import bug_step
 from ..methods.tdvp import TDVPConfig, tdvp_step
 
 __all__ = ["TrajectoryPlan", "tjm_trajectory", "trajectory_key", "sample_key"]
@@ -48,6 +49,7 @@ class TrajectoryPlan:
     order: int = 2
     sample_timesteps: bool = True
     evolution: TDVPConfig = dataclasses.field(default_factory=TDVPConfig)
+    evolution_mode: str = "tdvp"  # "tdvp" | "bug" 
 
     @property
     def num_times(self) -> int:
@@ -98,7 +100,10 @@ def tjm_trajectory(
     n_obs = obs_ops.shape[0]
     n_cols = plan.num_times if plan.sample_timesteps else 1
 
-    evolve = lambda t, step_dt: tdvp_step(t, mpo, step_dt, cfg)
+    if plan.evolution_mode == "bug":
+        evolve = lambda t, step_dt: bug_step(t, mpo, step_dt, cfg)
+    else:
+        evolve = lambda t, step_dt: tdvp_step(t, mpo, step_dt, cfg)
 
     if plan.num_steps == 0:
         vals = _evaluate(tensors0, obs_ops, obs_sites)

@@ -277,6 +277,50 @@ def to_statevector(tensors: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(vec, perm).reshape(-1)
 
 
+def compress(
+    tensors: jnp.ndarray,
+    *,
+    mode: str = "discarded_weight",
+    threshold: float = 0.0,
+    max_bond_dim: int | None = None,
+    chi_out: int | None = None,
+) -> jnp.ndarray:
+    """Canonicalize then truncate every bond with one L->R SVD sweep.
+
+    Reference ``MPS.compress`` semantics (mps.py:839-895): right-canonicalize,
+    then sweep left-to-right splitting each merged pair with truncation.  The
+    result is canonical at the last site; a final canonicalization returns the
+    center to 0.  ``chi_out`` optionally slices the padded bond dimension down
+    (valid because kept singular directions occupy the leading slots).
+    """
+    from ..ops.decomp import merge_two_site as _merge
+    from ..ops.decomp import split_two_site_truncated as _split
+
+    length, d, chi, _ = tensors.shape
+    tensors = canonicalize_right(tensors)
+    if length > 1:
+        cap = chi if max_bond_dim is None else min(max_bond_dim, chi)
+
+        def body(tensors, i):
+            theta = _merge(tensors[i], tensors[i + 1])
+            a, b, _, _ = _split(
+                theta,
+                chi,
+                mode=mode,
+                threshold=threshold,
+                max_bond_dim=cap,
+                min_keep=1,
+                svd_distribution="right",
+            )
+            return tensors.at[i].set(a).at[i + 1].set(b), None
+
+        tensors, _ = jax.lax.scan(body, tensors, jnp.arange(length - 1))
+        tensors = canonicalize_right(tensors)
+    if chi_out is not None and chi_out < chi:
+        tensors = tensors[:, :, :chi_out, :chi_out]
+    return tensors
+
+
 def statevector_to_mps(
     psi: np.ndarray, length: int, chi: int, d: int = 2, dtype=np.complex128
 ) -> np.ndarray:

@@ -184,6 +184,7 @@ class Simulator:
             num_steps=sim_params.num_steps,
             order=sim_params.order,
             sample_timesteps=sim_params.sample_timesteps,
+            evolution_mode=getattr(sim_params, "evolution_mode", "tdvp"),
             evolution=TDVPConfig(
                 krylov_dim=sim_params.krylov_dim,
                 trunc_mode=sim_params.trunc_mode,
