@@ -49,7 +49,8 @@ class TrajectoryPlan:
     order: int = 2
     sample_timesteps: bool = True
     evolution: TDVPConfig = dataclasses.field(default_factory=TDVPConfig)
-    evolution_mode: str = "tdvp"  # "tdvp" | "bug" 
+    evolution_mode: str = "tdvp"  # "tdvp" | "bug"
+    has_scheduled: bool = False  # deterministic scheduled jumps (order 1 only)
 
     @property
     def num_times(self) -> int:
@@ -80,6 +81,8 @@ def tjm_trajectory(
     obs_ops: jnp.ndarray,
     obs_sites: jnp.ndarray,
     plan: TrajectoryPlan,
+    sj_flags: jnp.ndarray | None = None,
+    sj_mats: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run one TJM trajectory.
 
@@ -113,7 +116,9 @@ def tjm_trajectory(
         return _run_order2(
             traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, evolve
         )
-    return _run_order1(traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve)
+    return _run_order1(
+        traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve, sj_flags, sj_mats
+    )
 
 
 def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, evolve):
@@ -163,21 +168,55 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, e
     return cols[-1][:, None], final_psi
 
 
-def _run_order1(traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve):
+def _run_order1(
+    traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve, sj_flags=None, sj_mats=None
+):
     dt = plan.dt
     t_total = plan.num_times
 
-    def body(state, j):
+    def apply_scheduled(state, mats):
+        state = jnp.einsum("iab,iblr->ialr", mats.astype(state.dtype), state)
+        state, _ = normalize_canonical(state)
+        return state
+
+    def body(state, xs):
+        j = xs[0] if plan.has_scheduled else xs
         state = evolve(state, dt)
         if noise is not None:
             state = apply_dissipation(state, noise, dt)
-            state, _ = stochastic_process(state, noise, dt, jax.random.fold_in(traj_key, j))
+            if plan.has_scheduled:
+                _, flag, mats = xs
+                state = jax.lax.cond(
+                    flag,
+                    lambda st: apply_scheduled(st, mats),
+                    lambda st: stochastic_process(
+                        st, noise, dt, jax.random.fold_in(traj_key, j)
+                    )[0],
+                    state,
+                )
+            else:
+                state, _ = stochastic_process(
+                    state, noise, dt, jax.random.fold_in(traj_key, j)
+                )
+        elif plan.has_scheduled:
+            _, flag, mats = xs
+            state = jax.lax.cond(
+                flag,
+                lambda st: apply_scheduled(st, mats),
+                lambda st: normalize_canonical(st)[0],
+                state,
+            )
         else:
             state, _ = normalize_canonical(state)
         return state, _evaluate(state, obs_ops, obs_sites)
 
     obs0 = _evaluate(tensors0, obs_ops, obs_sites)
-    state, obs_rest = jax.lax.scan(body, tensors0, jnp.arange(1, t_total))
+    xs = (
+        (jnp.arange(1, t_total), sj_flags, sj_mats)
+        if plan.has_scheduled
+        else jnp.arange(1, t_total)
+    )
+    state, obs_rest = jax.lax.scan(body, tensors0, xs)
     cols = jnp.concatenate([obs0[None], obs_rest], axis=0)
     if plan.sample_timesteps:
         return cols.T, state

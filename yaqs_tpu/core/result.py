@@ -29,6 +29,8 @@ class Result:
         output_state: optional final state (first trajectory), engine-specific.
         measurements: optional per-shot bitstring arrays (digital).
         counts: optional aggregated counts dict (digital).
+        multi_time_correlators: ``(n_pairs, n_times)`` complex two-time
+            correlators ``<psi(t)|A U(t) B|psi(0)>`` (unitary ensembles).
         noise_model: the (sampled) noise model actually used.
         runtime_cost / max_bond / total_bond: per-timestep diagnostics curves.
     """
@@ -42,6 +44,7 @@ class Result:
     measurements: Any = None
     counts: dict[str, int] | None = None
     noise_model: Any = None
+    multi_time_correlators: np.ndarray | None = None
     runtime_cost: np.ndarray | None = None
     max_bond: np.ndarray | None = None
     total_bond: np.ndarray | None = None

@@ -24,6 +24,7 @@ from .analog.embedding import embed_one_site
 from .analog.lindblad import lindblad_expectations, noise_model_jump_ops
 from .analog.mcwf import make_mcwf_context, mcwf_trajectory
 from .analog.tjm import TrajectoryPlan, sample_key, tjm_trajectory, trajectory_key
+from .methods.scheduled_jumps import compile_scheduled_jumps
 from .core.hamiltonian import Hamiltonian
 from .core.noise_model import NoiseModel, compile_noise
 from .core.result import Result
@@ -73,7 +74,12 @@ class Simulator:
     ) -> Result:
         """Run a simulation and return an aggregated :class:`Result`."""
         t_start = time.perf_counter()
-        if isinstance(sim_params, AnalogSimParams):
+        if isinstance(initial_state, (list, tuple)):
+            if not isinstance(sim_params, AnalogSimParams):
+                msg = "ensemble (list-of-State) runs require AnalogSimParams"
+                raise TypeError(msg)
+            result = self._run_ensemble(list(initial_state), operator, sim_params)
+        elif isinstance(sim_params, AnalogSimParams):
             result = self._run_analog(initial_state, operator, sim_params, noise_model)
         elif isinstance(sim_params, DigitalSimParams):
             result = self._run_digital(initial_state, operator, sim_params, noise_model)
@@ -179,12 +185,23 @@ class Simulator:
 
         obs_ops_j, obs_sites_j = self._one_site_observables(sim_params, d)
 
+        scheduled = None
+        if noise is not None and noise.scheduled_jumps:
+            if sim_params.order != 1:
+                msg = "scheduled jumps are supported for analog TJM order=1 only"
+                raise ValueError(msg)
+            scheduled = compile_scheduled_jumps(
+                noise.scheduled_jumps, sim_params.times, length, d
+            )
+        sj_flags, sj_mats = scheduled if scheduled is not None else (None, None)
+
         plan = TrajectoryPlan(
             dt=sim_params.dt,
             num_steps=sim_params.num_steps,
             order=sim_params.order,
             sample_timesteps=sim_params.sample_timesteps,
             evolution_mode=getattr(sim_params, "evolution_mode", "tdvp"),
+            has_scheduled=scheduled is not None,
             evolution=TDVPConfig(
                 krylov_dim=sim_params.krylov_dim,
                 trunc_mode=sim_params.trunc_mode,
@@ -195,13 +212,15 @@ class Simulator:
             ),
         )
 
-        num_traj = sim_params.num_traj if compiled is not None else 1
+        stochastic_run = compiled is not None
+        num_traj = sim_params.num_traj if stochastic_run else 1
         seed = sim_params.random_seed if sim_params.random_seed is not None else 0
         base_key = jax.random.PRNGKey(seed)
 
         def traj_obs(tk, sk):
             res, _ = tjm_trajectory(
-                tk, sk, tensors0, mpo, compiled, obs_ops_j, obs_sites_j, plan
+                tk, sk, tensors0, mpo, compiled, obs_ops_j, obs_sites_j, plan,
+                sj_flags, sj_mats,
             )
             return res
 
@@ -225,6 +244,8 @@ class Simulator:
                 obs_ops_j,
                 obs_sites_j,
                 plan,
+                sj_flags,
+                sj_mats,
             )
             output_state = fetch(final)
 
@@ -315,6 +336,95 @@ class Simulator:
             trajectories=self._user_order(sim_params, vals[None]),
             times=sim_params.times if sim_params.sample_timesteps else sim_params.times[-1:],
             num_trajectories=1,
+        )
+
+    # ------------------------------------------------------------------
+    def _run_ensemble(self, states, operator, sim_params) -> Result:
+        """Deterministic unitary ensemble (list of States), optionally with
+        multi-time correlators (reference _run_ensemble, simulator.py:1049)."""
+        from .analog.ensemble import ensemble_trajectory, prepare_phi
+        from .analog.tjm import TrajectoryPlan
+
+        if not states:
+            msg = "ensemble run requires at least one State"
+            raise ValueError(msg)
+        ham = operator if isinstance(operator, Hamiltonian) else Hamiltonian.from_mpo(operator)
+        length = states[0].length
+        d = max(max(s.d for s in states), ham.d)
+        chi = self._resolve_chi(sim_params, length, d)
+        mpo = np.asarray(ham.ensure_mpo())
+        obs_ops, obs_sites = self._one_site_observables(sim_params, d)
+
+        mt_pairs = sim_params.multi_time_observables or []
+        mt_a_ops, mt_a_sites, mt_b = [], [], []
+        for a_obs, b_obs in mt_pairs:
+            if len(a_obs.site_list) != 1 or len(b_obs.site_list) != 1:
+                msg = "multi-time observables must be one-site"
+                raise NotImplementedError(msg)
+            mt_a_ops.append(a_obs.matrix)
+            mt_a_sites.append(a_obs.site_list[0])
+            mt_b.append((b_obs.matrix, b_obs.site_list[0]))
+        n_pairs = len(mt_pairs)
+        mt_a_ops_arr = (
+            np.stack(mt_a_ops) if mt_a_ops else np.zeros((0, d, d), dtype=np.complex128)
+        )
+        mt_a_sites_arr = np.asarray(mt_a_sites or [], dtype=np.int32)
+
+        plan = TrajectoryPlan(
+            dt=sim_params.dt,
+            num_steps=sim_params.num_steps,
+            sample_timesteps=True,
+            evolution=TDVPConfig(
+                krylov_dim=sim_params.krylov_dim,
+                trunc_mode=sim_params.trunc_mode,
+                threshold=sim_params.svd_threshold,
+                max_bond_dim=chi,
+                mode=sim_params.tdvp_mode,
+                sweeps=sim_params.tdvp_sweeps,
+            ),
+        )
+
+        members = np.stack([s.to_padded_mps(chi) for s in states])
+        phis = []
+        for member in members:
+            member_phis = [
+                np.asarray(prepare_phi(jnp.asarray(member), jnp.asarray(b_mat), b_site))
+                for b_mat, b_site in mt_b
+            ]
+            phis.append(
+                np.stack(member_phis)
+                if member_phis
+                else np.zeros((0,) + member.shape, dtype=member.dtype)
+            )
+        phis = np.stack(phis)
+
+        run = jax.jit(
+            jax.vmap(
+                lambda t0, ph: ensemble_trajectory(
+                    t0,
+                    jnp.asarray(mpo),
+                    jnp.asarray(obs_ops),
+                    jnp.asarray(obs_sites),
+                    jnp.asarray(mt_a_ops_arr),
+                    jnp.asarray(mt_a_sites_arr),
+                    ph,
+                    plan,
+                )
+            ),
+            static_argnames=(),
+        )
+        obs_b, corr_b = run(jnp.asarray(members), jnp.asarray(phis))
+        obs_mean = np.asarray(obs_b).mean(axis=0)
+        corr_mean = fetch(corr_b).mean(axis=0) if n_pairs else None
+        if not sim_params.sample_timesteps:
+            obs_mean = obs_mean[:, -1:]
+        return Result(
+            observables=list(sim_params.observables),
+            expectation_values=self._user_order(sim_params, obs_mean),
+            trajectories=self._user_order(sim_params, np.asarray(obs_b)),
+            times=sim_params.times,
+            num_trajectories=len(states),
+            multi_time_correlators=corr_mean,
         )
 
     # ------------------------------------------------------------------
