@@ -13,6 +13,8 @@ Public API parity with the reference facade (mqt-yaqs __init__.py:37-55).
 from __future__ import annotations
 
 from .core.hamiltonian import Hamiltonian
+from .core.mpo import MPO
+from .core.mps import MPS
 from .core.noise_model import NoiseModel
 from .core.result import Result
 from .core.sim_params import (
@@ -22,16 +24,22 @@ from .core.sim_params import (
     Observable,
 )
 from .core.state import State
+from .equivalence import EquivalenceChecker
+from .noise_characterizer import NoiseCharacterizer
 from .simulator import Simulator
 
 __version__ = "0.1.0"
 version_info = (0, 1, 0)
 
 __all__ = [
+    "MPO",
+    "MPS",
     "SIMULATION_PRESETS",
     "AnalogSimParams",
     "DigitalSimParams",
+    "EquivalenceChecker",
     "Hamiltonian",
+    "NoiseCharacterizer",
     "NoiseModel",
     "Observable",
     "Result",

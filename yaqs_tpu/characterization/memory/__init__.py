@@ -1,0 +1,10 @@
+"""Non-Markovian memory characterization.
+
+Components (reference: mqt-yaqs characterization/memory/*):
+
+- interventions: measure-prepare / Haar-unitary probe sampling + Choi features
+- exact: dense rho-space sequence simulator, vmapped over the probe grid
+- process_tensor: multi-time Choi process tensor (build / evaluate / QMI / CMI)
+- response: split-cut response matrix + spectrum diagnostics
+- surrogate: flax Transformer surrogate over intervention sequences
+"""

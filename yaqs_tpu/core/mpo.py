@@ -1,0 +1,255 @@
+"""User-facing MPO class (reference API parity over the padded array).
+
+Reference: mqt-yaqs core/data_structures/mpo.py.  Factories delegate to the
+suffix-automaton builders; application/composition to
+:mod:`yaqs_tpu.methods.mpo_ops`; the operator-analysis methods (Schmidt
+spectrum, operator entanglement, identity fidelity) reuse the vectorized
+d^2-MPS view shared with the equivalence checker.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..methods.mpo_ops import mpo_adjoint, mpo_apply_mps, mpo_compose, mpo_to_doubled_mps
+from ..models.hamiltonians import bose_hubbard_mpo, coupled_transmon_mpo, fermi_hubbard_1d_mpo
+from ..utils.host import fetch
+from . import mps_ops
+from .mpo_builders import (
+    heisenberg_mpo,
+    identity_mpo,
+    ising_mpo,
+    mpo_from_pauli_sum,
+    mpo_from_terms,
+    mpo_to_matrix,
+    pad_mpo,
+)
+
+__all__ = ["MPO"]
+
+
+class MPO:
+    """Padded-array matrix product operator ``(L, d, d, Dw, Dw)``."""
+
+    def __init__(self, tensors: np.ndarray | None = None) -> None:
+        self.tensors = None if tensors is None else np.asarray(tensors)
+
+    # -- factories (reference mpo.py:249-1154) ------------------------------
+    @classmethod
+    def ising(cls, length: int, J: float, g: float) -> MPO:
+        return cls(ising_mpo(length, J, g))
+
+    @classmethod
+    def heisenberg(cls, length: int, Jx: float, Jy: float, Jz: float, h: float = 0.0) -> MPO:
+        return cls(heisenberg_mpo(length, Jx, Jy, Jz, h))
+
+    @classmethod
+    def identity(cls, length: int, d: int = 2) -> MPO:
+        return cls(identity_mpo(length, d))
+
+    @classmethod
+    def fermi_hubbard_1d(cls, length: int, t: float, u: float, *, jordan_wigner: bool = False) -> MPO:
+        return cls(fermi_hubbard_1d_mpo(length, t, u, jordan_wigner=jordan_wigner))
+
+    @classmethod
+    def coupled_transmon(cls, *args, **kwargs) -> MPO:
+        return cls(coupled_transmon_mpo(*args, **kwargs))
+
+    @classmethod
+    def bose_hubbard(cls, *args, **kwargs) -> MPO:
+        return cls(bose_hubbard_mpo(*args, **kwargs))
+
+    @classmethod
+    def from_pauli_sum(cls, terms, length: int, d: int = 2) -> MPO:
+        return cls(mpo_from_pauli_sum(terms, length, d))
+
+    @classmethod
+    def from_terms(cls, terms, length: int, d: int = 2) -> MPO:
+        return cls(mpo_from_terms(terms, length, d))
+
+    @classmethod
+    def from_gate(cls, matrix: np.ndarray, sites: list[int], length: int, d: int = 2) -> MPO:
+        """MPO of a k-site gate embedded at ``sites`` (identities elsewhere).
+
+        The gate matrix uses the first listed site as the most significant
+        index (reference MPO.from_gate, mpo.py:1031).
+        """
+        sites_sorted = sorted(sites)
+        k = len(sites)
+        if sites != sites_sorted:
+            msg = "from_gate requires ascending site order"
+            raise ValueError(msg)
+        # operator-Schmidt factorize the k-site gate into a chain of terms
+        if k == 1:
+            return cls(mpo_from_terms([(1.0, [(sites[0], matrix)])], length, d))
+        if k == 2:
+            a, b = sites
+            t = np.asarray(matrix).reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
+            u, s, vh = np.linalg.svd(t)
+            terms = []
+            for idx in range(len(s)):
+                if s[idx] < 1e-14:
+                    break
+                f1 = (u[:, idx] * s[idx]).reshape(d, d)
+                f2 = vh[idx].reshape(d, d)
+                terms.append((1.0, [(a, f1), (b, f2)]))
+            return cls(mpo_from_terms(terms, length, d))
+        msg = "from_gate supports 1- and 2-site gates"
+        raise NotImplementedError(msg)
+
+    @classmethod
+    def from_matrix(cls, matrix: np.ndarray, length: int, d: int = 2, chi: int | None = None) -> MPO:
+        """Dense operator -> MPO by successive SVD factorization
+        (site 0 least significant; reference mpo.py:1804)."""
+        dim = d**length
+        m = np.asarray(matrix, dtype=np.complex128)
+        if m.shape != (dim, dim):
+            msg = f"matrix shape {m.shape} != ({dim},{dim})"
+            raise ValueError(msg)
+        # reorder to site-major tensor (o_0, i_0, o_1, i_1, ...)
+        t = m.reshape([d] * length + [d] * length)
+        perm = []
+        for site in range(length):
+            perm += [length - 1 - site, 2 * length - 1 - site]
+        t = t.transpose(perm)  # (o0, i0, o1, i1, ...)
+        tensors = []
+        left = 1
+        mat = t.reshape(left * d * d, -1)
+        max_chi = chi or dim
+        for site in range(length - 1):
+            u, s, vh = np.linalg.svd(mat, full_matrices=False)
+            keep = min(int(np.sum(s > 1e-14 * s[0])), max_chi) if s[0] > 0 else 1
+            keep = max(keep, 1)
+            u = u[:, :keep]
+            tensors.append(u.reshape(left, d, d, keep).transpose(1, 2, 0, 3))
+            mat = (np.diag(s[:keep]) @ vh[:keep]).reshape(keep * d * d, -1)
+            left = keep
+        tensors.append(mat.reshape(left, d, d, 1).transpose(1, 2, 0, 3))
+        dw = max(max(x.shape[2], x.shape[3]) for x in tensors)
+        out = np.zeros((length, d, d, dw, dw), dtype=np.complex128)
+        for i, x in enumerate(tensors):
+            out[i, :, :, : x.shape[2], : x.shape[3]] = x
+        return cls(out)
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def length(self) -> int:
+        return self.tensors.shape[0]
+
+    @property
+    def physical_dimension(self) -> int:
+        return self.tensors.shape[1]
+
+    @property
+    def bond_dimension(self) -> int:
+        return self.tensors.shape[-1]
+
+    # -- operations ---------------------------------------------------------
+    def multiply(self, other, chi_out: int | None = None, threshold: float = 0.0):
+        """Apply to an MPS (returns MPS) or compose with an MPO (returns MPO)."""
+        from .mps import MPS
+
+        if isinstance(other, MPS):
+            out = mpo_apply_mps(
+                jnp.asarray(self.tensors),
+                jnp.asarray(other.tensors),
+                chi_out=chi_out,
+                threshold=threshold,
+            )
+            return MPS(tensors=fetch(out))
+        if isinstance(other, MPO):
+            return MPO(fetch(mpo_compose(jnp.asarray(self.tensors), jnp.asarray(other.tensors))))
+        msg = f"cannot multiply MPO with {type(other).__name__}"
+        raise TypeError(msg)
+
+    def rotate(self) -> MPO:
+        """Adjoint MPO (reference mpo.rotate, mpo.py:1579)."""
+        return MPO(fetch(mpo_adjoint(jnp.asarray(self.tensors))))
+
+    def __add__(self, other: MPO) -> MPO:
+        """Direct-sum bond stacking (reference __add__/mpo_sum, mpo.py:1928)."""
+        a, b = self.tensors, other.tensors
+        if a.shape[:3] != b.shape[:3]:
+            msg = "MPO addition requires matching length and physical dims"
+            raise ValueError(msg)
+        length, d, _, da, _ = a.shape
+        db = b.shape[-1]
+        out = np.zeros((length, d, d, da + db, da + db), dtype=np.complex128)
+        out[:, :, :, :da, :da] = a
+        out[:, :, :, da:, da:] = b
+        # boundary: both summands' boundary index 0 must merge on the edges
+        first = np.zeros_like(out[0])
+        first[:, :, 0, :da] = a[0][:, :, 0, :]
+        first[:, :, 0, da:] = b[0][:, :, 0, :]
+        out[0] = first
+        last = np.zeros_like(out[-1])
+        last[:, :, :da, 0] = a[-1][:, :, :, 0]
+        last[:, :, da:, 0] = b[-1][:, :, :, 0]
+        out[-1] = last
+        return MPO(out)
+
+    def to_matrix(self) -> np.ndarray:
+        return mpo_to_matrix(self.tensors)
+
+    def to_mps(self):
+        """Vectorized d^2-MPS view (operator legs fused)."""
+        from .mps import MPS
+
+        return MPS(tensors=np.asarray(mpo_to_doubled_mps(jnp.asarray(self.tensors))))
+
+    def pad(self, dw: int) -> MPO:
+        return MPO(pad_mpo(self.tensors, dw))
+
+    def apply_local_operator(self, op: np.ndarray, site: int, side: str = "left") -> MPO:
+        """Left- or right-multiply a one-site operator onto the MPO."""
+        t = np.asarray(self.tensors).copy()
+        if side == "left":
+            t[site] = np.einsum("ab,bsmn->asmn", op, t[site])
+        else:
+            t[site] = np.einsum("tbmn,ba->tamn", t[site], op)
+        return MPO(t)
+
+    # -- analysis (shared with the equivalence checker) --------------------
+    def _normalized_doubled(self):
+        doubled = mpo_to_doubled_mps(jnp.asarray(self.tensors))
+        canon, nrm = mps_ops.normalize_canonical(doubled)
+        return canon, nrm
+
+    def compute_identity_fidelity(self) -> float:
+        """``|Tr O| / (d^L)`` normalized by the operator norm (reference
+        mpo.py:1702 on unitary-like operators)."""
+        length, d = self.length, self.physical_dimension
+        canon, nrm = self._normalized_doubled()
+        v = np.eye(d).reshape(-1) / np.sqrt(d)
+        ident = jnp.asarray(
+            mps_ops.product_state_tensors([v] * length, canon.shape[-1], d=d * d)
+        )
+        overlap = mps_ops.scalar_product(ident, canon)
+        return float(jnp.abs(overlap) * nrm / (d ** (length / 2)))
+
+    def operator_schmidt_spectrum(self, bond: int) -> np.ndarray:
+        from ..equivalence.checker import _bond_spectra
+
+        canon, _ = self._normalized_doubled()
+        spectra, _ = _bond_spectra(canon)
+        return np.asarray(spectra[bond])
+
+    def operator_entanglement_entropy(self, bond: int) -> float:
+        from ..equivalence.checker import _bond_spectra
+
+        canon, _ = self._normalized_doubled()
+        _, ents = _bond_spectra(canon)
+        return float(ents[bond])
+
+    def compress(self, threshold: float = 0.0, max_bond_dim: int | None = None) -> MPO:
+        """SVD-compress the MPO via its doubled-MPS view (norm preserved)."""
+        doubled = mpo_to_doubled_mps(jnp.asarray(self.tensors))
+        out = mps_ops.compress(doubled, threshold=threshold, max_bond_dim=max_bond_dim)
+        length, dd, chi, _ = out.shape
+        d = self.physical_dimension
+        self.tensors = fetch(out).reshape(length, d, d, chi, chi)
+        return self
+
+    def check_if_valid_mpo(self) -> bool:
+        return self.tensors is not None and self.tensors.ndim == 5

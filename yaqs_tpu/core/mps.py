@@ -1,0 +1,208 @@
+"""User-facing MPS class (reference API parity over the functional core).
+
+Reference: mqt-yaqs core/data_structures/mps.py.  This class is a host-side
+convenience wrapper around the padded-array functional kernels in
+:mod:`yaqs_tpu.core.mps_ops`: it owns one padded ``(L, d, chi, chi)`` array,
+exposes the reference's preset constructors, canonicalization, expectation,
+measurement, entropy, and conversion methods, and stays out of the jitted hot
+path (engines operate on the raw arrays).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.host import fetch
+from . import mps_ops
+
+__all__ = ["MPS"]
+
+
+class MPS:
+    """Padded-array matrix product state with tracked padding metadata."""
+
+    def __init__(
+        self,
+        length: int | None = None,
+        tensors=None,
+        state: str = "zeros",
+        chi: int = 16,
+        physical_dimensions: int | list[int] | None = None,
+        pad: int | None = None,
+    ) -> None:
+        """Build from a preset name or explicit tensors.
+
+        Args:
+            length: number of sites (required unless tensors given).
+            tensors: padded ``(L, d, chi, chi)`` array or list of ragged
+                ``(d, chi_l, chi_r)`` site tensors.
+            state: preset product state (zeros/ones/x+/x-/y+/y-/Neel/wall) or
+                ``random`` (Haar product) when tensors is None.
+            chi: padded bond dimension for preset construction.
+            physical_dimensions: local dimension(s); max is the padding.
+            pad: alias for chi (reference keyword).
+        """
+        if pad is not None:
+            chi = pad
+        if isinstance(physical_dimensions, (list, tuple)):
+            d = max(physical_dimensions)
+        elif physical_dimensions is not None:
+            d = int(physical_dimensions)
+        else:
+            d = 2
+        if tensors is not None:
+            if isinstance(tensors, (list, tuple)):
+                length = len(tensors)
+                d = max(int(t.shape[0]) for t in tensors)
+                chi_needed = max(max(int(t.shape[1]), int(t.shape[2])) for t in tensors)
+                chi = max(chi, chi_needed)
+                arr = np.zeros((length, d, chi, chi), dtype=np.complex128)
+                for i, t in enumerate(tensors):
+                    tt = np.asarray(t, dtype=np.complex128)
+                    arr[i, : tt.shape[0], : tt.shape[1], : tt.shape[2]] = tt
+                self.tensors = arr
+            else:
+                self.tensors = np.asarray(tensors)
+                length, d, chi, _ = self.tensors.shape
+        else:
+            if length is None:
+                msg = "MPS requires a length or explicit tensors"
+                raise ValueError(msg)
+            if state == "random":
+                rng = np.random.default_rng()
+                vecs = rng.normal(size=(length, d)) + 1j * rng.normal(size=(length, d))
+                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+                self.tensors = mps_ops.product_state_tensors(list(vecs), chi, d=d)
+            else:
+                self.tensors = mps_ops.named_product_state(state, length, chi, d)
+        self.length = int(length)
+        self.physical_dimensions = (
+            list(physical_dimensions)
+            if isinstance(physical_dimensions, (list, tuple))
+            else [d] * self.length
+        )
+
+    # -- basic properties ---------------------------------------------------
+    @property
+    def d(self) -> int:
+        return self.tensors.shape[1]
+
+    @property
+    def chi(self) -> int:
+        return self.tensors.shape[-1]
+
+    def _j(self) -> jnp.ndarray:
+        return jnp.asarray(self.tensors)
+
+    # -- gauge / norm -------------------------------------------------------
+    def normalize(self, form: str = "B") -> float:
+        """Canonicalize at site 0 and scale to unit norm; returns the norm."""
+        del form
+        canon, nrm = mps_ops.normalize_canonical(self._j())
+        self.tensors = fetch(canon)
+        return float(nrm)
+
+    def set_canonical_form(self, center: int = 0) -> None:
+        if center != 0:
+            msg = "only canonical center 0 is supported in the padded layout"
+            raise NotImplementedError(msg)
+        self.tensors = fetch(mps_ops.canonicalize_right(self._j()))
+
+    def norm(self) -> float:
+        """Squared norm <psi|psi> (reference MPS.norm semantics)."""
+        return float(mps_ops.norm_squared(self._j()))
+
+    def scalar_product(self, other: MPS) -> complex:
+        return complex(mps_ops.scalar_product(self._j(), jnp.asarray(other.tensors)))
+
+    # -- expectation / measurement -----------------------------------------
+    def expect(self, op, site: int) -> float:
+        """One-site expectation (state is canonicalized + normalized first)."""
+        canon, _ = mps_ops.normalize_canonical(self._j())
+        ops = jnp.asarray(np.asarray(op, dtype=np.complex128)[None])
+        val = mps_ops.site_expectations(canon, ops, jnp.asarray([site]))[0]
+        return float(jnp.real(val))
+
+    def local_expect(self, op, site: int) -> complex:
+        """<psi|O_site|psi> without normalization."""
+        envs = mps_ops.left_gram_environments(self._j())
+        return complex(
+            mps_ops.site_expectation(self._j(), envs, jnp.asarray(op), site)
+        )
+
+    def measure_shots(self, shots: int, seed: int | None = None) -> dict[int, int]:
+        """Z-basis projective sampling; returns basis-state counts
+        (site 0 least significant)."""
+        from ..digital.engine import counts_from_samples, sample_bitstrings
+
+        canon, _ = mps_ops.normalize_canonical(self._j())
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        samples = np.asarray(sample_bitstrings(canon, key, shots))
+        return counts_from_samples(samples, self.d)
+
+    def measure_single_shot(self, seed: int | None = None) -> int:
+        return next(iter(self.measure_shots(1, seed=seed)))
+
+    def project_onto_bitstring(self, bitstring: str) -> float:
+        """PVM probability of a computational basis string (site 0 first char)."""
+        psi = np.asarray(mps_ops.to_statevector(self._j()))
+        idx = sum(int(b) * self.d**i for i, b in enumerate(bitstring))
+        n2 = np.vdot(psi, psi).real
+        return float(abs(psi[idx]) ** 2 / n2)
+
+    # -- entropy / diagnostics ---------------------------------------------
+    def get_entropy(self, bond: int) -> float:
+        canon, _ = mps_ops.normalize_canonical(self._j())
+        return float(mps_ops.bond_entropies(canon)[bond])
+
+    def get_schmidt_spectrum(self, bond: int) -> np.ndarray:
+        from ..equivalence.checker import _bond_spectra
+
+        canon, _ = mps_ops.normalize_canonical(self._j())
+        spectra, _ = _bond_spectra(canon)
+        return np.asarray(spectra[bond])
+
+    def get_max_bond(self) -> int:
+        return self.chi
+
+    def get_total_bond(self) -> int:
+        return self.chi * (self.length - 1)
+
+    def get_cost(self) -> int:
+        """Contraction-cost heuristic sum(chi^3) (reference mps.py:549-602)."""
+        return (self.length - 1) * self.chi**3
+
+    # -- manipulation -------------------------------------------------------
+    def apply_local(self, op, site: int) -> MPS:
+        self.tensors = fetch(
+            mps_ops.apply_one_site_operator(self._j(), jnp.asarray(op), site)
+        )
+        return self
+
+    def compress(self, threshold: float = 0.0, max_bond_dim: int | None = None) -> MPS:
+        self.tensors = fetch(
+            mps_ops.compress(self._j(), threshold=threshold, max_bond_dim=max_bond_dim)
+        )
+        return self
+
+    def pad_bond_dimension(self, chi: int) -> MPS:
+        cur = self.chi
+        if chi < cur:
+            msg = "pad_bond_dimension cannot shrink; use compress"
+            raise ValueError(msg)
+        if chi > cur:
+            self.tensors = np.pad(
+                np.asarray(self.tensors),
+                ((0, 0), (0, 0), (0, chi - cur), (0, chi - cur)),
+            )
+        return self
+
+    def to_vec(self) -> np.ndarray:
+        return np.asarray(mps_ops.to_statevector(self._j()))
+
+    def copy(self) -> MPS:
+        out = MPS(tensors=np.array(self.tensors, copy=True))
+        out.physical_dimensions = list(self.physical_dimensions)
+        return out
