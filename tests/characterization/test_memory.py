@@ -1,0 +1,131 @@
+"""Memory characterization: exact backend, process tensor, QMI, operational
+response diagnostics."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+from yaqs_tpu import Hamiltonian, NoiseModel
+from yaqs_tpu.characterization.memory.exact import ExactBackend
+from yaqs_tpu.characterization.memory.interventions import MPIntervention, sample_intervention
+from yaqs_tpu.characterization.memory.operational import sample_probes
+from yaqs_tpu.characterization.memory.process_tensor import build_process_tensor
+from yaqs_tpu.memory_characterizer import MemoryCharacterizer
+
+
+def manual_sequence(h, tau, meas, prep, length):
+    """Straight numpy oracle for one MP sequence (site 0 = system = LSB)."""
+    u = scipy.linalg.expm(-1j * tau * h)
+    dim = h.shape[0]
+    env = dim // 2
+    psi0 = np.zeros(dim, dtype=complex)
+    psi0[0] = 1.0
+    rho = np.outer(psi0, psi0.conj())
+    for m, p in zip(meas, prep):
+        rho = u @ rho @ u.conj().T
+        r = rho.reshape(env, 2, env, 2)
+        rho_env = np.einsum("s,esft,t->ef", m.conj(), r, p * 0 + m)
+        rho = np.einsum("ef,s,t->esft", rho_env, p, p.conj()).reshape(dim, dim)
+    rho = u @ rho @ u.conj().T
+    return np.einsum("eset->st", rho.reshape(env, 2, env, 2))
+
+
+def test_exact_backend_matches_manual():
+    L, tau = 3, 0.3
+    ham = Hamiltonian.ising(L, 1.0, 0.7)
+    h = ham.ensure_matrix()
+    rng = np.random.default_rng(0)
+    k = 2
+    meas = np.stack([rng.normal(size=2) + 1j * rng.normal(size=2) for _ in range(k)])
+    meas /= np.linalg.norm(meas, axis=1, keepdims=True)
+    prep = np.stack([rng.normal(size=2) + 1j * rng.normal(size=2) for _ in range(k)])
+    prep /= np.linalg.norm(prep, axis=1, keepdims=True)
+    backend = ExactBackend(ham, tau)
+    got = backend.evaluate_sequences(meas[None], prep[None])[0]
+    expected = manual_sequence(h, tau, meas, prep, L)
+    np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+def test_process_tensor_matches_exact_backend():
+    L, tau, k = 3, 0.25, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    pt = build_process_tensor(ham, num_interventions=k, tau=tau)
+    backend = ExactBackend(ham, tau)
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        seq = [sample_intervention(rng) for _ in range(k)]
+        meas = np.stack([iv.meas for iv in seq])[None]
+        prep = np.stack([iv.prep for iv in seq])[None]
+        direct = backend.evaluate_sequences(meas, prep)[0]
+        via_pt = pt.evaluate_probe(seq)
+        np.testing.assert_allclose(via_pt, direct, atol=1e-10)
+
+
+def test_choi_state_is_density_matrix():
+    ham = Hamiltonian.ising(3, 1.0, 0.5)
+    pt = build_process_tensor(ham, num_interventions=2, tau=0.3)
+    rho = pt.choi_state()
+    np.testing.assert_allclose(rho, rho.conj().T, atol=1e-10)
+    w = np.linalg.eigvalsh(rho)
+    assert w.min() > -1e-10
+    np.testing.assert_allclose(np.trace(rho), 1.0, atol=1e-10)
+
+
+def test_qmi_zero_for_decoupled_system():
+    # J=0: the system qubit (site 0) never talks to the environment.
+    ham = Hamiltonian.pauli(3, two_body=[], one_body=[(-0.8, "X")])
+    pt = build_process_tensor(ham, num_interventions=2, tau=0.4)
+    assert abs(pt.qmi(1)) < 1e-8
+
+
+def test_qmi_positive_for_coupled_system():
+    ham = Hamiltonian.ising(3, 1.0, 0.5)
+    pt = build_process_tensor(ham, num_interventions=2, tau=1.0)
+    assert pt.qmi(1) > 0.01, pt.qmi(1)
+    assert MemoryCharacterizer().compute_qmi(pt) == pt.qmi(1)
+
+
+def test_operational_memory_detects_memory():
+    """Response entropy vanishes for a decoupled system and is positive for a
+    coupled chain (the reference's headline diagnostic)."""
+    tau, k = 0.4, 3
+    mc = MemoryCharacterizer(preset="quick")
+
+    ham_free = Hamiltonian.pauli(3, two_body=[], one_body=[(-0.8, "X")])
+    res_free = mc.characterize(ham_free, num_interventions=k, tau=tau, seed=7)
+    assert res_free.entropy < 1e-6, res_free.summary()
+
+    ham_coupled = Hamiltonian.ising(3, 1.0, 0.5)
+    res = mc.characterize(ham_coupled, num_interventions=k, tau=tau, seed=7)
+    assert res.entropy > 0.05, res.summary()
+    assert res.by_cut[(k + 1) // 2].modes >= 1
+
+
+def test_characterize_process_tensor_target_agrees_with_exact():
+    tau, k = 0.3, 2
+    ham = Hamiltonian.ising(3, 1.0, 0.5)
+    mc = MemoryCharacterizer(preset="quick")
+    pt = build_process_tensor(ham, num_interventions=k, tau=tau)
+    probe_set = sample_probes(
+        cut=1, num_interventions=k, n_pasts=6, n_futures=6, rng=np.random.default_rng(3)
+    )
+    res_pt = mc.characterize(pt, cut=1, probe_set=probe_set)
+    res_ex = mc.characterize(ham, num_interventions=k, tau=tau, cut=1, probe_set=probe_set)
+    np.testing.assert_allclose(
+        res_pt.by_cut[1].response_matrix, res_ex.by_cut[1].response_matrix, atol=1e-8
+    )
+
+
+def test_noisy_backend_runs():
+    ham = Hamiltonian.ising(2, 1.0, 0.5)
+    nm = NoiseModel([{"name": "z", "sites": [1], "strength": 0.2}])
+    backend = ExactBackend(ham, 0.3, nm)
+    rng = np.random.default_rng(2)
+    seq = [sample_intervention(rng) for _ in range(2)]
+    meas = np.stack([iv.meas for iv in seq])[None]
+    prep = np.stack([iv.prep for iv in seq])[None]
+    rho = backend.evaluate_sequences(meas, prep)[0]
+    w = np.real(np.trace(rho))
+    assert 0 < w <= 1 + 1e-9
+    np.testing.assert_allclose(rho, rho.conj().T, atol=1e-10)

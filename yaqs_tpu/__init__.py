@@ -25,6 +25,7 @@ from .core.sim_params import (
 )
 from .core.state import State
 from .equivalence import EquivalenceChecker
+from .memory_characterizer import MemoryCharacterizer
 from .noise_characterizer import NoiseCharacterizer
 from .simulator import Simulator
 
@@ -39,6 +40,7 @@ __all__ = [
     "DigitalSimParams",
     "EquivalenceChecker",
     "Hamiltonian",
+    "MemoryCharacterizer",
     "NoiseCharacterizer",
     "NoiseModel",
     "Observable",

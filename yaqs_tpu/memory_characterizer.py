@@ -1,0 +1,173 @@
+"""MemoryCharacterizer: non-Markovian memory workflows.
+
+Reference API parity: mqt-yaqs memory_characterizer.py —
+
+- ``build_process_tensor``: multi-time Choi tensor by exhaustive tomography;
+- ``characterize``: split-cut operational memory (response-matrix entropy and
+  mode count) on a Hamiltonian (exact backend) or a process tensor;
+- ``compute_qmi`` / ``compute_cmi``: information measures on the process
+  tensor's Choi state;
+- ``sample`` / ``train`` / ``predict``: flax Transformer surrogate workflows.
+
+Presets (quick/balanced/accurate) set the past/future probe grid, matching
+the reference's characterization presets (memory_characterizer.py:66).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .characterization.memory.exact import ExactBackend
+from .characterization.memory.operational import (
+    ProbeSet,
+    characterize_cuts,
+    run_memory_characterization,
+)
+from .characterization.memory.process_tensor import DenseProcessTensor, build_process_tensor
+from .characterization.memory.results import CharacterizationResult
+from .core.hamiltonian import Hamiltonian
+
+__all__ = ["MemoryCharacterizer"]
+
+_CHARACTERIZATION_PRESETS = {
+    "quick": (8, 8),
+    "balanced": (32, 32),
+    "accurate": (128, 128),
+}
+
+
+class MemoryCharacterizer:
+    """Entry point for memory characterization workflows."""
+
+    def __init__(
+        self,
+        *,
+        preset: str = "balanced",
+        n_pasts: int | None = None,
+        n_futures: int | None = None,
+        intervention_style: str = "haar",
+        parallel: bool = True,
+        show_progress: bool = False,
+    ) -> None:
+        if preset not in _CHARACTERIZATION_PRESETS:
+            msg = f"preset must be one of {sorted(_CHARACTERIZATION_PRESETS)}"
+            raise ValueError(msg)
+        dflt = _CHARACTERIZATION_PRESETS[preset]
+        self.n_pasts = int(dflt[0] if n_pasts is None else n_pasts)
+        self.n_futures = int(dflt[1] if n_futures is None else n_futures)
+        self.intervention_style = intervention_style
+        self.parallel = parallel
+        self.show_progress = show_progress
+        self.result: CharacterizationResult | None = None
+        self.surrogate = None
+
+    # ------------------------------------------------------------------
+    def build_process_tensor(
+        self,
+        hamiltonian: Hamiltonian,
+        *,
+        num_interventions: int,
+        tau: float,
+        noise_model=None,
+    ) -> DenseProcessTensor:
+        """Exhaustive-tomography multi-time Choi tensor (small k)."""
+        return build_process_tensor(
+            hamiltonian,
+            num_interventions=num_interventions,
+            tau=tau,
+            noise_model=noise_model,
+        )
+
+    # ------------------------------------------------------------------
+    def characterize(
+        self,
+        target,
+        *,
+        num_interventions: int | None = None,
+        tau: float | None = None,
+        cut: int | None = None,
+        cuts: list[int] | None = None,
+        noise_model=None,
+        probe_set: ProbeSet | None = None,
+        seed: int | None = None,
+        delay: int = 0,
+    ) -> CharacterizationResult:
+        """Operational split-cut memory characterization.
+
+        ``target`` is a Hamiltonian (exact dense backend; requires ``tau``)
+        or a :class:`DenseProcessTensor` / surrogate exposing
+        ``evaluate_probes``.
+        """
+        if isinstance(target, Hamiltonian):
+            if tau is None:
+                msg = "characterize(Hamiltonian, ...) requires tau="
+                raise ValueError(msg)
+            if num_interventions is None:
+                msg = "characterize(Hamiltonian, ...) requires num_interventions="
+                raise ValueError(msg)
+            backend = ExactBackend(target, tau, noise_model)
+            k = int(num_interventions)
+        else:
+            backend = target
+            k = (
+                int(num_interventions)
+                if num_interventions is not None
+                else int(target._num_interventions_for_probe())
+            )
+
+        if probe_set is None and isinstance(target, CharacterizationResult):
+            msg = "pass probe_set= explicitly to reuse probes"
+            raise TypeError(msg)
+
+        rng = np.random.default_rng(seed)
+        resolved_cuts = cuts if cuts is not None else [cut or (k + 1) // 2]
+        self.result = characterize_cuts(
+            backend=backend,
+            num_interventions=k,
+            cuts=[int(c) for c in resolved_cuts],
+            n_pasts=self.n_pasts,
+            n_futures=self.n_futures,
+            rng=rng,
+            probe_set=probe_set,
+            intervention_style=self.intervention_style,
+            delay=delay,
+        )
+        return self.result
+
+    # ------------------------------------------------------------------
+    def compute_qmi(self, process_tensor: DenseProcessTensor, cut: int | None = None) -> float:
+        k = process_tensor.k
+        c = (k + 1) // 2 if cut is None else int(cut)
+        return process_tensor.qmi(c)
+
+    def compute_cmi(
+        self, process_tensor: DenseProcessTensor, cut1: int, cut2: int
+    ) -> float:
+        return process_tensor.cmi(cut1, cut2)
+
+    # ------------------------------------------------------------------
+    def sample(self, hamiltonian, *, num_interventions: int, tau: float,
+               num_sequences: int = 256, noise_model=None, seed: int | None = 0):
+        """Simulate random intervention sequences as surrogate training data."""
+        from .characterization.memory.surrogate import sample_dataset
+
+        return sample_dataset(
+            hamiltonian,
+            num_interventions=num_interventions,
+            tau=tau,
+            num_sequences=num_sequences,
+            noise_model=noise_model,
+            seed=seed,
+            intervention_style=self.intervention_style,
+        )
+
+    def train(self, dataset, *, epochs: int = 200, seed: int = 0, **kwargs):
+        """Train a Transformer surrogate on a sampled dataset."""
+        from .characterization.memory.surrogate import train_surrogate
+
+        self.surrogate = train_surrogate(dataset, epochs=epochs, seed=seed, **kwargs)
+        return self.surrogate
+
+    def predict(self, target, sequences):
+        """Predict final system states for MP intervention sequences."""
+        return target.evaluate_probes(sequences)
