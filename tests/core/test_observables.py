@@ -1,0 +1,104 @@
+"""Compiled observables: two-site correlators, entropy, PVM rows."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+from yaqs_tpu import AnalogSimParams, Hamiltonian, Observable, Simulator, State
+from yaqs_tpu.analog.embedding import embed_operator
+from yaqs_tpu.models.operators import pauli_x, pauli_z
+
+
+def dense_two_site(op4, i, j, length):
+    """Embed a two-site matrix with the first site most significant."""
+    t = op4.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
+    u, s, vh = np.linalg.svd(t)
+    dense = np.zeros((2**length, 2**length), dtype=complex)
+    for k in range(len(s)):
+        if s[k] < 1e-14:
+            break
+        a = (u[:, k] * s[k]).reshape(2, 2)
+        b = vh[k].reshape(2, 2)
+        dense += embed_operator({i: a, j: b}, length)
+    return dense
+
+
+def test_two_site_correlators_vs_dense():
+    L, dt, steps = 4, 0.05, 3
+    ham = Hamiltonian.ising(L, 1.0, 0.7)
+    h = ham.ensure_matrix()
+    obs = [
+        Observable("zz", [0, 1]),
+        Observable("xx", [1, 3]),  # distant pair
+        Observable("z", 2),
+        Observable(np.kron(pauli_z, pauli_x), [2, 3]),  # raw two-site matrix
+    ]
+    params = AnalogSimParams(
+        observables=obs,
+        elapsed_time=dt * steps,
+        dt=dt,
+        max_bond_dim=8,
+        svd_threshold=1e-13,
+        krylov_dim=20,
+        order=2,
+        random_seed=0,
+    )
+    res = Simulator().run(State(L, state="x+"), ham, params, None)
+    psi0 = State(L, state="x+").to_vector()
+    for j in range(steps + 1):
+        psi_t = scipy.linalg.expm(-1j * h * dt * j) @ psi0
+        expected = [
+            np.vdot(psi_t, dense_two_site(np.kron(pauli_z, pauli_z), 0, 1, L) @ psi_t).real,
+            np.vdot(psi_t, dense_two_site(np.kron(pauli_x, pauli_x), 1, 3, L) @ psi_t).real,
+            np.vdot(psi_t, embed_operator({2: pauli_z}, L) @ psi_t).real,
+            np.vdot(psi_t, dense_two_site(np.kron(pauli_z, pauli_x), 2, 3, L) @ psi_t).real,
+        ]
+        np.testing.assert_allclose(res.expectation_values[:, j], expected, atol=1e-6)
+
+
+def test_entropy_observable():
+    L = 4
+    ham = Hamiltonian.ising(L, 1.0, 1.0)
+    obs = [Observable("entropy", [1, 2]), Observable("z", 0)]
+    params = AnalogSimParams(
+        observables=obs,
+        elapsed_time=0.6,
+        dt=0.1,
+        max_bond_dim=8,
+        svd_threshold=1e-13,
+        order=2,
+        random_seed=0,
+    )
+    res = Simulator().run(State(L, state="zeros"), ham, params, None)
+    ent = res.expectation_values[0]
+    assert ent[0] < 1e-10  # product state
+    assert ent[-1] > 0.01  # entangled after evolution
+
+
+def test_pvm_observable():
+    L = 3
+    ham = Hamiltonian.ising(L, 0.0, 0.0)
+    obs = [Observable("010"), Observable("000")]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=0.0, dt=0.1, max_bond_dim=4, random_seed=0
+    )
+    res = Simulator().run(State(L, state="Neel"), ham, params, None)
+    np.testing.assert_allclose(res.expectation_values[:, 0], [1.0, 0.0], atol=1e-10)
+
+
+def test_two_site_observable_mcwf_and_lindblad():
+    L = 3
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    obs = [Observable("zz", [0, 2]), Observable("z", 1)]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=0.2, dt=0.1, max_bond_dim=8,
+        svd_threshold=1e-13, krylov_dim=15, order=2, random_seed=0,
+    )
+    res_m = Simulator().run(State(L, state="x+"), ham, params, None)
+    res_v = Simulator().run(State(L, state="x+", representation="vector"), ham, params, None)
+    res_r = Simulator().run(
+        State(L, state="x+", representation="density_matrix"), ham, params, None
+    )
+    np.testing.assert_allclose(res_m.expectation_values, res_v.expectation_values, atol=1e-6)
+    np.testing.assert_allclose(res_m.expectation_values, res_r.expectation_values, atol=1e-6)

@@ -16,7 +16,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core.mps_ops import canonicalize_right, site_expectations, transfer_right
+from ..core.mps_ops import canonicalize_right, transfer_right
+from ..core.observables import evaluate_observables
 from ..methods.tdvp import TDVPConfig, tdvp_step
 
 __all__ = ["mixed_site_expectation", "ensemble_trajectory"]
@@ -41,8 +42,7 @@ def mixed_site_expectation(bra, ket, op, site):
 def ensemble_trajectory(
     tensors0: jnp.ndarray,
     mpo: jnp.ndarray,
-    obs_ops: jnp.ndarray,
-    obs_sites: jnp.ndarray,
+    observables,
     mt_ops: jnp.ndarray,
     mt_sites: jnp.ndarray,
     phis0: jnp.ndarray,
@@ -60,7 +60,7 @@ def ensemble_trajectory(
     n_pairs = phis0.shape[0]
 
     def measure(psi, phis):
-        obs = jnp.real(site_expectations(psi, obs_ops, obs_sites))
+        obs = evaluate_observables(psi, observables)
         corr = jax.vmap(
             lambda phi, op, site: mixed_site_expectation(psi, phi, op, site)
         )(phis, mt_ops, mt_sites) if n_pairs else jnp.zeros((0,), psi.dtype)

@@ -25,8 +25,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core.mps_ops import normalize_canonical, site_expectations
+from ..core.mps_ops import normalize_canonical
 from ..core.noise_model import CompiledNoise
+from ..core.observables import CompiledObservables, evaluate_observables
 from ..methods.dissipation import apply_dissipation
 from ..methods.stochastic import stochastic_process
 from ..methods.bug import bug_step
@@ -67,8 +68,8 @@ def sample_key(base_key, traj_idx) -> jax.Array:
     return jax.random.fold_in(jax.random.fold_in(base_key, 1), traj_idx)
 
 
-def _evaluate(tensors, obs_ops, obs_sites):
-    return jnp.real(site_expectations(tensors, obs_ops, obs_sites))
+def _evaluate(tensors, co):
+    return evaluate_observables(tensors, co)
 
 
 @partial(jax.jit, static_argnames=("plan",))
@@ -78,8 +79,7 @@ def tjm_trajectory(
     tensors0: jnp.ndarray,
     mpo: jnp.ndarray,
     noise: CompiledNoise | None,
-    obs_ops: jnp.ndarray,
-    obs_sites: jnp.ndarray,
+    observables: CompiledObservables,
     plan: TrajectoryPlan,
     sj_flags: jnp.ndarray | None = None,
     sj_mats: jnp.ndarray | None = None,
@@ -91,7 +91,7 @@ def tjm_trajectory(
         tensors0: initial padded MPS, canonical at 0 and normalized.
         mpo: padded Hamiltonian MPO ``(L, d, d, Dw, Dw)``.
         noise: compiled noise model or None (noiseless).
-        obs_ops / obs_sites: one-site observables ``(n_obs, d, d)`` / ``(n_obs,)``.
+        observables: compiled observable tables (one/two-site, entropy, PVM).
         plan: static schedule.
 
     Returns:
@@ -100,7 +100,7 @@ def tjm_trajectory(
     """
     dt = plan.dt
     cfg = plan.evolution
-    n_obs = obs_ops.shape[0]
+    n_obs = observables.num_rows
     n_cols = plan.num_times if plan.sample_timesteps else 1
 
     if plan.evolution_mode == "bug":
@@ -109,21 +109,20 @@ def tjm_trajectory(
         evolve = lambda t, step_dt: tdvp_step(t, mpo, step_dt, cfg)
 
     if plan.num_steps == 0:
-        vals = _evaluate(tensors0, obs_ops, obs_sites)
+        vals = _evaluate(tensors0, observables)
         return vals[:, None] * jnp.ones((n_obs, n_cols), vals.dtype), tensors0
 
     if plan.order == 2:
         return _run_order2(
-            traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, evolve
+            traj_key, smpl_key, tensors0, noise, observables, plan, evolve
         )
     return _run_order1(
-        traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve, sj_flags, sj_mats
+        traj_key, tensors0, noise, observables, plan, evolve, sj_flags, sj_mats
     )
 
 
-def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, evolve):
+def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     dt = plan.dt
-    n_obs = obs_ops.shape[0]
     t_total = plan.num_times
 
     def sample(phi, j):
@@ -131,7 +130,7 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, e
         psi = evolve(phi, dt)
         psi = apply_dissipation(psi, noise, dt / 2)
         psi, _ = stochastic_process(psi, noise, dt, jax.random.fold_in(smpl_key, j))
-        return _evaluate(psi, obs_ops, obs_sites), psi
+        return _evaluate(psi, observables), psi
 
     def step_through(phi, j):
         phi = evolve(phi, dt)
@@ -139,7 +138,7 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, e
         phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, j))
         return phi
 
-    obs0 = _evaluate(tensors0, obs_ops, obs_sites)
+    obs0 = _evaluate(tensors0, observables)
 
     # F0: dissipate dt/2 + jump
     phi = apply_dissipation(tensors0, noise, dt / 2)
@@ -169,7 +168,7 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, obs_ops, obs_sites, plan, e
 
 
 def _run_order1(
-    traj_key, tensors0, noise, obs_ops, obs_sites, plan, evolve, sj_flags=None, sj_mats=None
+    traj_key, tensors0, noise, observables, plan, evolve, sj_flags=None, sj_mats=None
 ):
     dt = plan.dt
     t_total = plan.num_times
@@ -208,9 +207,9 @@ def _run_order1(
             )
         else:
             state, _ = normalize_canonical(state)
-        return state, _evaluate(state, obs_ops, obs_sites)
+        return state, _evaluate(state, observables)
 
-    obs0 = _evaluate(tensors0, obs_ops, obs_sites)
+    obs0 = _evaluate(tensors0, observables)
     xs = (
         (jnp.arange(1, t_total), sj_flags, sj_mats)
         if plan.has_scheduled

@@ -47,6 +47,10 @@ _NAMED_OBSERVABLES: dict[str, np.ndarray] = {
     "h": hadamard,
     "p0": projector_0,
     "p1": projector_1,
+    # two-site correlators
+    "xx": np.kron(PAULI["X"], PAULI["X"]),
+    "yy": np.kron(PAULI["Y"], PAULI["Y"]),
+    "zz": np.kron(PAULI["Z"], PAULI["Z"]),
 }
 
 

@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.mps_ops import normalize_canonical, site_expectations
+from ..core.mps_ops import normalize_canonical
 from ..core.noise_model import CompiledNoise, compile_noise
+from ..core.observables import compile_observables, evaluate_observables
 from ..core.result import Result
 from ..methods.stochastic import channel_weights
 from ..methods.tdvp import TDVPConfig
@@ -271,8 +272,10 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     )
 
     wants_obs = bool(sim_params.observables)
-    obs_ops, obs_sites = (
-        simulator._one_site_observables(sim_params, d) if wants_obs else (None, None)
+    observables = (
+        compile_observables(sim_params.sorted_observables, length, d)
+        if wants_obs
+        else None
     )
 
     num_traj = sim_params.num_traj if noisy else 1
@@ -293,9 +296,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
 
     mid_cols: list[np.ndarray] = []
     if sim_params.sample_layers and wants_obs:
-        col0 = jax.vmap(lambda t: site_expectations(t, jnp.asarray(obs_ops), jnp.asarray(obs_sites)))(
-            tensors_b
-        )
+        col0 = jax.vmap(lambda t: evaluate_observables(t, observables))(tensors_b)
         mid_cols.append(np.real(np.asarray(col0)))
 
     for seg_idx, seg in enumerate(compiled_circ.segments):
@@ -318,11 +319,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         tensors_b = seg_fn(tensors_b, keys)
         is_last = seg_idx == len(compiled_circ.segments) - 1
         if wants_obs and (sim_params.sample_layers or is_last):
-            col = jax.vmap(
-                lambda t: site_expectations(
-                    t, jnp.asarray(obs_ops), jnp.asarray(obs_sites)
-                )
-            )(tensors_b)
+            col = jax.vmap(lambda t: evaluate_observables(t, observables))(tensors_b)
             mid_cols.append(np.real(np.asarray(col)))
 
     # ---- results ----------------------------------------------------------

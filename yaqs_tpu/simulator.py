@@ -27,6 +27,7 @@ from .analog.tjm import TrajectoryPlan, sample_key, tjm_trajectory, trajectory_k
 from .methods.scheduled_jumps import compile_scheduled_jumps
 from .core.hamiltonian import Hamiltonian
 from .core.noise_model import NoiseModel, compile_noise
+from .core.observables import compile_observables
 from .core.result import Result
 from .core.sim_params import AnalogSimParams, DigitalSimParams
 from .core.state import State
@@ -139,6 +140,50 @@ class Simulator:
         return np.stack(ops), np.asarray(sites, dtype=np.int32)
 
     @staticmethod
+    def _dense_observables(sim_params, length, d):
+        """Dense embedded matrices for the sorted observables (small-system
+        backends); supports one-site, two-site, and PVM rows."""
+        from .analog.embedding import embed_operator
+
+        out = []
+        for obs in sim_params.sorted_observables:
+            sites = obs.site_list
+            if obs.name == "pvm":
+                dim = d**length
+                idx = sum(int(b) * d**i for i, b in enumerate(obs.bitstring))
+                proj = np.zeros((dim, dim), dtype=np.complex128)
+                proj[idx, idx] = 1.0
+                out.append(proj)
+            elif obs.name in {"entropy", "schmidt_spectrum"}:
+                msg = "entropy observables require the MPS representation"
+                raise NotImplementedError(msg)
+            elif len(sites) == 1:
+                out.append(embed_one_site(obs.matrix, sites[0], length, d))
+            elif len(sites) == 2:
+                m = np.asarray(obs.matrix)
+                i, j = sites
+                if i > j:
+                    m = (
+                        m.reshape(d, d, d, d).transpose(1, 0, 3, 2).reshape(d * d, d * d)
+                    )
+                    i, j = j, i
+                # operator-Schmidt into one-site factors, embed each term
+                t = m.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
+                u, sv, vh = np.linalg.svd(t)
+                dense = np.zeros((d**length, d**length), dtype=np.complex128)
+                for kk in range(len(sv)):
+                    if sv[kk] < 1e-14:
+                        break
+                    a = (u[:, kk] * sv[kk]).reshape(d, d)
+                    b = vh[kk].reshape(d, d)
+                    dense += embed_operator({i: a, j: b}, length, d)
+                out.append(dense)
+            else:
+                msg = f"observables on {len(sites)} sites are not supported"
+                raise NotImplementedError(msg)
+        return out
+
+    @staticmethod
     def _user_order(sim_params, sorted_rows: np.ndarray) -> np.ndarray:
         idx = sim_params.observable_sorted_indices
         if not idx:
@@ -183,7 +228,7 @@ class Simulator:
         tensors0 = np.asarray(initial_state.to_padded_mps(chi))
         compiled = compile_noise(noise, length, d) if noise is not None else None
 
-        obs_ops_j, obs_sites_j = self._one_site_observables(sim_params, d)
+        observables = compile_observables(sim_params.sorted_observables, length, d)
 
         scheduled = None
         if noise is not None and noise.scheduled_jumps:
@@ -219,7 +264,7 @@ class Simulator:
 
         def traj_obs(tk, sk):
             res, _ = tjm_trajectory(
-                tk, sk, tensors0, mpo, compiled, obs_ops_j, obs_sites_j, plan,
+                tk, sk, tensors0, mpo, compiled, observables, plan,
                 sj_flags, sj_mats,
             )
             return res
@@ -241,8 +286,7 @@ class Simulator:
                 tensors0,
                 mpo,
                 compiled,
-                obs_ops_j,
-                obs_sites_j,
+                observables,
                 plan,
                 sj_flags,
                 sj_mats,
@@ -263,10 +307,7 @@ class Simulator:
         d = initial_state.d
         h = ham.ensure_matrix()
         psi0 = initial_state.to_vector()
-        obs_ops, obs_sites = self._one_site_observables(sim_params, d)
-        obs_dense = [
-            embed_one_site(op, site, length, d) for op, site in zip(obs_ops, obs_sites)
-        ]
+        obs_dense = self._dense_observables(sim_params, length, d)
         # embedded operators already carry sqrt(gamma); unit rates then give
         # the correct H_eff and jump weights
         jumps = noise_model_jump_ops(noise, length, d)
@@ -306,11 +347,7 @@ class Simulator:
         d = initial_state.d
         h = ham.ensure_matrix()
         rho0 = initial_state.to_density_matrix()
-        # lindblad_expectations takes psi0; generalize to rho via direct use
-        obs_ops, obs_sites = self._one_site_observables(sim_params, d)
-        obs_dense = [
-            embed_one_site(op, site, length, d) for op, site in zip(obs_ops, obs_sites)
-        ]
+        obs_dense = self._dense_observables(sim_params, length, d)
         jumps = noise_model_jump_ops(noise, length, d)
         # evolve rho directly (pure-state helper generalized inline)
         import scipy.linalg
@@ -353,7 +390,7 @@ class Simulator:
         d = max(max(s.d for s in states), ham.d)
         chi = self._resolve_chi(sim_params, length, d)
         mpo = np.asarray(ham.ensure_mpo())
-        obs_ops, obs_sites = self._one_site_observables(sim_params, d)
+        observables = compile_observables(sim_params.sorted_observables, length, d)
 
         mt_pairs = sim_params.multi_time_observables or []
         mt_a_ops, mt_a_sites, mt_b = [], [], []
@@ -403,8 +440,7 @@ class Simulator:
                 lambda t0, ph: ensemble_trajectory(
                     t0,
                     jnp.asarray(mpo),
-                    jnp.asarray(obs_ops),
-                    jnp.asarray(obs_sites),
+                    observables,
                     jnp.asarray(mt_a_ops_arr),
                     jnp.asarray(mt_a_sites_arr),
                     ph,
