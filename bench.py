@@ -37,8 +37,9 @@ from yaqs_tpu.analog.tjm import (  # noqa: E402
 from yaqs_tpu.core import mps_ops  # noqa: E402
 from yaqs_tpu.core.mpo_builders import ising_mpo  # noqa: E402
 from yaqs_tpu.core.noise_model import NoiseModel, compile_noise  # noqa: E402
+from yaqs_tpu.core.observables import compile_observables  # noqa: E402
+from yaqs_tpu.core.sim_params import Observable  # noqa: E402
 from yaqs_tpu.methods.tdvp import TDVPConfig  # noqa: E402
-from yaqs_tpu.models.operators import pauli_z  # noqa: E402
 
 L = int(os.environ.get("BENCH_L", 100))
 CHI = int(os.environ.get("BENCH_CHI", 64))
@@ -65,8 +66,10 @@ def main() -> None:
     noise = jax.tree.map(
         lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, noise
     )
-    obs_ops = np.stack([pauli_z] * L).astype(np_cdtype)
-    obs_sites = np.arange(L, dtype=np.int32)
+    observables = compile_observables([Observable("z", i) for i in range(L)], L, 2)
+    observables = jax.tree.map(
+        lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, observables
+    )
 
     plan = TrajectoryPlan(
         dt=DT,
@@ -84,7 +87,7 @@ def main() -> None:
     base = jax.random.PRNGKey(0)
 
     def one(tk, sk):
-        res, _ = tjm_trajectory(tk, sk, tensors0, w, noise, obs_ops, obs_sites, plan)
+        res, _ = tjm_trajectory(tk, sk, tensors0, w, noise, observables, plan)
         return res
 
     batched = jax.jit(jax.vmap(one))

@@ -27,9 +27,10 @@ from yaqs_tpu.models.operators import lowering, pauli_x, pauli_z
 
 
 def make_obs_z(length):
-    ops = jnp.asarray(np.stack([pauli_z] * length))
-    sites = jnp.asarray(np.arange(length, dtype=np.int32))
-    return ops, sites
+    from yaqs_tpu.core.observables import compile_observables
+    from yaqs_tpu.core.sim_params import Observable
+
+    return compile_observables([Observable("z", i) for i in range(length)], length, 2)
 
 
 def test_dissipation_norm_decay_pauli():
@@ -90,7 +91,7 @@ def test_noiseless_tjm_order2_matches_dense():
     h = mpo_to_matrix(w)
     t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
     psi0 = np.asarray(mps_ops.to_statevector(t0))
-    obs_ops, obs_sites = make_obs_z(L)
+    observables = make_obs_z(L)
     plan = TrajectoryPlan(
         dt=dt,
         num_steps=steps,
@@ -104,8 +105,7 @@ def test_noiseless_tjm_order2_matches_dense():
         t0,
         jnp.asarray(w),
         None,
-        obs_ops,
-        obs_sites,
+        observables,
         plan,
     )
     res = np.asarray(res)
@@ -130,7 +130,7 @@ def test_tjm_ensemble_matches_lindblad():
     cn = compile_noise(nm, L, 2)
     t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
     psi0 = np.asarray(mps_ops.to_statevector(t0))
-    obs_ops, obs_sites = make_obs_z(L)
+    observables = make_obs_z(L)
     plan = TrajectoryPlan(
         dt=dt,
         num_steps=steps,
@@ -142,7 +142,7 @@ def test_tjm_ensemble_matches_lindblad():
     wj = jnp.asarray(w)
 
     run = jax.vmap(
-        lambda tk, sk: tjm_trajectory(tk, sk, t0, wj, cn, obs_ops, obs_sites, plan)[0]
+        lambda tk, sk: tjm_trajectory(tk, sk, t0, wj, cn, observables, plan)[0]
     )
     idx = jnp.arange(n_traj)
     tks = jax.vmap(lambda i: trajectory_key(base, i))(idx)
