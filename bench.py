@@ -87,7 +87,7 @@ def main() -> None:
     base = jax.random.PRNGKey(0)
 
     def one(tk, sk):
-        res, _ = tjm_trajectory(tk, sk, tensors0, w, noise, observables, plan)
+        res, _, _ = tjm_trajectory(tk, sk, tensors0, w, noise, observables, plan)
         return res
 
     batched = jax.jit(jax.vmap(one))

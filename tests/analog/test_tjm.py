@@ -99,7 +99,7 @@ def test_noiseless_tjm_order2_matches_dense():
         evolution=TDVPConfig(krylov_dim=20, threshold=1e-14, max_bond_dim=chi),
     )
     key = jax.random.PRNGKey(0)
-    res, final = tjm_trajectory(
+    res, _diag, final = tjm_trajectory(
         trajectory_key(key, 0),
         sample_key(key, 0),
         t0,

@@ -89,3 +89,27 @@ def test_gate_matrices_unitary():
     for name, n in (("rx", 1), ("rzz", 1), ("u3", 3)):
         u = gate_matrix(name, tuple(0.3 * (i + 1) for i in range(n)))
         np.testing.assert_allclose(u @ u.conj().T, np.eye(u.shape[0]), atol=1e-12)
+
+
+def test_qasm3_subset():
+    from yaqs_tpu.digital.circuit import parse_qasm3
+
+    qasm = """
+    OPENQASM 3.0;
+    include "stdgates.inc";
+    qubit[3] q;
+    bit[3] c;
+    h q[0];
+    cx q[0], q[1];
+    rz(pi/2) q[2];
+    c = measure q;
+    """
+    circ = parse_qasm3(qasm)
+    assert circ.num_qubits == 3
+    assert [op.name for op in circ.ops] == ["h", "cx", "rz"]
+    assert sorted(circ.measured_qubits) == [0, 1, 2]
+
+
+def test_load_circuit_dispatches_qasm3():
+    c = load_circuit("OPENQASM 3.0; qubit[2] q; cz q[0], q[1];")
+    assert c.ops[0].name == "cz"

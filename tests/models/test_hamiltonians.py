@@ -79,3 +79,38 @@ def test_fermi_hubbard_jw_vs_fermionic_spectrum():
 def test_fermi_hubbard_bond_dims():
     w = fermi_hubbard_1d_mpo(4, 1.0, 2.0)
     assert w.shape[3] <= 6  # reference uses Dw=6 for this model
+
+
+def test_trapped_ion_two_ions_dense():
+    from yaqs_tpu.models.hamiltonians import trapped_ion_mpo
+
+    grid = np.linspace(-1.0, 1.0, 5)
+    w = trapped_ion_mpo(grid, [1.0, 2.0], omega=1.5, coulomb_strength=0.3,
+                        softening_length=0.2, coulomb_cutoff=0.0)
+    d = 5
+    dx = grid[1] - grid[0]
+
+    def local(m):
+        kin = -(1.0 / (2 * m * dx**2)) * (
+            np.diag(np.ones(d - 1), 1) + np.diag(np.ones(d - 1), -1) - 2 * np.eye(d)
+        )
+        return kin + 0.5 * m * 1.5**2 * np.diag(grid**2)
+
+    dense = np.kron(np.eye(d), local(1.0)) + np.kron(local(2.0), np.eye(d))
+    coulomb = np.zeros((d * d, d * d))
+    for i in range(d):
+        for j in range(d):
+            idx = j * d + i  # site 0 least significant
+            coulomb[idx, idx] = 0.3 / np.sqrt((grid[i] - grid[j]) ** 2 + 0.2**2)
+    dense = dense + coulomb
+    np.testing.assert_allclose(mpo_to_matrix(w), dense, atol=1e-10)
+
+
+def test_trapped_ion_single_ion():
+    from yaqs_tpu.models.hamiltonians import trapped_ion_mpo
+
+    grid = np.linspace(-1.0, 1.0, 7)
+    w = trapped_ion_mpo(grid, [1.0], omega=2.0)
+    assert w.shape == (1, 7, 7, 1, 1)
+    h = mpo_to_matrix(w)
+    np.testing.assert_allclose(h, h.conj().T, atol=1e-12)

@@ -52,6 +52,7 @@ class TrajectoryPlan:
     evolution: TDVPConfig = dataclasses.field(default_factory=TDVPConfig)
     evolution_mode: str = "tdvp"  # "tdvp" | "bug"
     has_scheduled: bool = False  # deterministic scheduled jumps (order 1 only)
+    record_diagnostics: bool = False  # effective-bond curves (extra sweep/step)
 
     @property
     def num_times(self) -> int:
@@ -70,6 +71,19 @@ def sample_key(base_key, traj_idx) -> jax.Array:
 
 def _evaluate(tensors, co):
     return evaluate_observables(tensors, co)
+
+
+def _diagnostics(tensors, threshold):
+    """Effective bond dims from Schmidt spectra: (cost sum(chi_eff^3),
+    max bond, total bond) — the reference's per-step diagnostics
+    (MPS.record_diagnostics, mps.py:593-602) at fixed padded shape."""
+    from ..equivalence.checker import _bond_spectra
+
+    spectra, _ = _bond_spectra(tensors)  # (L-1, chi)
+    smax = jnp.maximum(spectra[:, :1], 1e-300)
+    eff = jnp.maximum(jnp.sum(spectra > threshold * smax, axis=1), 1)
+    efff = eff.astype(spectra.dtype)
+    return jnp.stack([jnp.sum(efff**3), jnp.max(efff), jnp.sum(efff)])
 
 
 @partial(jax.jit, static_argnames=("plan",))
@@ -95,8 +109,10 @@ def tjm_trajectory(
         plan: static schedule.
 
     Returns:
-        ``(results, final_tensors)`` with ``results`` of shape
-        ``(n_obs, num_times)`` when ``plan.sample_timesteps`` else ``(n_obs, 1)``.
+        ``(results, diagnostics, final_tensors)``: observable rows
+        ``(n_obs, n_cols)``, diagnostics ``(3, n_cols)`` (cost sum(chi^3),
+        max bond, total bond; zeros unless ``plan.record_diagnostics``), and
+        the final sampling state.
     """
     dt = plan.dt
     cfg = plan.evolution
@@ -110,7 +126,17 @@ def tjm_trajectory(
 
     if plan.num_steps == 0:
         vals = _evaluate(tensors0, observables)
-        return vals[:, None] * jnp.ones((n_obs, n_cols), vals.dtype), tensors0
+        diag0 = (
+            _diagnostics(tensors0, cfg.threshold)[:, None]
+            * jnp.ones((3, n_cols), tensors0.real.dtype)
+            if plan.record_diagnostics
+            else jnp.zeros((3, n_cols), tensors0.real.dtype)
+        )
+        return (
+            vals[:, None] * jnp.ones((n_obs, n_cols), vals.dtype),
+            diag0,
+            tensors0,
+        )
 
     if plan.order == 2:
         return _run_order2(
@@ -125,12 +151,19 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     dt = plan.dt
     t_total = plan.num_times
 
+    cfg = plan.evolution
+
     def sample(phi, j):
         """Measure a copy evolved by dt + dissipated dt/2 + jumped (indep. RNG)."""
         psi = evolve(phi, dt)
         psi = apply_dissipation(psi, noise, dt / 2)
         psi, _ = stochastic_process(psi, noise, dt, jax.random.fold_in(smpl_key, j))
-        return _evaluate(psi, observables), psi
+        diag = (
+            _diagnostics(psi, cfg.threshold)
+            if plan.record_diagnostics
+            else jnp.zeros((3,), psi.real.dtype)
+        )
+        return _evaluate(psi, observables), diag, psi
 
     def step_through(phi, j):
         phi = evolve(phi, dt)
@@ -139,32 +172,39 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
         return phi
 
     obs0 = _evaluate(tensors0, observables)
+    diag0 = (
+        _diagnostics(tensors0, cfg.threshold)
+        if plan.record_diagnostics
+        else jnp.zeros((3,), tensors0.real.dtype)
+    )
 
     # F0: dissipate dt/2 + jump
     phi = apply_dissipation(tensors0, noise, dt / 2)
     phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0))
 
-    obs1, psi1 = sample(phi, 1)
+    obs1, diag1, psi1 = sample(phi, 1)
 
     if plan.num_steps >= 2:
 
         def body(carry, j):
             phi, _ = carry
             phi = step_through(phi, j)
-            obs_j, psi_j = sample(phi, j)
-            return (phi, psi_j), obs_j
+            obs_j, diag_j, psi_j = sample(phi, j)
+            return (phi, psi_j), (obs_j, diag_j)
 
-        (phi, final_psi), obs_rest = jax.lax.scan(
+        (phi, final_psi), (obs_rest, diag_rest) = jax.lax.scan(
             body, (phi, psi1), jnp.arange(2, t_total)
         )
         cols = jnp.concatenate([obs0[None], obs1[None], obs_rest], axis=0)  # (T, n_obs)
+        diags = jnp.concatenate([diag0[None], diag1[None], diag_rest], axis=0)
     else:
         final_psi = psi1
         cols = jnp.stack([obs0, obs1], axis=0)
+        diags = jnp.stack([diag0, diag1], axis=0)
 
     if plan.sample_timesteps:
-        return cols.T, final_psi  # (n_obs, T)
-    return cols[-1][:, None], final_psi
+        return cols.T, diags.T, final_psi  # (n_obs, T), (3, T)
+    return cols[-1][:, None], diags[-1][:, None], final_psi
 
 
 def _run_order1(
@@ -207,16 +247,27 @@ def _run_order1(
             )
         else:
             state, _ = normalize_canonical(state)
-        return state, _evaluate(state, observables)
+        diag = (
+            _diagnostics(state, plan.evolution.threshold)
+            if plan.record_diagnostics
+            else jnp.zeros((3,), state.real.dtype)
+        )
+        return state, (_evaluate(state, observables), diag)
 
     obs0 = _evaluate(tensors0, observables)
+    diag0 = (
+        _diagnostics(tensors0, plan.evolution.threshold)
+        if plan.record_diagnostics
+        else jnp.zeros((3,), tensors0.real.dtype)
+    )
     xs = (
         (jnp.arange(1, t_total), sj_flags, sj_mats)
         if plan.has_scheduled
         else jnp.arange(1, t_total)
     )
-    state, obs_rest = jax.lax.scan(body, tensors0, xs)
+    state, (obs_rest, diag_rest) = jax.lax.scan(body, tensors0, xs)
     cols = jnp.concatenate([obs0[None], obs_rest], axis=0)
+    diags = jnp.concatenate([diag0[None], diag_rest], axis=0)
     if plan.sample_timesteps:
-        return cols.T, state
-    return cols[-1][:, None], state
+        return cols.T, diags.T, state
+    return cols[-1][:, None], diags[-1][:, None], state

@@ -119,6 +119,12 @@ class Hamiltonian:
         )
 
     @classmethod
+    def trapped_ion(cls, positions, masses, omega, **kwargs) -> Hamiltonian:
+        from ..models.hamiltonians import trapped_ion_mpo
+
+        return cls(mpo=trapped_ion_mpo(positions, masses, omega, **kwargs))
+
+    @classmethod
     def bose_hubbard(
         cls, length: int, local_dim: int, omega: float, hopping_j: float, hubbard_u: float
     ) -> Hamiltonian:

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..methods.mpo_ops import mpo_adjoint, mpo_apply_mps, mpo_compose, mpo_to_doubled_mps
-from ..models.hamiltonians import bose_hubbard_mpo, coupled_transmon_mpo, fermi_hubbard_1d_mpo
+from ..models.hamiltonians import (
+    bose_hubbard_mpo,
+    coupled_transmon_mpo,
+    fermi_hubbard_1d_mpo,
+    trapped_ion_mpo,
+)
 from ..utils.host import fetch
 from . import mps_ops
 from .mpo_builders import (
@@ -59,6 +64,10 @@ class MPO:
     @classmethod
     def bose_hubbard(cls, *args, **kwargs) -> MPO:
         return cls(bose_hubbard_mpo(*args, **kwargs))
+
+    @classmethod
+    def trapped_ion(cls, *args, **kwargs) -> MPO:
+        return cls(trapped_ion_mpo(*args, **kwargs))
 
     @classmethod
     def from_pauli_sum(cls, terms, length: int, d: int = 2) -> MPO:

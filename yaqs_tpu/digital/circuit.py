@@ -330,9 +330,51 @@ def parse_qasm2(text: str) -> Circuit:
     return circuit
 
 
+def parse_qasm3(text: str) -> Circuit:
+    """Parse an OpenQASM 3.0 subset by rewriting declarations/measures to the
+    QASM 2 grammar and reusing :func:`parse_qasm2`.
+
+    Supported: ``qubit[n] name;`` / ``qubit name;`` declarations, ``bit``
+    declarations, ``c = measure q;`` and ``measure q -> c;`` forms, stdgates
+    applications, user ``gate`` definitions, parameter expressions.
+    """
+    text = _strip_comments(text)
+    out_lines: list[str] = []
+    for stmt in _split_statements(text):
+        s = stmt.strip()
+        if s.startswith("OPENQASM") or s.startswith("include"):
+            continue
+        m = re.fullmatch(r"qubit\s*\[(\d+)\]\s*([a-zA-Z_][a-zA-Z0-9_]*)", s)
+        if m:
+            out_lines.append(f"qreg {m.group(2)}[{m.group(1)}]")
+            continue
+        m = re.fullmatch(r"qubit\s+([a-zA-Z_][a-zA-Z0-9_]*)", s)
+        if m:
+            out_lines.append(f"qreg {m.group(1)}[1]")
+            continue
+        m = re.fullmatch(r"bit\s*(?:\[(\d+)\])?\s*([a-zA-Z_][a-zA-Z0-9_]*)", s)
+        if m:
+            out_lines.append(f"creg {m.group(2)}[{m.group(1) or 1}]")
+            continue
+        m = re.fullmatch(r"([a-zA-Z_][a-zA-Z0-9_\[\]]*)\s*=\s*measure\s+(\S+)", s)
+        if m:
+            out_lines.append(f"measure {m.group(2)} -> {m.group(1)}")
+            continue
+        m = re.fullmatch(r"measure\s+(\S+)", s)
+        if m:
+            out_lines.append(f"measure {m.group(1)} -> __discard")
+            continue
+        for kw in ("for ", "while ", "if ", "def ", "reset "):
+            if s.startswith(kw):
+                msg = f"unsupported OpenQASM 3 statement: {kw.strip()}"
+                raise NotImplementedError(msg)
+        out_lines.append(s)
+    return parse_qasm2("OPENQASM 2.0; " + "; ".join(out_lines) + ";")
+
+
 def load_circuit(source) -> Circuit:
-    """Load a circuit from a Circuit, QASM string, file path, or qiskit object
-    (reference qasm_utils.load_circuit, qasm_utils.py:133)."""
+    """Load a circuit from a Circuit, QASM 2/3 string, file path, or qiskit
+    object (reference qasm_utils.load_circuit, qasm_utils.py:133)."""
     if isinstance(source, Circuit):
         return source
     if hasattr(source, "num_qubits") and hasattr(source, "data"):
@@ -345,8 +387,7 @@ def load_circuit(source) -> Circuit:
             with open(text) as f:
                 text = f.read()
         if "OPENQASM 3" in text:
-            msg = "OpenQASM 3 parsing is not implemented yet; use QASM 2"
-            raise NotImplementedError(msg)
+            return parse_qasm3(text)
         return parse_qasm2(text)
     msg = f"cannot load circuit from {type(source).__name__}"
     raise TypeError(msg)

@@ -316,6 +316,11 @@ def tdvp_step(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> jn
     """
     length = tensors.shape[0]
     mode = cfg.mode
+    if mode == "dynamic":
+        # the reference's dynamic sweep grows bonds 2-site until the cap and
+        # switches to 1-site at saturated bonds (integrators.py:294); at fixed
+        # padded chi the capped 2-site sweep realizes the same policy.
+        mode = "2site"
     if mode == "2site" and length == 1:
         mode = "1site"
     sweep = sweep_2site if mode == "2site" else sweep_1site

@@ -20,7 +20,83 @@ __all__ = [
     "fermi_hubbard_1d_mpo",
     "coupled_transmon_mpo",
     "bose_hubbard_mpo",
+    "trapped_ion_mpo",
 ]
+
+
+def trapped_ion_mpo(
+    positions: np.ndarray,
+    masses,
+    omega: float,
+    *,
+    trap_center: float = 0.0,
+    hbar: float = 1.0,
+    coulomb_strength: float = 0.0,
+    softening_length: float | None = None,
+    coulomb_cutoff: float = 1e-12,
+    max_bond_dim: int | None = None,
+) -> np.ndarray:
+    r"""Static 1-2 ion Hamiltonian on a uniform position grid (reference
+    mpo.trapped_ion, mpo.py:750-1013).
+
+    Each ion is one MPO site whose local basis is the grid points:
+    ``H = sum_i [-hbar^2/(2 m_i) d^2/dx^2 + (1/2) m_i w^2 (x_i - q)^2]
+    + g / sqrt((x_1 - x_2)^2 + a^2)``; centered finite-difference kinetic
+    term, SVD'd Coulomb channels (relative cutoff / bond cap approximates
+    only the interaction).
+    """
+    grid = np.asarray(positions, dtype=np.float64)
+    if grid.ndim != 1 or grid.size < 3:
+        msg = "positions must be a 1-D grid with at least three points"
+        raise ValueError(msg)
+    spacings = np.diff(grid)
+    if np.any(spacings <= 0) or not np.allclose(spacings, spacings[0], rtol=1e-12):
+        msg = "positions must be strictly increasing and uniformly spaced"
+        raise ValueError(msg)
+    ion_masses = np.atleast_1d(np.asarray(masses, dtype=np.float64))
+    if ion_masses.size not in (1, 2):
+        msg = "masses must contain one or two ion masses"
+        raise ValueError(msg)
+    if ion_masses.size == 1 and coulomb_strength != 0.0:
+        msg = "coulomb_strength must be zero for a single ion"
+        raise ValueError(msg)
+    dx = float(spacings[0])
+    d = grid.size
+
+    def local_term(m: float) -> np.ndarray:
+        kin = (
+            -(hbar**2)
+            / (2 * m * dx**2)
+            * (np.diag(np.ones(d - 1), 1) + np.diag(np.ones(d - 1), -1) - 2 * np.eye(d))
+        )
+        pot = 0.5 * m * omega**2 * np.diag((grid - trap_center) ** 2)
+        return (kin + pot).astype(np.complex128)
+
+    if ion_masses.size == 1:
+        out = np.zeros((1, d, d, 1, 1), dtype=np.complex128)
+        out[0, :, :, 0, 0] = local_term(ion_masses[0])
+        return out
+
+    a = dx if softening_length is None else float(softening_length)
+    coulomb = coulomb_strength / np.sqrt(
+        (grid[:, None] - grid[None, :]) ** 2 + a**2
+    )
+    u, s, vh = np.linalg.svd(coulomb)
+    keep = int(np.sum(s > coulomb_cutoff * s[0])) if s[0] > 0 else 0
+    if max_bond_dim is not None:
+        keep = min(keep, max(max_bond_dim - 2, 0))
+    dw = keep + 2
+    w = np.zeros((2, d, d, dw, dw), dtype=np.complex128)
+    ident = np.eye(d, dtype=np.complex128)
+    # boundary convention: left tensor uses wl=0, right tensor wr=0
+    w[0, :, :, 0, 0] = local_term(ion_masses[0])
+    w[1, :, :, 0, 0] = ident
+    w[0, :, :, 0, 1] = ident
+    w[1, :, :, 1, 0] = local_term(ion_masses[1])
+    for alpha in range(keep):
+        w[0, :, :, 0, alpha + 2] = np.diag(u[:, alpha] * np.sqrt(s[alpha]))
+        w[1, :, :, alpha + 2, 0] = np.diag(vh[alpha] * np.sqrt(s[alpha]))
+    return w
 
 
 def fermi_hubbard_1d_mpo(

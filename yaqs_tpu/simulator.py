@@ -247,6 +247,7 @@ class Simulator:
             sample_timesteps=sim_params.sample_timesteps,
             evolution_mode=getattr(sim_params, "evolution_mode", "tdvp"),
             has_scheduled=scheduled is not None,
+            record_diagnostics=True,
             evolution=TDVPConfig(
                 krylov_dim=sim_params.krylov_dim,
                 trunc_mode=sim_params.trunc_mode,
@@ -263,24 +264,27 @@ class Simulator:
         base_key = jax.random.PRNGKey(seed)
 
         def traj_obs(tk, sk):
-            res, _ = tjm_trajectory(
+            res, diag, _ = tjm_trajectory(
                 tk, sk, tensors0, mpo, compiled, observables, plan,
                 sj_flags, sj_mats,
             )
-            return res
+            return jnp.concatenate([res, diag.astype(res.dtype)], axis=0)
 
-        per_traj = run_ensemble(
+        stacked = run_ensemble(
             traj_obs,
             num_traj,
             base_key,
             (trajectory_key, sample_key),
             self._execution,
-        )  # (n_traj, n_obs_sorted, T)
+        )  # (n_traj, n_obs_sorted + 3, T)
+        per_traj = stacked[:, :-3, :]
+        diag_traj = stacked[:, -3:, :]
+        diag_mean = diag_traj.mean(axis=0)
         mean_sorted = per_traj.mean(axis=0)
 
         output_state = None
         if sim_params.get_state:
-            _, final = tjm_trajectory(
+            _, _, final = tjm_trajectory(
                 trajectory_key(base_key, 0),
                 sample_key(base_key, 0),
                 tensors0,
@@ -300,6 +304,9 @@ class Simulator:
             times=sim_params.times if sim_params.sample_timesteps else sim_params.times[-1:],
             num_trajectories=num_traj,
             output_state=output_state,
+            runtime_cost=diag_mean[0],
+            max_bond=diag_mean[1],
+            total_bond=diag_mean[2],
         )
 
     def _run_analog_mcwf(self, initial_state, ham, sim_params, noise) -> Result:
