@@ -46,7 +46,7 @@ CHI = int(os.environ.get("BENCH_CHI", 64))
 DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 KRYLOV = int(os.environ.get("BENCH_KRYLOV", 12))
-BATCH = int(os.environ.get("BENCH_BATCH", 16))
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
 
 

@@ -161,3 +161,28 @@ def test_tjm_ensemble_matches_lindblad():
         np.abs(mean - exact).max(),
         stderr.max(),
     )
+
+
+def test_mcwf_krylov_path_matches_dense_path():
+    """The sparse per-step Krylov MCWF must agree with the dense-propagator
+    path (noiseless: exact; noisy: same system via Lindblad tolerance)."""
+    from yaqs_tpu import AnalogSimParams, Hamiltonian, Observable, Simulator, State
+    from yaqs_tpu.analog.mcwf import make_mcwf_krylov_context, mcwf_trajectory_krylov
+    from yaqs_tpu.analog.lindblad import noise_model_jump_ops_sparse
+
+    L = 3
+    ham = Hamiltonian.ising(L, 1.0, 0.6)
+    obs = [Observable("z", i) for i in range(L)]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=0.4, dt=0.1, max_bond_dim=8,
+        krylov_dim=20, random_seed=0,
+    )
+    res_dense = Simulator().run(State(L, state="x+", representation="vector"), ham, params, None)
+
+    st = State(L, state="x+", representation="vector")
+    psi0 = st.to_vector()
+    from yaqs_tpu.simulator import Simulator as Sim
+    obs_sparse = Sim._sparse_observables(params, L, 2)
+    ctx = make_mcwf_krylov_context(ham.ensure_sparse(), [], obs_sparse, 0.1, krylov_dim=20)
+    vals = np.asarray(mcwf_trajectory_krylov(jax.random.PRNGKey(0), jnp.asarray(psi0), ctx, 4))
+    np.testing.assert_allclose(vals, res_dense.expectation_values, atol=1e-8)

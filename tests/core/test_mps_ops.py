@@ -122,3 +122,19 @@ def test_bond_entropy_bell_pair():
     t[1, 1, 1, 0] = 1.0
     ents = np.asarray(mps_ops.bond_entropies(jnp.asarray(t)))
     np.testing.assert_allclose(ents[0], np.log(2), atol=1e-12)
+
+
+def test_basis_and_haar_random_presets():
+    t = mps_ops.named_product_state("basis", 4, chi=2, basis_string="0110")
+    psi = dense_from_np(t)
+    idx = 0b0110  # site 0 least significant: "0110" -> s0=0,s1=1,s2=1,s3=0 = 6
+    assert abs(psi[6]) == 1.0
+
+    rng = np.random.default_rng(0)
+    t = mps_ops.named_product_state("haar-random", 5, chi=4, rng=rng)
+    tj = jnp.asarray(t)
+    n2 = float(mps_ops.norm_squared(tj))
+    np.testing.assert_allclose(n2, 1.0, atol=1e-10)  # isometries -> normalized
+    canon, _ = mps_ops.normalize_canonical(tj)
+    ents = np.asarray(mps_ops.bond_entropies(canon))
+    assert ents.max() > 0.1  # genuinely entangled

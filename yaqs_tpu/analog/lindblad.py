@@ -19,7 +19,48 @@ import scipy.linalg
 
 from .embedding import embed_one_site, embed_operator
 
-__all__ = ["build_liouvillian", "lindblad_expectations", "noise_model_jump_ops"]
+__all__ = [
+    "build_liouvillian",
+    "lindblad_expectations",
+    "noise_model_jump_ops",
+    "noise_model_jump_ops_sparse",
+]
+
+
+def _embed_one_site_sparse(op, site, length, d=2):
+    import scipy.sparse as sp
+
+    m = sp.identity(1, dtype=complex, format="csr")
+    for i in range(length):
+        o = sp.csr_matrix(np.asarray(op, dtype=complex)) if i == site else sp.identity(d, dtype=complex, format="csr")
+        m = sp.kron(o, m, format="csr")
+    return m
+
+
+def noise_model_jump_ops_sparse(noise_model, length: int, d: int = 2) -> list:
+    """Sparse (CSR) embedded jump operators ``sqrt(gamma) L``."""
+    import scipy.sparse as sp
+
+    ops = []
+    if noise_model is None:
+        return ops
+    for proc in noise_model.processes:
+        gamma = float(proc["strength"])
+        if gamma == 0.0:
+            continue
+        sites = proc["sites"]
+        if len(sites) == 1:
+            full = _embed_one_site_sparse(proc["matrix"], sites[0], length, d)
+        elif "factors" in proc:
+            f0, f1 = proc["factors"]
+            full = _embed_one_site_sparse(f0, sites[0], length, d) @ _embed_one_site_sparse(
+                f1, sites[1], length, d
+            )
+        else:
+            msg = "two-site matrix processes need adjacent embedding"
+            raise NotImplementedError(msg)
+        ops.append(np.sqrt(gamma) * full)
+    return ops
 
 
 def build_liouvillian(h: np.ndarray, jump_ops: list[np.ndarray]) -> np.ndarray:

@@ -16,6 +16,7 @@ from .mpo_builders import (
     mpo_from_pauli_sum,
     mpo_from_terms,
     mpo_to_matrix,
+    mpo_to_sparse_matrix,
 )
 
 __all__ = ["Hamiltonian"]
@@ -147,3 +148,15 @@ class Hamiltonian:
         if self._matrix is None:
             self._matrix = mpo_to_matrix(self._mpo)
         return self._matrix
+
+    def ensure_sparse(self):
+        """CSR form (reference hamiltonian.ensure_sparse, hamiltonian.py:364);
+        built from the MPO channels without a dense intermediate."""
+        if getattr(self, "_sparse", None) is None:
+            if self._mpo is not None:
+                self._sparse = mpo_to_sparse_matrix(self._mpo)
+            else:
+                import scipy.sparse as sp
+
+                self._sparse = sp.csr_matrix(self._matrix)
+        return self._sparse

@@ -28,6 +28,7 @@ from .mpo_builders import (
     mpo_from_pauli_sum,
     mpo_from_terms,
     mpo_to_matrix,
+    mpo_to_sparse_matrix,
     pad_mpo,
 )
 
@@ -200,6 +201,9 @@ class MPO:
 
     def to_matrix(self) -> np.ndarray:
         return mpo_to_matrix(self.tensors)
+
+    def to_sparse_matrix(self):
+        return mpo_to_sparse_matrix(self.tensors)
 
     def to_mps(self):
         """Vectorized d^2-MPS view (operator legs fused)."""

@@ -220,6 +220,34 @@ def pad_mpo(w: np.ndarray, dw: int) -> np.ndarray:
     return out
 
 
+def mpo_to_sparse_matrix(w: np.ndarray):
+    """Sparse (CSR) operator with site 0 least significant.
+
+    Reference parity: MPO.to_sparse_matrix (mpo.py:1597-1801). Contracts the
+    bond channels left-to-right, each channel carrying one sparse block —
+    cost O(L Dw^2 nnz), no dense intermediate.
+    """
+    import scipy.sparse as sp
+
+    length, d = w.shape[0], w.shape[1]
+    # channels after site i: bond index -> sparse matrix on sites 0..i
+    channels: dict[int, object] = {0: sp.identity(1, dtype=complex, format="csr")}
+    for i in range(length):
+        new_channels: dict[int, object] = {}
+        for wl, block in channels.items():
+            for wr in range(w.shape[-1]):
+                site_op = w[i, :, :, wl, wr]
+                if not np.any(site_op):
+                    continue
+                term = sp.kron(sp.csr_matrix(site_op), block, format="csr")
+                if wr in new_channels:
+                    new_channels[wr] = new_channels[wr] + term
+                else:
+                    new_channels[wr] = term
+        channels = new_channels
+    return channels[0].tocsr()
+
+
 def mpo_to_matrix(w: np.ndarray) -> np.ndarray:
     """Dense operator with site 0 as the least significant index (matching
     :func:`yaqs_tpu.core.mps_ops.to_statevector`). Test utility, O(d^2L)."""

@@ -31,6 +31,7 @@ class MPS:
         chi: int = 16,
         physical_dimensions: int | list[int] | None = None,
         pad: int | None = None,
+        basis_string: str | None = None,
     ) -> None:
         """Build from a preset name or explicit tensors.
 
@@ -70,13 +71,9 @@ class MPS:
             if length is None:
                 msg = "MPS requires a length or explicit tensors"
                 raise ValueError(msg)
-            if state == "random":
-                rng = np.random.default_rng()
-                vecs = rng.normal(size=(length, d)) + 1j * rng.normal(size=(length, d))
-                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-                self.tensors = mps_ops.product_state_tensors(list(vecs), chi, d=d)
-            else:
-                self.tensors = mps_ops.named_product_state(state, length, chi, d)
+            self.tensors = mps_ops.named_product_state(
+                state, length, chi, d, basis_string=basis_string
+            )
         self.length = int(length)
         self.physical_dimensions = (
             list(physical_dimensions)

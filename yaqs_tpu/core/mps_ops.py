@@ -87,11 +87,18 @@ def product_state_tensors(
 
 
 def named_product_state(
-    name: str, length: int, chi: int, d: int = 2, dtype=np.complex128
+    name: str,
+    length: int,
+    chi: int,
+    d: int = 2,
+    dtype=np.complex128,
+    basis_string: str | None = None,
+    rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Preset product states matching the reference naming
-    (mqt-yaqs core/data_structures/mps.py:170-221): zeros, ones, x+/-, y+/-,
-    Neel (alternating 01), wall (half 0 half 1).
+    """Preset states matching the reference naming
+    (mqt-yaqs core/data_structures/mps.py:170-281): zeros, ones, x+/-, y+/-,
+    Neel (alternating 01), wall (half 0 half 1), basis (computational string),
+    random (random product), haar-random (entangled Haar isometries).
     """
     if name in _LOCAL_STATES:
         vecs = [_LOCAL_STATES[name]] * length
@@ -99,10 +106,51 @@ def named_product_state(
         vecs = [_LOCAL_STATES["zeros" if i % 2 == 0 else "ones"] for i in range(length)]
     elif name == "wall":
         vecs = [_LOCAL_STATES["zeros" if i < length // 2 else "ones"] for i in range(length)]
+    elif name == "basis":
+        if basis_string is None or len(basis_string) != length:
+            msg = "state='basis' requires a basis_string of chain length"
+            raise ValueError(msg)
+        vecs = []
+        for ch in basis_string:
+            v = np.zeros(d, dtype=dtype)
+            v[int(ch)] = 1.0
+            vecs.append(v)
+    elif name == "random":
+        rng = rng or np.random.default_rng()
+        vs = rng.normal(size=(length, d)) + 1j * rng.normal(size=(length, d))
+        vecs = list(vs / np.linalg.norm(vs, axis=1, keepdims=True))
+    elif name == "haar-random":
+        return haar_random_mps(length, chi, d=d, dtype=dtype, rng=rng)
     else:
         msg = f"Unknown preset state {name!r}"
         raise ValueError(msg)
     return product_state_tensors(vecs, chi, d=d, dtype=dtype)
+
+
+def haar_random_mps(
+    length: int,
+    chi: int,
+    d: int = 2,
+    dtype=np.complex128,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Entangled Haar-random MPS from left-orthonormal Haar isometries with
+    representability-capped bond dims (reference mps.py haar-random preset,
+    QR-phase fixed for a well-defined Haar sample)."""
+    rng = rng or np.random.default_rng()
+    caps = [1] * (length + 1)
+    for i in range(1, length):
+        caps[i] = min(d**i, d ** (length - i), chi)
+    out = np.zeros((length, d, chi, chi), dtype=dtype)
+    for i in range(length):
+        cl, cr = caps[i], caps[i + 1]
+        x = rng.standard_normal((d * cl, cr)) + 1j * rng.standard_normal((d * cl, cr))
+        q, r = np.linalg.qr(x)
+        diag = np.diag(r)
+        phases = np.where(np.abs(diag) > 0, diag / np.abs(np.where(diag == 0, 1, diag)), 1.0)
+        q = q / phases[None, :]
+        out[i, :, :cl, :cr] = q.reshape(d, cl, cr)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ class State:
         vector=None,
         density_matrix=None,
         physical_dimensions: list[int] | int | None = None,
+        basis_string: str | None = None,
     ) -> None:
         n_data = sum(x is not None for x in (tensors, vector, density_matrix))
         if n_data > 1:
@@ -66,6 +67,7 @@ class State:
 
         self.representation = representation
         self.state = state
+        self.basis_string = basis_string
         self.tensors = tensors
         self.vector = None if vector is None else np.asarray(vector, dtype=np.complex128)
         self.density_matrix = (
@@ -130,7 +132,9 @@ class State:
         if self.density_matrix is not None:
             msg = "density_matrix states cannot encode to MPS (mixed state)"
             raise ValueError(msg)
-        return mps_ops.named_product_state(self.state, self.length, chi, self.d)
+        return mps_ops.named_product_state(
+            self.state, self.length, chi, self.d, basis_string=self.basis_string
+        )
 
     def to_vector(self) -> np.ndarray:
         """Dense normalized state vector (site 0 least significant)."""
@@ -145,11 +149,14 @@ class State:
             chi = max(16, 2 ** (self.length // 2))
             arr = self.to_padded_mps(min(chi, 256))
             return np.asarray(mps_ops.to_statevector(jnp.asarray(arr)))
-        psi = np.zeros(self.d**self.length, dtype=np.complex128)
-        tensors = mps_ops.named_product_state(self.state, self.length, 1, self.d)
         import jax.numpy as jnp
 
-        return np.asarray(mps_ops.to_statevector(jnp.asarray(tensors)))
+        chi = 1 if self.state not in {"haar-random"} else min(2 ** (self.length // 2), 64)
+        tensors = mps_ops.named_product_state(
+            self.state, self.length, chi, self.d, basis_string=self.basis_string
+        )
+        psi = np.asarray(mps_ops.to_statevector(jnp.asarray(tensors)))
+        return psi / np.linalg.norm(psi)
 
     def to_density_matrix(self) -> np.ndarray:
         if self.density_matrix is not None:

@@ -21,8 +21,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from .analog.embedding import embed_one_site
-from .analog.lindblad import lindblad_expectations, noise_model_jump_ops
-from .analog.mcwf import make_mcwf_context, mcwf_trajectory
+from .analog.lindblad import (
+    lindblad_expectations,
+    noise_model_jump_ops,
+    noise_model_jump_ops_sparse,
+)
+from .analog.mcwf import (
+    make_mcwf_context,
+    make_mcwf_krylov_context,
+    mcwf_trajectory,
+    mcwf_trajectory_krylov,
+)
 from .analog.tjm import TrajectoryPlan, sample_key, tjm_trajectory, trajectory_key
 from .methods.scheduled_jumps import compile_scheduled_jumps
 from .core.hamiltonian import Hamiltonian
@@ -39,6 +48,7 @@ __all__ = ["Simulator"]
 
 _DISORDER_TAG = 7791
 _DEFAULT_CHI_CAP = 256
+_MCWF_MAX_PRECOMPUTE_DIM = 4096  # reference analog/mcwf.py:49-51
 
 
 class Simulator:
@@ -138,6 +148,51 @@ class Simulator:
                 np.zeros((0,), dtype=np.int32),
             )
         return np.stack(ops), np.asarray(sites, dtype=np.int32)
+
+    @staticmethod
+    def _sparse_observables(sim_params, length, d):
+        """Sparse embedded observables for the large-chain MCWF path."""
+        import scipy.sparse as sp
+
+        from .analog.lindblad import _embed_one_site_sparse
+
+        out = []
+        for obs in sim_params.sorted_observables:
+            sites = obs.site_list
+            if obs.name == "pvm":
+                idx = sum(int(b) * d**i for i, b in enumerate(obs.bitstring))
+                proj = sp.csr_matrix(
+                    ([1.0], ([idx], [idx])), shape=(d**length, d**length), dtype=complex
+                )
+                out.append(proj)
+            elif obs.name in {"entropy", "schmidt_spectrum"}:
+                msg = "entropy observables require the MPS representation"
+                raise NotImplementedError(msg)
+            elif len(sites) == 1:
+                out.append(_embed_one_site_sparse(obs.matrix, sites[0], length, d))
+            elif len(sites) == 2:
+                m = np.asarray(obs.matrix)
+                i, j = sites
+                if i > j:
+                    m = m.reshape(d, d, d, d).transpose(1, 0, 3, 2).reshape(d * d, d * d)
+                    i, j = j, i
+                t = m.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
+                u, sv, vh = np.linalg.svd(t)
+                acc = None
+                for kk in range(len(sv)):
+                    if sv[kk] < 1e-14:
+                        break
+                    a = (u[:, kk] * sv[kk]).reshape(d, d)
+                    b = vh[kk].reshape(d, d)
+                    term = _embed_one_site_sparse(a, i, length, d) @ _embed_one_site_sparse(
+                        b, j, length, d
+                    )
+                    acc = term if acc is None else acc + term
+                out.append(acc)
+            else:
+                msg = f"observables on {len(sites)} sites are not supported"
+                raise NotImplementedError(msg)
+        return out
 
     @staticmethod
     def _dense_observables(sim_params, length, d):
