@@ -31,6 +31,6 @@ res = checker.check(qft(5), qft(5, decompose_cp=True))
 print(f"[matrix] equivalent={res.equivalent} fidelity={res.fidelity:.10f}")
 
 # large: MPO backend with operator-entanglement diagnostics
-res = checker.check(qft(12), qft(12, decompose_cp=True), max_bond_dim=64)
+res = checker.check(qft(10), qft(10, decompose_cp=True), max_bond_dim=32)
 print(f"[{res.method}] equivalent={res.equivalent} fidelity={res.fidelity:.8f}")
 print("operator entanglement at cuts:", np.round(res.entanglement_entropies, 4))

@@ -23,7 +23,7 @@ res_free = mc.characterize(free, num_interventions=3, tau=0.5, seed=1)
 print("decoupled entropy:", res_free.entropy)
 
 # 3) Transformer surrogate trained on simulated sequences
-data = mc.sample(ham, num_interventions=2, tau=0.5, num_sequences=256, seed=0)
-surrogate = mc.train(data, epochs=100, seed=0)
+data = mc.sample(ham, num_interventions=2, tau=0.5, num_sequences=128, seed=0)
+surrogate = mc.train(data, epochs=40, seed=0)
 res_sur = mc.characterize(surrogate, seed=2)
 print("surrogate-based entropy:", np.round(res_sur.entropy, 4))

@@ -157,3 +157,21 @@ def test_truncation_keeps_norm_reasonable():
         tensors = sweep_2site(tensors, wj, dt, cfg)
     n2 = float(mps_ops.norm_squared(tensors))
     assert 0.9 < n2 <= 1.0 + 1e-9
+
+
+def test_complex64_sweep_accuracy():
+    """The TPU runs complex64; a c64 sweep must track the c128 sweep to
+    single-precision accuracy (guards the dtype-polymorphic kernels)."""
+    L, chi, dt = 6, 8, 0.05
+    w = ising_mpo(L, 1.0, 0.7)
+    t128 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    t64 = t128.astype(jnp.complex64)
+    cfg = TDVPConfig(krylov_dim=15, threshold=1e-6, max_bond_dim=chi)
+    out128 = sweep_2site(t128, jnp.asarray(w), dt, cfg)
+    out64 = sweep_2site(t64, jnp.asarray(w).astype(jnp.complex64), dt, cfg)
+    psi128 = np.asarray(mps_ops.to_statevector(out128))
+    psi64 = np.asarray(mps_ops.to_statevector(out64))
+    fid = abs(np.vdot(psi64, psi128)) ** 2 / (
+        np.vdot(psi64, psi64).real * np.vdot(psi128, psi128).real
+    )
+    assert fid > 1 - 1e-5, fid
