@@ -186,3 +186,47 @@ def test_mcwf_krylov_path_matches_dense_path():
     ctx = make_mcwf_krylov_context(ham.ensure_sparse(), [], obs_sparse, 0.1, krylov_dim=20)
     vals = np.asarray(mcwf_trajectory_krylov(jax.random.PRNGKey(0), jnp.asarray(psi0), ctx, 4))
     np.testing.assert_allclose(vals, res_dense.expectation_values, atol=1e-8)
+
+
+def test_two_site_nonpauli_noise_vs_lindblad():
+    """Adjacent two-site lowering noise (4x4 jump operator): TJM ensemble vs
+    exact Lindblad (reference two-site raising/lowering processes)."""
+    from yaqs_tpu import AnalogSimParams, Hamiltonian, Observable, Simulator, State
+    from yaqs_tpu.analog.embedding import embed_operator
+
+    L, dt, steps, gamma = 3, 0.1, 4, 0.3
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    h = ham.ensure_matrix()
+    # two-site lowering |00><11| on the pair: kron(lower, lower), first site
+    # most significant in the merged (d*d) basis
+    two_low = np.kron(lowering, lowering)
+    nm = NoiseModel([
+        {"name": "two_lower", "sites": [0, 1], "strength": gamma, "matrix": two_low},
+        {"name": "z", "sites": [2], "strength": 0.1},
+    ])
+    obs = [Observable("z", i) for i in range(L)]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=dt * steps, dt=dt, num_traj=300,
+        max_bond_dim=8, svd_threshold=1e-12, krylov_dim=15, order=2,
+        random_seed=3,
+    )
+    res = Simulator().run(State(L, state="ones"), ham, params, nm)
+
+    # dense Lindblad oracle: embed the merged-pair operator; merged index
+    # (s_b, s_{b+1}) with the LEFT site most significant
+    dense_jump = np.zeros((8, 8), dtype=complex)
+    t = two_low.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
+    u, sv, vh = np.linalg.svd(t)
+    for k in range(len(sv)):
+        if sv[k] < 1e-14:
+            break
+        a = (u[:, k] * sv[k]).reshape(2, 2)
+        b = vh[k].reshape(2, 2)
+        dense_jump += embed_operator({0: a, 1: b}, L)
+    jumps = [np.sqrt(gamma) * dense_jump, np.sqrt(0.1) * embed_one_site(pauli_z, 2, L)]
+    psi0 = State(L, state="ones").to_vector()
+    z_obs = [embed_one_site(pauli_z, i, L) for i in range(L)]
+    exact = lindblad_expectations(h, jumps, psi0, z_obs, dt, steps)
+    stderr = res.trajectories.std(axis=0) / np.sqrt(res.num_trajectories)
+    diff = np.abs(res.expectation_values - exact)
+    assert np.all(diff < 5 * stderr + 0.03), (diff.max(), stderr.max())

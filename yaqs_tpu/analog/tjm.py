@@ -156,8 +156,10 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     def sample(phi, j):
         """Measure a copy evolved by dt + dissipated dt/2 + jumped (indep. RNG)."""
         psi = evolve(phi, dt)
-        psi = apply_dissipation(psi, noise, dt / 2)
-        psi, _ = stochastic_process(psi, noise, dt, jax.random.fold_in(smpl_key, j))
+        psi = apply_dissipation(psi, noise, dt / 2, cfg)
+        psi, _ = stochastic_process(
+            psi, noise, dt, jax.random.fold_in(smpl_key, j), cfg
+        )
         diag = (
             _diagnostics(psi, cfg.threshold)
             if plan.record_diagnostics
@@ -167,8 +169,10 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
 
     def step_through(phi, j):
         phi = evolve(phi, dt)
-        phi = apply_dissipation(phi, noise, dt)
-        phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, j))
+        phi = apply_dissipation(phi, noise, dt, cfg)
+        phi, _ = stochastic_process(
+            phi, noise, dt, jax.random.fold_in(traj_key, j), cfg
+        )
         return phi
 
     obs0 = _evaluate(tensors0, observables)
@@ -179,8 +183,8 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     )
 
     # F0: dissipate dt/2 + jump
-    phi = apply_dissipation(tensors0, noise, dt / 2)
-    phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0))
+    phi = apply_dissipation(tensors0, noise, dt / 2, cfg)
+    phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0), cfg)
 
     obs1, diag1, psi1 = sample(phi, 1)
 
@@ -222,20 +226,20 @@ def _run_order1(
         j = xs[0] if plan.has_scheduled else xs
         state = evolve(state, dt)
         if noise is not None:
-            state = apply_dissipation(state, noise, dt)
+            state = apply_dissipation(state, noise, dt, plan.evolution)
             if plan.has_scheduled:
                 _, flag, mats = xs
                 state = jax.lax.cond(
                     flag,
                     lambda st: apply_scheduled(st, mats),
                     lambda st: stochastic_process(
-                        st, noise, dt, jax.random.fold_in(traj_key, j)
+                        st, noise, dt, jax.random.fold_in(traj_key, j), plan.evolution
                     )[0],
                     state,
                 )
             else:
                 state, _ = stochastic_process(
-                    state, noise, dt, jax.random.fold_in(traj_key, j)
+                    state, noise, dt, jax.random.fold_in(traj_key, j), plan.evolution
                 )
         elif plan.has_scheduled:
             _, flag, mats = xs

@@ -198,10 +198,25 @@ class CompiledNoise:
     ch_op2: jax.Array
     ch_weight_op: jax.Array
     ch_gamma: jax.Array
+    # adjacent non-Pauli two-site processes (merged-pair machinery)
+    diss2_evals: jax.Array  # (L-1, d^2) bond dissipator eigenvalues
+    diss2_evecs: jax.Array  # (L-1, d^2, d^2)
+    ch2_bond: jax.Array  # (nc2,)
+    ch2_op: jax.Array  # (nc2, d^2, d^2) jump operators on the merged pair
+    ch2_weight_op: jax.Array  # (nc2, d^2, d^2) L^dag L
+    ch2_gamma: jax.Array  # (nc2,)
 
     @property
     def num_channels(self) -> int:
         return self.ch_gamma.shape[0]
+
+    @property
+    def num_channels2(self) -> int:
+        return self.ch2_gamma.shape[0]
+
+    @property
+    def has_two_site(self) -> bool:
+        return self.ch2_gamma.shape[0] > 0 or bool(np.any(self.diss2_evals))
 
 
 def compile_noise(
@@ -225,8 +240,10 @@ def compile_noise(
         raise ValueError(msg)
 
     gens = np.zeros((length, d, d), dtype=dtype)
+    gens2 = np.zeros((max(length - 1, 1), d * d, d * d), dtype=dtype)
     site1, site2, gammas = [], [], []
     op1, op2, wop = [], [], []
+    ch2_bond, ch2_op, ch2_wop, ch2_gamma = [], [], [], []
     eye = np.eye(d, dtype=dtype)
 
     def emit(s1, s2, o1, o2, w, gamma):
@@ -267,14 +284,27 @@ def compile_noise(
                             raise NotImplementedError(msg)
                         f0, f1 = f0f1
                     emit(s0, s1, f0, f1, eye, gamma)
+                elif s1 - s0 == 1:
+                    # adjacent non-Pauli process: merged-pair dissipator +
+                    # merged-split jump application (reference
+                    # dissipation.py:142-172, stochastic_process.py jumps)
+                    m = proc["matrix"]
+                    if m.shape != (d * d, d * d):
+                        msg = f"adjacent two-site matrix must be ({d*d},{d*d})"
+                        raise ValueError(msg)
+                    gens2[s0] += gamma * (m.conj().T @ m)
+                    ch2_bond.append(s0)
+                    ch2_op.append(np.asarray(m, dtype=dtype))
+                    ch2_wop.append(np.asarray(m.conj().T @ m, dtype=dtype))
+                    ch2_gamma.append(gamma)
                 else:
                     msg = (
-                        "Non-Pauli two-site noise processes are not supported "
-                        "by the TPU TJM kernels yet."
+                        "Non-Pauli long-range two-site noise processes are "
+                        "not supported (reference parity)."
                     )
                     raise NotImplementedError(msg)
 
-    if not gammas:
+    if not gammas and not ch2_gamma:
         return None
 
     evals = np.zeros((length, d))
@@ -284,18 +314,35 @@ def compile_noise(
         evals[i] = lam
         evecs[i] = v
 
+    evals2 = np.zeros((max(length - 1, 1), d * d))
+    evecs2 = np.tile(np.eye(d * d, dtype=dtype), (max(length - 1, 1), 1, 1))
+    if ch2_gamma:
+        for b in range(length - 1):
+            lam2, v2 = np.linalg.eigh(gens2[b])
+            evals2[b] = lam2
+            evecs2[b] = v2
+
+    def arr(x, dtype_, tail):
+        return np.asarray(x, dtype=dtype_) if len(x) else np.zeros((0,) + tail, dtype=dtype_)
+
     # Leaves stay host-side numpy: complex device arrays cannot round-trip to
     # the host on the tunneled TPU platform, so they must enter jit as call
     # arguments or host constants (see yaqs_tpu.utils.host).
     return CompiledNoise(
         diss_evals=np.asarray(evals),
         diss_evecs=np.asarray(evecs),
-        ch_site1=np.asarray(site1, dtype=np.int32),
-        ch_site2=np.asarray(site2, dtype=np.int32),
-        ch_op1=np.stack(op1),
-        ch_op2=np.stack(op2),
-        ch_weight_op=np.stack(wop),
-        ch_gamma=np.asarray(gammas),
+        ch_site1=arr(site1, np.int32, ()),
+        ch_site2=arr(site2, np.int32, ()),
+        ch_op1=np.stack(op1) if op1 else np.zeros((0, d, d), dtype),
+        ch_op2=np.stack(op2) if op2 else np.zeros((0, d, d), dtype),
+        ch_weight_op=np.stack(wop) if wop else np.zeros((0, d, d), dtype),
+        ch_gamma=arr(gammas, np.float64, ()),
+        diss2_evals=evals2,
+        diss2_evecs=evecs2,
+        ch2_bond=arr(ch2_bond, np.int32, ()),
+        ch2_op=np.stack(ch2_op) if ch2_op else np.zeros((0, d * d, d * d), dtype),
+        ch2_weight_op=np.stack(ch2_wop) if ch2_wop else np.zeros((0, d * d, d * d), dtype),
+        ch2_gamma=arr(ch2_gamma, np.float64, ()),
     )
 
 

@@ -262,6 +262,12 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     sampled_noise = simulator._sample_noise(noise_model, sim_params)
     noisy = sampled_noise is not None and not sampled_noise.all_zero()
     noise = compile_noise(sampled_noise, length, d) if noisy else None
+    if noise is not None and noise.ch2_gamma.shape[0] > 0:
+        msg = (
+            "adjacent non-Pauli two-site noise is not supported on the "
+            "digital path yet (use factored/Pauli processes)"
+        )
+        raise NotImplementedError(msg)
 
     tensors0 = initial_state.to_padded_mps(chi)
     cfg = TDVPConfig(
