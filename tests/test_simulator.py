@@ -155,3 +155,23 @@ def test_static_disorder_sampling():
     result2 = Simulator().run(state, ham, params, noise)
     strengths2 = [p["strength"] for p in result2.noise_model.processes]
     np.testing.assert_allclose(strengths, strengths2)
+
+
+def test_noise_validation_rejects_bad_sites():
+    import pytest
+
+    state, ham, params, _ = tfim_setup(3)
+    bad = NoiseModel([{"name": "z", "sites": [7], "strength": 0.1}])
+    with pytest.raises(ValueError, match="outside"):
+        Simulator().run(state, ham, params, bad)
+
+
+def test_noise_validation_rejects_bad_matrix_shape():
+    import pytest
+
+    state, ham, params, _ = tfim_setup(3)
+    bad = NoiseModel(
+        [{"name": "c", "sites": [0], "strength": 0.1, "matrix": np.eye(4)}]
+    )
+    with pytest.raises(ValueError, match="shape"):
+        Simulator().run(state, ham, params, bad)

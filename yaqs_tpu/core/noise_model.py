@@ -29,7 +29,7 @@ import numpy as np
 
 from ..models.operators import PAULI, is_pauli_matrix, noise_operator
 
-__all__ = ["NoiseModel", "CompiledNoise", "compile_noise"]
+__all__ = ["NoiseModel", "CompiledNoise", "compile_noise", "validate_noise_model_for_run"]
 
 _CROSSTALK_RE = re.compile(r"^(longrange_)?crosstalk_([xyz])([xyz])$")
 
@@ -164,6 +164,47 @@ class NoiseModel:
         return all(
             not isinstance(p["strength"], dict) and p["strength"] == 0 for p in self.processes
         )
+
+
+def validate_noise_model_for_run(model: NoiseModel | None, length: int, d: int = 2) -> None:
+    """Run-context validation (reference noise_model.py:668-773): site ranges,
+    operator dimensions, finite nonnegative strengths."""
+    if model is None:
+        return
+    for proc in model.processes:
+        sites = proc["sites"]
+        for s_ in sites:
+            if not 0 <= s_ < length:
+                msg = f"noise process {proc['name']!r} acts on site {s_} outside [0, {length})"
+                raise ValueError(msg)
+        strength = proc["strength"]
+        if not isinstance(strength, dict):
+            if not np.isfinite(strength):
+                msg = f"noise strength for {proc['name']!r} must be finite"
+                raise ValueError(msg)
+            if strength < 0:
+                msg = f"noise strength for {proc['name']!r} must be nonnegative"
+                raise ValueError(msg)
+        if "matrix" in proc:
+            expected = d ** len(sites)
+            if proc["matrix"].shape != (expected, expected):
+                msg = (
+                    f"noise operator for {proc['name']!r} has shape "
+                    f"{proc['matrix'].shape}, expected ({expected}, {expected})"
+                )
+                raise ValueError(msg)
+        if "factors" in proc:
+            for f in proc["factors"]:
+                if f.shape != (d, d):
+                    msg = f"noise factors for {proc['name']!r} must be ({d}, {d})"
+                    raise ValueError(msg)
+    for jump in model.scheduled_jumps:
+        sites = jump["sites"]
+        sites = [sites] if isinstance(sites, int) else list(sites)
+        for s_ in sites:
+            if not 0 <= s_ < length:
+                msg = f"scheduled jump acts on site {s_} outside [0, {length})"
+                raise ValueError(msg)
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ from .analog.mcwf import (
 from .analog.tjm import TrajectoryPlan, sample_key, tjm_trajectory, trajectory_key
 from .methods.scheduled_jumps import compile_scheduled_jumps
 from .core.hamiltonian import Hamiltonian
-from .core.noise_model import NoiseModel, compile_noise
+from .core.noise_model import NoiseModel, compile_noise, validate_noise_model_for_run
 from .core.observables import compile_observables
 from .core.result import Result
 from .core.sim_params import AnalogSimParams, DigitalSimParams
@@ -259,6 +259,7 @@ class Simulator:
             raise TypeError(msg)
 
         sampled_noise = self._sample_noise(noise_model, sim_params)
+        validate_noise_model_for_run(sampled_noise, initial_state.length, initial_state.d)
         rep = initial_state.representation
         if rep == "mps":
             result = self._run_analog_tjm(initial_state, ham, sim_params, sampled_noise)
