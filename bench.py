@@ -52,6 +52,7 @@ CHI = int(os.environ.get("BENCH_CHI", 64))
 DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 KRYLOV = int(os.environ.get("BENCH_KRYLOV", 12))
+SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 REPS = int(os.environ.get("BENCH_REPS", 2))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
@@ -88,6 +89,7 @@ def main() -> None:
             trunc_mode="discarded_weight",
             threshold=1e-6,
             max_bond_dim=CHI,
+            svd_method=SVD_METHOD,
         ),
     )
 

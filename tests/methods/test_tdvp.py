@@ -175,3 +175,27 @@ def test_complex64_sweep_accuracy():
         np.vdot(psi64, psi64).real * np.vdot(psi128, psi128).real
     )
     assert fid > 1 - 1e-5, fid
+
+
+def test_subspace_split_sweep_accuracy():
+    """The SVD-free subspace split must track the exact-split sweep closely
+    (fast TPU path; truncation is keep-all at the padded cap)."""
+    L, chi, dt, steps = 6, 8, 0.05, 4
+    w = ising_mpo(L, 1.0, 0.8)
+    t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    wj = jnp.asarray(w)
+    exact_cfg = TDVPConfig(krylov_dim=20, threshold=1e-14, max_bond_dim=chi)
+    fast_cfg = TDVPConfig(krylov_dim=20, threshold=1e-14, max_bond_dim=chi, svd_method="subspace")
+    te, tf = t0, t0
+    for _ in range(steps):
+        te = sweep_2site(te, wj, dt, exact_cfg)
+        tf = sweep_2site(tf, wj, dt, fast_cfg)
+    pe = np.asarray(mps_ops.to_statevector(te))
+    pf = np.asarray(mps_ops.to_statevector(tf))
+    fid = abs(np.vdot(pe, pf)) ** 2 / (np.vdot(pe, pe).real * np.vdot(pf, pf).real)
+    assert fid > 1 - 1e-8, fid
+    # also against the dense oracle
+    h = mpo_to_matrix(w)
+    psi0 = np.asarray(mps_ops.to_statevector(t0))
+    expected = dense_evolve(h, psi0, dt * steps)
+    assert fidelity(pf, expected) > 1 - 1e-7

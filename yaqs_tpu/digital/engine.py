@@ -45,6 +45,10 @@ __all__ = ["run_digital", "apply_segment", "sample_bitstrings"]
 
 
 def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
+    if cfg.svd_method == "subspace":
+        from ..ops.decomp import split_two_site_subspace
+
+        return split_two_site_subspace(theta, chi, svd_distribution=distribution)
     return split_two_site_truncated(
         theta,
         chi,

@@ -52,9 +52,13 @@ def apply_dissipation(
     ``trunc`` (a TDVPConfig-like object) supplies the split policy when
     adjacent non-Pauli two-site dissipators are present (reference
     dissipation.py:142-172 merged+split sweep).
+
+    The output is generally NOT canonical: the subsequent stochastic process
+    computes its jump weights gauge-free, and renormalization restores the
+    canonical form — skipping a full QR sweep per dissipation call.
     """
     if noise is None:
-        return canonicalize_right(tensors)
+        return tensors  # engines call this on already-canonical states
     ops = dissipation_operators(noise, dt)
     tensors = apply_operator_everywhere(tensors, ops)
     if noise.ch2_gamma.shape[0] > 0:
@@ -79,4 +83,4 @@ def apply_dissipation(
         tensors, _ = jax.lax.scan(
             body, tensors, (jnp.arange(length - 1), bond_ops)
         )
-    return canonicalize_right(tensors)
+    return tensors

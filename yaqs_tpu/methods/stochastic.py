@@ -4,14 +4,16 @@ Reimplements the reference's jump sampler (mqt-yaqs
 core/methods/stochastic_process.py) with dense per-channel weights and masked
 application so it traces under jit and batches under vmap:
 
-- jump probability = norm deficit ``1 - <psi|psi>`` of the canonical-at-0
-  post-dissipation state;
-- channel weights ``dt * gamma_k * <psi|L_k^dag L_k|psi>`` computed for *all*
-  channels in one pass from shared left Gram environments (the reference
-  already computes every channel's weight to build its PDF);
+- jump probability = norm deficit ``1 - <psi|psi>`` of the post-dissipation
+  state;
+- channel weights ``dt * gamma_k * <psi|L_k^dag L_k|psi>`` come from per-site
+  *moment matrices* ``T_i[b,k] = <psi| |b><k|_i |psi>`` computed in two
+  transfer scans (left and right Gram environments) — gauge-free, so the
+  dissipation step does not need to re-canonicalize first, and the cost is
+  O(L chi^3) total instead of per-channel;
 - the selected channel applies its two (site, operator) slots with dynamic
-  indexing — one-site channels carry an identity in slot 2;
-- the state is renormalized in both branches (the reference discards the
+  indexing; adjacent non-Pauli two-site channels use a merged-split;
+- the state is renormalized once at the end (the reference discards the
   leftover QR factor at the boundary, normalizing implicitly).
 """
 
@@ -22,61 +24,101 @@ import jax.numpy as jnp
 
 from ..core.mps_ops import (
     apply_one_site_operator,
-    left_gram_environments,
-    norm_squared_center0,
     normalize_canonical,
+    transfer_right,
 )
 from ..core.noise_model import CompiledNoise
 from ..ops.decomp import merge_two_site, split_two_site_truncated
 
-__all__ = ["channel_weights", "channel_weights2", "stochastic_process"]
+__all__ = [
+    "site_moment_matrices",
+    "channel_weights",
+    "channel_weights2",
+    "stochastic_process",
+]
 
 
-def channel_weights(tensors: jnp.ndarray, noise: CompiledNoise, dt) -> jnp.ndarray:
-    """Unnormalized jump weights ``dt * gamma_k * <psi|(L^dag L)_k|psi>``.
+def _left_envs(tensors):
+    chi = tensors.shape[-1]
+    env0 = jnp.eye(chi, dtype=tensors.dtype)
 
-    Expects canonical form at site 0 (any norm). For two-site Pauli channels
-    the weight operator is the identity, giving ``dt * gamma * <psi|psi>``
-    exactly as the reference's Pauli shortcut.
+    def step(env, a):
+        return transfer_right(env, a, a), env
+
+    last, envs = jax.lax.scan(step, env0, tensors)
+    return envs, last  # envs[i] = before site i; last = full Gram (norm^2)
+
+
+def right_gram_environments(tensors: jnp.ndarray) -> jnp.ndarray:
+    """``rhoR[i]`` = Gram of sites > i contracted from the right, ``(L, chi, chi)``
+    (``rhoR[i]`` applies to the right leg of site ``i``)."""
+    chi = tensors.shape[-1]
+    env0 = jnp.eye(chi, dtype=tensors.dtype)
+
+    def step(env, a):
+        tmp = jnp.einsum("slt,rt->slr", a, env)
+        new = jnp.einsum("slr,smr->lm", a.conj(), tmp)
+        return new, env
+
+    _, envs_rev = jax.lax.scan(step, env0, jnp.flip(tensors, 0))
+    return jnp.flip(envs_rev, 0)
+
+
+def site_moment_matrices(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-site moments ``T_i[b,k] = <psi| (|k><b|)_i |psi>`` (gauge-free).
+
+    Returns ``(T (L, d, d), norm2)`` from one left and one right transfer scan.
     """
-    envs = left_gram_environments(tensors)
+    left_envs, full = _left_envs(tensors)
+    right_envs = right_gram_environments(tensors)
 
-    def one(site, wop):
-        a = tensors[site]
-        env = envs[site]
-        return jnp.real(
-            jnp.einsum("blr,bk,kmr,lm->", a.conj(), wop.astype(a.dtype), a, env)
-        )
+    def one(a, rho_l, rho_r):
+        tmp = jnp.einsum("lm,kms->kls", rho_l, a)
+        tmp = jnp.einsum("kls,rs->klr", tmp, rho_r)
+        return jnp.einsum("blr,klr->bk", a.conj(), tmp)
 
-    vals = jax.vmap(one)(noise.ch_site1, noise.ch_weight_op)
-    return dt * noise.ch_gamma * vals
+    t = jax.vmap(one)(tensors, left_envs, right_envs)
+    return t, jnp.real(jnp.trace(full))
+
+
+def channel_weights(
+    tensors: jnp.ndarray, noise: CompiledNoise, dt, moments=None
+) -> jnp.ndarray:
+    """``dt * gamma_k * <psi|(L^dag L)_k|psi>`` for the one-site channel table."""
+    if moments is None:
+        moments, _ = site_moment_matrices(tensors)
+    t_at = moments[jnp.asarray(noise.ch_site1)]  # (nc, d, d)
+    vals = jnp.real(jnp.einsum("kbc,kbc->k", jnp.asarray(noise.ch_weight_op), t_at))
+    return dt * jnp.asarray(noise.ch_gamma) * vals
 
 
 def channel_weights2(tensors: jnp.ndarray, noise: CompiledNoise, dt) -> jnp.ndarray:
-    """Weights for adjacent non-Pauli two-site channels:
-    ``dt gamma <psi|(L^dag L)_{b,b+1}|psi>`` from merged-pair contractions."""
-    envs = left_gram_environments(tensors)
+    """Weights for adjacent non-Pauli two-site channels via merged-pair
+    contractions (gauge-free: left and right Gram environments)."""
+    left_envs, _ = _left_envs(tensors)
+    right_envs = right_gram_environments(tensors)
     d = tensors.shape[1]
     chi = tensors.shape[-1]
 
     def one(bond, wop):
         theta = merge_two_site(tensors[bond], tensors[bond + 1])
-        env = envs[bond]
         th = theta.reshape(d * d, chi, chi)
-        val = jnp.einsum(
-            "alr,ab,bmr,lm->", th.conj(), wop.astype(th.dtype), th, env
-        )
+        rho_l = left_envs[bond]
+        rho_r = right_envs[bond + 1]
+        tmp = jnp.einsum("lm,kms->kls", rho_l, th)
+        tmp = jnp.einsum("kls,rs->klr", tmp, rho_r)
+        val = jnp.einsum("alr,ab,blr->", th.conj(), wop.astype(th.dtype), tmp)
         return jnp.real(val)
 
-    vals = jax.vmap(one)(noise.ch2_bond, noise.ch2_weight_op)
-    return dt * noise.ch2_gamma * vals
+    vals = jax.vmap(one)(jnp.asarray(noise.ch2_bond), jnp.asarray(noise.ch2_weight_op))
+    return dt * jnp.asarray(noise.ch2_gamma) * vals
 
 
 def _apply_channel(tensors: jnp.ndarray, noise: CompiledNoise, idx) -> jnp.ndarray:
-    op1 = noise.ch_op1[idx]
-    op2 = noise.ch_op2[idx]
-    s1 = noise.ch_site1[idx]
-    s2 = noise.ch_site2[idx]
+    op1 = jnp.asarray(noise.ch_op1)[idx]
+    op2 = jnp.asarray(noise.ch_op2)[idx]
+    s1 = jnp.asarray(noise.ch_site1)[idx]
+    s2 = jnp.asarray(noise.ch_site2)[idx]
     tensors = apply_one_site_operator(tensors, op1, s1)
     # slot 2 is the identity at s2 == s1 for one-site channels; applying it is
     # a no-op, so no control flow is needed.
@@ -91,8 +133,8 @@ def _apply_channel(tensors: jnp.ndarray, noise: CompiledNoise, idx) -> jnp.ndarr
 def _apply_channel2(tensors: jnp.ndarray, noise: CompiledNoise, idx, trunc) -> jnp.ndarray:
     """Apply an adjacent non-Pauli two-site jump via merged-split."""
     length, d, chi, _ = tensors.shape
-    bond = noise.ch2_bond[idx]
-    op = noise.ch2_op[idx]
+    bond = jnp.asarray(noise.ch2_bond)[idx]
+    op = jnp.asarray(noise.ch2_op)[idx]
     theta = merge_two_site(tensors[bond], tensors[bond + 1])
     th = theta.reshape(d * d, chi * chi)
     th = (op.astype(th.dtype) @ th).reshape(d, d, chi, chi)
@@ -113,29 +155,30 @@ def stochastic_process(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One jump-or-not step. Returns ``(tensors, jumped)``.
 
-    Input: canonical at site 0, norm <= 1 (post-dissipation). Output:
-    canonical at site 0, normalized.
+    Input: any gauge (typically canonical-at-0 modified by per-site
+    dissipators), norm <= 1. Output: canonical at site 0, normalized.
     """
     if noise is None:
         out, _ = normalize_canonical(tensors)
         return out, jnp.asarray(False)
 
-    key_decide, key_choose = jax.random.split(key)
-    n2 = norm_squared_center0(tensors)
-    dp = 1.0 - n2
-    u = jax.random.uniform(key_decide, dtype=n2.dtype)
-    jumped = u < dp
-
     nc1 = noise.ch_gamma.shape[0]
     nc2 = noise.ch2_gamma.shape[0]
 
+    moments, n2 = site_moment_matrices(tensors)
+    dp = 1.0 - n2
+    key_decide, key_choose = jax.random.split(key)
+    u = jax.random.uniform(key_decide, dtype=n2.dtype)
+    jumped = u < dp
+
+    w1 = channel_weights(tensors, noise, dt, moments) if nc1 else jnp.zeros((0,))
+    w2 = channel_weights2(tensors, noise, dt) if nc2 else jnp.zeros((0,))
+    w = jnp.concatenate([jnp.maximum(w1, 0.0), jnp.maximum(w2, 0.0)])
+    total = jnp.sum(w)
+    safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
+    idx = jax.random.categorical(key_choose, jnp.log(safe_w))
+
     def do_jump(t):
-        w1 = channel_weights(t, noise, dt) if nc1 else jnp.zeros((0,))
-        w2 = channel_weights2(t, noise, dt) if nc2 else jnp.zeros((0,))
-        w = jnp.concatenate([jnp.maximum(w1, 0.0), jnp.maximum(w2, 0.0)])
-        total = jnp.sum(w)
-        safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
-        idx = jax.random.categorical(key_choose, jnp.log(safe_w))
         if nc2 == 0:
             return _apply_channel(t, noise, idx)
         if nc1 == 0:

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.decomp import merge_two_site, split_two_site_truncated
+from ..ops.decomp import merge_two_site, split_two_site_subspace, split_two_site_truncated
 from ..ops.krylov import lanczos_expm_apply
 
 __all__ = [
@@ -60,6 +60,7 @@ class TDVPConfig:
     max_bond_dim: int | None = None
     mode: str = "2site"  # "1site" | "2site"
     sweeps: int = 1  # substeps of dt/sweeps each
+    svd_method: str = "exact"  # "exact" | "subspace" (fast TPU splits)
 
     @property
     def min_keep(self) -> int:
@@ -149,6 +150,8 @@ def heff_bond(f, g, c):
 
 
 def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
+    if cfg.svd_method == "subspace":
+        return split_two_site_subspace(theta, chi, svd_distribution=distribution)
     return split_two_site_truncated(
         theta,
         chi,
