@@ -87,3 +87,16 @@ def test_lanczos_vmap(seed):
     for i in range(4):
         expected = scipy.linalg.expm(-1j * dt * h) @ vs[i]
         np.testing.assert_allclose(got[i], expected, atol=1e-9)
+
+
+def test_lanczos_no_reorth_accuracy(seed):
+    rng = np.random.default_rng(seed)
+    n = 128
+    h = random_hermitian(n, rng)
+    v = rng.normal(size=n) + 1j * rng.normal(size=n)
+    dt = 0.05
+    expected = scipy.linalg.expm(-1j * dt * h) @ v
+    hj = jnp.asarray(h)
+    got = lanczos_expm_apply(lambda x: hj @ x, jnp.asarray(v), -1j * dt, k=12,
+                             reorthogonalize=False)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-7)

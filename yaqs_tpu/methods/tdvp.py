@@ -61,6 +61,8 @@ class TDVPConfig:
     mode: str = "2site"  # "1site" | "2site"
     sweeps: int = 1  # substeps of dt/sweeps each
     svd_method: str = "exact"  # "exact" | "subspace" (fast TPU splits)
+    subspace_iters: int = 2  # power iterations for the subspace split
+    lanczos_reorth: bool = True  # full reorthogonalization in Lanczos
 
     @property
     def min_keep(self) -> int:
@@ -151,7 +153,9 @@ def heff_bond(f, g, c):
 
 def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
     if cfg.svd_method == "subspace":
-        return split_two_site_subspace(theta, chi, svd_distribution=distribution)
+        return split_two_site_subspace(
+            theta, chi, iters=cfg.subspace_iters, svd_distribution=distribution
+        )
     return split_two_site_truncated(
         theta,
         chi,
@@ -182,11 +186,11 @@ def sweep_2site(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> 
 
     def evolve_theta(f, w1, w2, g, theta, coeff):
         mv = lambda th: heff_two_site(f, w1, w2, g, th)
-        return lanczos_expm_apply(mv, theta, coeff, k=kdim)
+        return lanczos_expm_apply(mv, theta, coeff, k=kdim, reorthogonalize=cfg.lanczos_reorth)
 
     def evolve_site(f, w, g, a, coeff):
         mv = lambda x: heff_one_site(f, w, g, x)
-        return lanczos_expm_apply(mv, a, coeff, k=kdim)
+        return lanczos_expm_apply(mv, a, coeff, k=kdim, reorthogonalize=cfg.lanczos_reorth)
 
     # ---- L→R over bonds 0..L-3 ------------------------------------------
     def ltr_body(carry, i):

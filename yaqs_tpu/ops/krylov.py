@@ -34,6 +34,7 @@ def lanczos_expm_apply(
     coeff: complex,
     k: int = DEFAULT_KRYLOV_DIM,
     breakdown_tol: float | None = None,
+    reorthogonalize: bool = True,
 ) -> jnp.ndarray:
     """Compute ``exp(coeff * A) @ v`` for Hermitian ``A`` via Lanczos.
 
@@ -71,12 +72,16 @@ def lanczos_expm_apply(
     betas = jnp.zeros((kk,), dtype=rdtype)  # betas[j] couples j and j+1
 
     def fori_body(j, state):
-        V, alphas, betas, q, alive = state
+        V, alphas, betas, q, q_prev, beta_prev, alive = state
         V = V.at[j].set(jnp.where(alive, 1.0, 0.0) * q)
         w = matvec(q.reshape(shape)).reshape(-1)
         alpha = jnp.real(jnp.vdot(q, w)).astype(rdtype)
-        w = w - (V.conj() @ w) @ V
-        w = w - (V.conj() @ w) @ V
+        if reorthogonalize:
+            w = w - (V.conj() @ w) @ V
+            w = w - (V.conj() @ w) @ V
+        else:
+            # plain three-term recurrence (cheaper; fine for small k)
+            w = w - alpha.astype(cdtype) * q - beta_prev.astype(cdtype) * q_prev
         beta = jnp.linalg.norm(w).astype(rdtype)
         broke = beta <= breakdown_tol
         alive_next = jnp.logical_and(alive, jnp.logical_not(broke))
@@ -84,10 +89,13 @@ def lanczos_expm_apply(
         q_next = jnp.where(alive_next, w / safe_beta, jnp.zeros_like(w))
         alphas = alphas.at[j].set(jnp.where(alive, alpha, 0.0))
         betas = betas.at[j].set(jnp.where(alive_next, beta, 0.0))
-        return (V, alphas, betas, q_next, alive_next)
+        return (V, alphas, betas, q_next, q, beta, alive_next)
 
-    V, alphas, betas, _, _ = jax.lax.fori_loop(
-        0, kk, fori_body, (V, alphas, betas, q0, jnp.asarray(True))
+    V, alphas, betas, _, _, _, _ = jax.lax.fori_loop(
+        0,
+        kk,
+        fori_body,
+        (V, alphas, betas, q0, jnp.zeros_like(q0), jnp.zeros((), rdtype), jnp.asarray(True)),
     )
 
     # exp(coeff * T) e0 for the (kk, kk) real symmetric tridiagonal T.
