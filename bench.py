@@ -53,6 +53,8 @@ DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 KRYLOV = int(os.environ.get("BENCH_KRYLOV", 12))
 SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
+SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 1))
+REORTH = os.environ.get("BENCH_REORTH", "0") == "1"
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 REPS = int(os.environ.get("BENCH_REPS", 2))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
@@ -90,6 +92,8 @@ def main() -> None:
             threshold=1e-6,
             max_bond_dim=CHI,
             svd_method=SVD_METHOD,
+            subspace_iters=SUBSPACE_ITERS,
+            lanczos_reorth=REORTH,
         ),
     )
 
