@@ -1,0 +1,276 @@
+"""Gate-mode routing (swaps / tdvp / full-tdvp / mpo) and >=3-qubit gates:
+every mode must agree with dense statevector simulation (reference
+apply_two_qubit_gate routing, digital_tjm.py:394-460)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from yaqs_tpu import DigitalSimParams, Observable, Simulator, State
+from yaqs_tpu.core.mpo_builders import gate_product_terms
+from yaqs_tpu.digital.circuit import Circuit
+from yaqs_tpu.digital.compile import CompiledSegment, GateStage, compile_circuit
+from yaqs_tpu.models.gates import gate_generator, gate_matrix, permute_qubits
+
+from test_engine import run_dense, zexp
+
+MODES = ["swaps", "tdvp", "full-tdvp", "mpo"]
+
+
+# ---------------------------------------------------------------------------
+# Generator library
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("name", "params"),
+    [
+        ("cx", ()),
+        ("cz", ()),
+        ("cy", ()),
+        ("ch", ()),
+        ("cp", (0.7,)),
+        ("crx", (0.5,)),
+        ("cry", (-0.8,)),
+        ("crz", (1.1,)),
+        ("cu3", (0.4, 0.2, -0.3)),
+        ("rxx", (0.6,)),
+        ("ryy", (0.6,)),
+        ("rzz", (-0.9,)),
+        ("rzx", (0.35,)),
+        ("ccx", ()),
+        ("ccz", ()),
+    ],
+)
+def test_gate_generator_exponentiates_to_gate(name, params):
+    factors = gate_generator(name, params)
+    assert factors is not None
+    g = factors[0]
+    for f in factors[1:]:
+        g = np.kron(g, f)
+    got = scipy.linalg.expm(-1j * g)
+    np.testing.assert_allclose(got, gate_matrix(name, params), atol=1e-12)
+
+
+def test_gates_without_product_generator():
+    assert gate_generator("swap") is None
+    assert gate_generator("iswap") is None
+    assert gate_generator("cswap") is None
+
+
+# ---------------------------------------------------------------------------
+# Product-term decomposition
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["cx", "swap", "iswap", "ccx", "cswap", "ccz"])
+def test_gate_product_terms_reconstruct(name):
+    mat = gate_matrix(name)
+    k = int(np.log2(mat.shape[0]))
+    terms = gate_product_terms(mat, k)
+    acc = np.zeros_like(mat)
+    for factors in terms:
+        t = factors[0]
+        for f in factors[1:]:
+            t = np.kron(t, f)
+        acc = acc + t
+    np.testing.assert_allclose(acc, mat, atol=1e-12)
+    assert len(terms) <= 4 ** (k - 1)
+
+
+def test_from_gate_three_site():
+    """from_gate treats the first listed site as the matrix's most significant
+    index (matching dense_apply's listed-qubit convention); to_matrix uses
+    site 0 as the least significant kron factor."""
+    from test_engine import dense_apply
+
+    from yaqs_tpu import MPO
+
+    mat = gate_matrix("ccx")
+    for sites, length in ([0, 1, 2], 3), ([0, 2, 3], 4):
+        mpo = MPO.from_gate(mat, sites, length)
+        dense = mpo.to_matrix()
+        psi = np.random.default_rng(0).normal(size=2**length) + 0j
+        np.testing.assert_allclose(
+            dense @ psi, dense_apply(psi, mat, sites, length), atol=1e-12
+        )
+
+
+# ---------------------------------------------------------------------------
+# Compile routing
+# ---------------------------------------------------------------------------
+
+
+def _stage_kinds(circ, mode):
+    cc = compile_circuit(circ, mode)
+    kinds = []
+    for plan in cc.segments:
+        for s in plan.stages:
+            kinds.append(s.kind if isinstance(s, GateStage) else "layers")
+    return kinds
+
+
+def test_routing_matrix():
+    c = Circuit(5)
+    c.cx(0, 1)  # nearest neighbor
+    c.cx(0, 4)  # distant
+    assert _stage_kinds(c, "swaps") == ["layers"]
+    assert _stage_kinds(c, "mpo") == ["layers", "mpo"]
+    assert _stage_kinds(c, "tdvp") == ["layers", "window"]
+    # full-tdvp windows even the nearest-neighbor gate
+    assert _stage_kinds(c, "full-tdvp") == ["window", "window"]
+
+    c2 = Circuit(3)
+    c2.append("swap", (0, 2))  # no generator -> MPO even in tdvp mode
+    assert _stage_kinds(c2, "tdvp") == ["mpo"]
+
+    c3 = Circuit(4)
+    c3.append("ccx", (0, 1, 2))
+    assert _stage_kinds(c3, "swaps") == ["mpo"]  # no TEBD path for 3q
+    assert _stage_kinds(c3, "tdvp") == ["window"]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end agreement with dense statevector, all modes
+# ---------------------------------------------------------------------------
+
+
+EXACT_MODES = ["swaps", "mpo"]  # tdvp/full-tdvp are approximate at gate times
+# by design (reference's own long-range-RZZ global-fidelity target is ~0.9777
+# at one sweep, test_digital_tjm.py:731)
+
+
+def _run_modes(c, length, modes=EXACT_MODES, chi=16, atol=1e-6, **extra):
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[0] = 1.0
+    psi_exact = run_dense(c, psi0)
+    exact = [zexp(psi_exact, i, length) for i in range(length)]
+    for mode in modes:
+        params = DigitalSimParams(
+            observables=[Observable("z", i) for i in range(length)],
+            max_bond_dim=chi,
+            svd_threshold=1e-12,
+            random_seed=3,
+            gate_mode=mode,
+            **extra,
+        )
+        res = Simulator().run(State(length), c, params, None)
+        np.testing.assert_allclose(
+            res.expectation_values[:, -1], exact, atol=atol, err_msg=mode
+        )
+
+
+def test_long_range_cx_exact_modes():
+    length = 5
+    c = Circuit(length)
+    c.h(0)
+    c.h(2)
+    c.cx(0, 4)
+    c.cx(4, 1)  # reversed order
+    c.append("rzz", (0, 3), params=(0.7,))
+    _run_modes(c, length)
+
+
+def test_long_range_parameterized_exact_modes():
+    length = 4
+    c = Circuit(length)
+    for q in range(length):
+        c.h(q)
+    c.append("cp", (0, 3), params=(0.9,))
+    c.append("rxx", (1, 3), params=(0.4,))
+    c.append("crz", (3, 0), params=(-0.6,))
+    _run_modes(c, length)
+
+
+def test_three_qubit_gates_exact_modes():
+    length = 4
+    c = Circuit(length)
+    c.h(0)
+    c.h(1)
+    c.append("ccx", (0, 1, 2))
+    c.append("ccz", (1, 2, 3))
+    c.h(3)
+    c.append("cswap", (3, 1, 0))  # listed non-ascending, no generator
+    _run_modes(c, length)
+
+
+def test_window_tdvp_rzz_local_z_exact():
+    """Long-range RZZ on |+>^L leaves every <Z_i> at zero — the reference's
+    documented exactness guarantee for the tdvp route (test_digital_tjm.py:731)."""
+    length = 6
+    c = Circuit(length)
+    for q in range(length):
+        c.h(q)
+    c.append("rzz", (0, length - 1), params=(np.pi / 2,))
+    for mode in ("tdvp", "full-tdvp"):
+        params = DigitalSimParams(
+            observables=[Observable("z", i) for i in range(length)],
+            max_bond_dim=16,
+            svd_threshold=1e-12,
+            random_seed=3,
+            gate_mode=mode,
+        )
+        res = Simulator().run(State(length), c, params, None)
+        np.testing.assert_allclose(
+            res.expectation_values[:, -1], 0.0, atol=1e-7, err_msg=mode
+        )
+
+
+def test_window_tdvp_converges_with_sweeps():
+    """The gate-time splitting error of the window-TDVP route shrinks as
+    tdvp_sweeps subdivides the unit gate time (reference tdvp.py:24-67)."""
+    length = 5
+    c = Circuit(length)
+    c.h(0)
+    c.cx(0, 4)
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[0] = 1.0
+    psi_exact = run_dense(c, psi0)
+    exact = np.asarray([zexp(psi_exact, i, length) for i in range(length)])
+    errs = []
+    for sweeps in (1, 4, 16):
+        params = DigitalSimParams(
+            observables=[Observable("z", i) for i in range(length)],
+            max_bond_dim=16,
+            svd_threshold=1e-12,
+            random_seed=3,
+            gate_mode="tdvp",
+            tdvp_sweeps=sweeps,
+        )
+        res = Simulator().run(State(length), c, params, None)
+        errs.append(np.abs(res.expectation_values[:, -1] - exact).max())
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[2] < 0.02, errs
+
+
+def test_noisy_long_range_mpo_mode_smoke():
+    """Noise scoping on gate stages: runs and stays physical."""
+    from yaqs_tpu import NoiseModel
+
+    length = 4
+    c = Circuit(length)
+    c.h(0)
+    c.cx(0, 3)
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(length)]
+    )
+    params = DigitalSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        num_traj=32,
+        max_bond_dim=8,
+        random_seed=7,
+        gate_mode="mpo",
+    )
+    res = Simulator().run(State(length), c, params, nm)
+    assert np.all(np.abs(res.expectation_values) <= 1.0 + 1e-9)
+
+
+def test_permute_qubits_roundtrip():
+    rng = np.random.default_rng(4)
+    u = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+    perm = (2, 0, 1)
+    v = permute_qubits(u, perm)
+    inv = tuple(np.argsort(perm))
+    np.testing.assert_allclose(permute_qubits(v, inv), u, atol=1e-13)

@@ -22,6 +22,7 @@ from ..models.hamiltonians import (
 from ..utils.host import fetch
 from . import mps_ops
 from .mpo_builders import (
+    gate_product_terms,
     heisenberg_mpo,
     identity_mpo,
     ising_mpo,
@@ -93,20 +94,11 @@ class MPO:
         # operator-Schmidt factorize the k-site gate into a chain of terms
         if k == 1:
             return cls(mpo_from_terms([(1.0, [(sites[0], matrix)])], length, d))
-        if k == 2:
-            a, b = sites
-            t = np.asarray(matrix).reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
-            u, s, vh = np.linalg.svd(t)
-            terms = []
-            for idx in range(len(s)):
-                if s[idx] < 1e-14:
-                    break
-                f1 = (u[:, idx] * s[idx]).reshape(d, d)
-                f2 = vh[idx].reshape(d, d)
-                terms.append((1.0, [(a, f1), (b, f2)]))
-            return cls(mpo_from_terms(terms, length, d))
-        msg = "from_gate supports 1- and 2-site gates"
-        raise NotImplementedError(msg)
+        terms = [
+            (1.0, list(zip(sites, factors)))
+            for factors in gate_product_terms(matrix, k, d)
+        ]
+        return cls(mpo_from_terms(terms, length, d))
 
     @classmethod
     def from_matrix(cls, matrix: np.ndarray, length: int, d: int = 2, chi: int | None = None) -> MPO:

@@ -34,6 +34,7 @@ __all__ = [
     "norm_squared",
     "scalar_product",
     "canonicalize_right",
+    "shift_center_right",
     "normalize_canonical",
     "left_gram_environments",
     "site_expectation",
@@ -217,6 +218,26 @@ def canonicalize_right(tensors: jnp.ndarray) -> jnp.ndarray:
     bs = jnp.flip(bs_rev, axis=0)
     a0 = jnp.einsum("slr,rm->slm", tensors[0], c)
     return jnp.concatenate([a0[None], bs], axis=0)
+
+
+def shift_center_right(tensors: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Move the canonical center from site 0 to site ``n`` (static ``n``).
+
+    Sites ``0..n-1`` become left-orthonormal via QR; the leftover factor is
+    absorbed rightward.  Norm and represented state preserved exactly.
+    """
+    if n <= 0:
+        return tensors
+    length, d, chi, _ = tensors.shape
+
+    def body(t, i):
+        a = t[i]
+        q, r = jnp.linalg.qr(a.reshape(d * chi, chi))
+        b = jnp.einsum("lm,smr->slr", r, t[i + 1])
+        return t.at[i].set(q.reshape(d, chi, chi)).at[i + 1].set(b), None
+
+    tensors, _ = jax.lax.scan(body, tensors, jnp.arange(n))
+    return tensors
 
 
 def normalize_canonical(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -216,7 +216,8 @@ class DigitalSimParams(_BaseSimParams):
         krylov_dim: int | None = None,
         *,
         preset: str = "balanced",
-        gate_mode: str = "tdvp",
+        gate_mode: str = "mpo",
+        tdvp_sweeps: int = 1,
         sample_layers: bool = False,
         num_mid_measurements: int = 0,
         get_state: bool = False,
@@ -226,7 +227,14 @@ class DigitalSimParams(_BaseSimParams):
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
         self.shots = int(shots)
         self.trunc_mode = trunc_mode
+        if gate_mode not in {"swaps", "tdvp", "full-tdvp", "mpo"}:
+            msg = f"gate_mode must be swaps/tdvp/full-tdvp/mpo, got {gate_mode!r}"
+            raise ValueError(msg)
         self.gate_mode = gate_mode
+        if not isinstance(tdvp_sweeps, int) or tdvp_sweeps < 1:
+            msg = f"tdvp_sweeps must be an int >= 1, got {tdvp_sweeps!r}"
+            raise ValueError(msg)
+        self.tdvp_sweeps = tdvp_sweeps
         self.sample_layers = bool(sample_layers)
         self.num_mid_measurements = int(num_mid_measurements)
         self.get_state = bool(get_state)

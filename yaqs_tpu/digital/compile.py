@@ -1,21 +1,26 @@
-"""Circuit -> static half-layer schedule (host-side compilation).
+"""Circuit -> static schedule of half-layers and gate stages (host-side).
 
 The reference simulates circuits by mutating a Qiskit DAG while peeling front
-layers (mqt-yaqs digital/digital_tjm.py:95-163).  On TPU the circuit must be a
-*static* schedule: this compiler performs ASAP scheduling of the flat gate
-list into **half-layers**, each holding
+layers (mqt-yaqs digital/digital_tjm.py:95-163) and routes multi-qubit gates
+by ``gate_mode`` (digital_tjm.py:394-460): TEBD with SWAP chains, windowed
+2TDVP on the gate's generator MPO, or application of the gate's MPO form.
+On TPU the circuit must be a *static* schedule: this compiler performs ASAP
+scheduling of the flat gate list into **half-layers**, each holding
 
 - a per-site stack of composed one-qubit matrices (applied first, one einsum);
 - a set of disjoint-bond two-qubit gates (applied in one sweep — even/odd
   brickwork emerges naturally, arbitrary disjoint sets are allowed);
-- the per-gate noise scope (sites of logical two-qubit gates finishing in this
-  half-layer, reference create_local_noise_model semantics).
+- the per-gate noise scope (sites of logical multi-qubit gates finishing in
+  this half-layer, reference create_local_noise_model semantics).
 
-Distant two-qubit gates are routed with adjacent SWAP chains (swap in, gate,
-swap back — reference apply_two_qubit_gate SWAP insertion, digital_tjm.py:302)
-with the noise scope attached to the original logical sites after the
-back-swaps complete.  The engine runs each half-layer as one L→R sweep and
-recanonicalizes to site 0 afterwards.
+Gates that cannot run inside a half-layer under the selected ``gate_mode``
+(distant pairs in ``tdvp``/``mpo`` modes, any >=3-qubit gate) become
+**gate stages**: a window MPO (either the gate's generator for windowed TDVP
+or the gate itself in MPO form) plus static window bounds, executed between
+half-layer blocks.  In ``swaps`` mode distant two-qubit gates are routed with
+adjacent SWAP chains (swap in, gate, swap back — reference
+apply_two_qubit_gate_tebd, digital_tjm.py:302) with the noise scope attached
+to the original logical sites after the back-swaps complete.
 """
 
 from __future__ import annotations
@@ -24,17 +29,25 @@ import dataclasses
 
 import numpy as np
 
-from ..models.gates import gate_matrix, two_qubit_exchange
+from ..core.mpo_builders import gate_product_terms, mpo_from_terms
+from ..models.gates import gate_generator, gate_matrix, permute_qubits
 from .circuit import Circuit, GateOp
 
-__all__ = ["CompiledSegment", "CompiledCircuit", "compile_circuit"]
+__all__ = [
+    "CompiledSegment",
+    "GateStage",
+    "CompiledCircuit",
+    "compile_circuit",
+    "GATE_MODES",
+]
 
 _SWAP = gate_matrix("swap")
+GATE_MODES = ("swaps", "tdvp", "full-tdvp", "mpo")
 
 
 @dataclasses.dataclass
 class CompiledSegment:
-    """One jit-compilable chunk between sampling points.
+    """One jit-compilable half-layer block.
 
     ``mats1q (n_hl, L, 2, 2)``, ``bond_mats (n_hl, L-1, 4, 4)``,
     ``noise_site_mask (n_hl, L)`` float; the half-layer count is circuit-dependent.
@@ -50,9 +63,38 @@ class CompiledSegment:
 
 
 @dataclasses.dataclass
+class GateStage:
+    """A single long-range / multi-qubit gate applied as one program.
+
+    ``kind='window'``: ``mpo`` is the gate's generator as a bond-dimension-1
+    product MPO over the window; the engine runs one windowed 2TDVP sweep with
+    ``dt = 1`` (reference apply_two_qubit_gate_tdvp, digital_tjm.py:255).
+    ``kind='mpo'``: ``mpo`` is the gate itself in MPO form over ``[w0, w0+W)``;
+    the engine applies it with a zip-up contraction + truncation (reference
+    apply_long_range_gate_mpo, digital_tjm.py:371).
+    """
+
+    kind: str  # "window" | "mpo"
+    mpo: np.ndarray  # (W, d, d, Dw, Dw)
+    w0: int
+    noise_sites: tuple[int, ...]
+
+
+@dataclasses.dataclass
+class SegmentPlan:
+    """Stages between two observable-sampling points."""
+
+    stages: list
+
+    @property
+    def half_layer_stages(self) -> list[CompiledSegment]:
+        return [s for s in self.stages if isinstance(s, CompiledSegment)]
+
+
+@dataclasses.dataclass
 class CompiledCircuit:
     num_qubits: int
-    segments: list[CompiledSegment]
+    segments: list[SegmentPlan]
     measured_qubits: list[int]
 
 
@@ -64,6 +106,10 @@ class _Scheduler:
         self.ops_2q: dict[tuple[int, int], np.ndarray] = {}  # (h, bond) -> mat
         self.noise_sites: dict[int, set[int]] = {}
         self.n_hl = 0
+
+    @property
+    def empty(self) -> bool:
+        return not self.ops_1q and not self.ops_2q
 
     def add_1q(self, site: int, mat: np.ndarray) -> None:
         h = self.avail[site]
@@ -98,16 +144,70 @@ class _Scheduler:
         return CompiledSegment(mats1q, bond_mats, mask)
 
 
-def compile_circuit(circuit: Circuit) -> CompiledCircuit:
+def _window_generator_mpo(op: GateOp, length: int) -> GateStage | None:
+    """Generator product MPO over ``[min-1, max+1]`` clamped (window_size=1,
+    reference digital_tjm.py:285)."""
+    factors = gate_generator(op.name, op.params)
+    if factors is None:
+        return None
+    lo, hi = min(op.qubits), max(op.qubits)
+    w0 = max(lo - 1, 0)
+    w1 = min(hi + 1, length - 1)
+    w = w1 - w0 + 1
+    if w < 2:  # need a 2-site window for the sweep; fall back to MPO form
+        return None
+    site_factor = dict(zip(op.qubits, factors))
+    tensors = np.zeros((w, 2, 2, 1, 1), dtype=np.complex128)
+    for i in range(w):
+        tensors[i, :, :, 0, 0] = site_factor.get(w0 + i, np.eye(2))
+    return GateStage("window", tensors, w0, tuple(sorted(op.qubits)))
+
+
+def _gate_mpo_stage(op: GateOp, length: int) -> GateStage:
+    """The gate itself as an MPO over its (ascending-site) support window."""
+    qubits = op.qubits
+    order = tuple(np.argsort(qubits))
+    mat = op.resolved_matrix()
+    if order != tuple(range(len(qubits))):
+        mat = permute_qubits(mat, order)
+    sites = sorted(qubits)
+    lo, hi = sites[0], sites[-1]
+    w = hi - lo + 1
+    terms = [
+        (1.0, list(zip([s - lo for s in sites], factors)))
+        for factors in gate_product_terms(mat, len(sites))
+    ]
+    tensors = mpo_from_terms(terms, w)
+    return GateStage("mpo", np.asarray(tensors), lo, tuple(sites))
+
+
+def compile_circuit(circuit: Circuit, gate_mode: str = "swaps") -> CompiledCircuit:
+    if gate_mode not in GATE_MODES:
+        msg = f"Unknown gate_mode: {gate_mode!r} (expected one of {GATE_MODES})"
+        raise ValueError(msg)
     length = circuit.num_qubits
-    segments: list[CompiledSegment] = []
+    plans: list[SegmentPlan] = []
+    stages: list = []
     sched = _Scheduler(length)
+
+    def flush() -> None:
+        nonlocal sched
+        if not sched.empty:
+            stages.append(sched.finish())
+        sched = _Scheduler(length)
+
+    def add_stage(stage: GateStage) -> None:
+        flush()
+        stages.append(stage)
 
     for op in circuit.ops:
         if op.name == "barrier":
             if op.label is not None and str(op.label).upper() == "SAMPLE_OBSERVABLES":
-                segments.append(sched.finish())
-                sched = _Scheduler(length)
+                flush()
+                if not stages:
+                    stages.append(sched.finish())
+                plans.append(SegmentPlan(stages))
+                stages = []
             continue
         if op.name == "measure":
             continue
@@ -115,19 +215,59 @@ def compile_circuit(circuit: Circuit) -> CompiledCircuit:
         if len(qubits) == 1:
             sched.add_1q(qubits[0], op.resolved_matrix())
         elif len(qubits) == 2:
-            _schedule_two_qubit(sched, qubits, op)
+            _schedule_two_qubit(sched, add_stage, qubits, op, gate_mode, length)
         else:
-            msg = (
-                f"{len(qubits)}-qubit gate {op.name!r} is not supported by the "
-                "TEBD path yet (decompose to 1q/2q gates)"
-            )
-            raise NotImplementedError(msg)
+            _schedule_multi_qubit(add_stage, op, gate_mode, length)
 
-    segments.append(sched.finish())
-    return CompiledCircuit(length, segments, list(circuit.measured_qubits))
+    flush()
+    if not stages:
+        stages.append(_Scheduler(length).finish())
+    plans.append(SegmentPlan(stages))
+    return CompiledCircuit(length, plans, list(circuit.measured_qubits))
 
 
-def _schedule_two_qubit(sched: _Scheduler, qubits: tuple[int, int], op: GateOp) -> None:
+def _schedule_two_qubit(
+    sched: _Scheduler, add_stage, qubits: tuple[int, int], op: GateOp,
+    gate_mode: str, length: int,
+) -> None:
+    a, b = qubits
+    lo, hi = min(a, b), max(a, b)
+    nearest = hi - lo == 1
+
+    # reference routing (apply_two_qubit_gate, digital_tjm.py:394): full-tdvp
+    # prefers the generator window even for nearest neighbors; tdvp/mpo use
+    # TEBD for nearest neighbors; distant gates go window (tdvp/full-tdvp with
+    # generator), gate-MPO (mpo mode or no generator), or SWAP chains (swaps).
+    if gate_mode == "full-tdvp":
+        stage = _window_generator_mpo(op, length)
+        if stage is not None:
+            add_stage(stage)
+            return
+    if nearest or gate_mode == "swaps":
+        _schedule_tebd(sched, qubits, op)
+        return
+    if gate_mode == "tdvp":
+        stage = _window_generator_mpo(op, length)
+        if stage is not None:
+            add_stage(stage)
+            return
+    add_stage(_gate_mpo_stage(op, length))
+
+
+def _schedule_multi_qubit(add_stage, op: GateOp, gate_mode: str, length: int) -> None:
+    """>=3-qubit gates: generator window in TDVP modes, MPO form otherwise
+    (including ``swaps`` — there is no TEBD path, reference digital_tjm.py:418)."""
+    if gate_mode in {"tdvp", "full-tdvp"}:
+        stage = _window_generator_mpo(op, length)
+        if stage is not None:
+            add_stage(stage)
+            return
+    add_stage(_gate_mpo_stage(op, length))
+
+
+def _schedule_tebd(sched: _Scheduler, qubits: tuple[int, int], op: GateOp) -> None:
+    from ..models.gates import two_qubit_exchange
+
     a, b = qubits
     mat = op.resolved_matrix()  # first listed qubit = most significant
     lo, hi = min(a, b), max(a, b)

@@ -25,16 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.mps_ops import normalize_canonical
+from ..core.mps_ops import normalize_canonical, shift_center_right
 from ..core.noise_model import CompiledNoise, compile_noise
 from ..core.observables import compile_observables, evaluate_observables
 from ..core.result import Result
+from ..methods.mpo_ops import mpo_apply_mps_zipup
 from ..methods.stochastic import channel_weights
-from ..methods.tdvp import TDVPConfig
+from ..methods.tdvp import TDVPConfig, sweep_2site
 from ..ops.decomp import merge_two_site, split_two_site_truncated
 from ..utils.host import fetch
 from .circuit import load_circuit
-from .compile import CompiledSegment, compile_circuit
+from .compile import CompiledSegment, GateStage, compile_circuit
 
 __all__ = ["run_digital", "apply_segment", "sample_bitstrings"]
 
@@ -136,6 +137,21 @@ def _masked_jump(tensors, noise: CompiledNoise, ch_mask, key):
     return tensors
 
 
+def _apply_scoped_noise(tensors, noise: CompiledNoise, site_mask, ch_mask, key):
+    """Dissipation (dt=1, masked sites) then jump-or-not (masked channels).
+
+    Expects a normalized canonical-at-0 state; the post-dissipation norm
+    deficit is the jump probability (reference digital noise application,
+    digital_tjm.py:521).
+    """
+    from ..core.mps_ops import canonicalize_right
+
+    ops = _masked_dissipation_ops(noise, site_mask)
+    tensors = jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
+    tensors = canonicalize_right(tensors)
+    return _masked_jump(tensors, noise, ch_mask, key)
+
+
 # ---------------------------------------------------------------------------
 # Segment program
 # ---------------------------------------------------------------------------
@@ -167,12 +183,13 @@ def apply_segment(
         tensors = jnp.einsum("iab,iblr->ialr", ops1.astype(tensors.dtype), tensors)
         tensors = bond_sweep_ltr(tensors, bond_mats[h], cfg)
         if noisy:
-            ops = _masked_dissipation_ops(noise, noise_masks[h])
-            tensors = jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
-            from ..core.mps_ops import canonicalize_right
-
-            tensors = canonicalize_right(tensors)
-            tensors = _masked_jump(tensors, noise, ch_scope[h], key)
+            # renormalize first so fixed-chi truncation drift from the gate
+            # sweep is not miscounted as jump probability (reference
+            # renorm_drift for fixed-chi runs, sweep_utils.py:152)
+            tensors, _ = normalize_canonical(tensors)
+            tensors = _apply_scoped_noise(
+                tensors, noise, noise_masks[h], ch_scope[h], key
+            )
         else:
             tensors, _ = normalize_canonical(tensors)
         return tensors, None
@@ -180,6 +197,78 @@ def apply_segment(
     keys = jax.random.split(key, n_hl)
     tensors, _ = jax.lax.scan(half_layer, tensors, (jnp.arange(n_hl), keys))
     return tensors
+
+
+@partial(jax.jit, static_argnames=("w0", "cfg", "noisy", "kind"))
+def apply_gate_stage(
+    tensors: jnp.ndarray,
+    win_mpo: jnp.ndarray,
+    site_mask: jnp.ndarray | None,
+    ch_mask: jnp.ndarray | None,
+    noise: CompiledNoise | None,
+    key,
+    w0: int,
+    cfg: TDVPConfig,
+    noisy: bool,
+    kind: str,
+) -> jnp.ndarray:
+    """Apply one long-range/multi-qubit gate stage (canonical-at-0 in/out).
+
+    ``kind='window'``: one 2TDVP sweep with ``dt = 1`` over the static window
+    using the gate's generator MPO (reference apply_two_qubit_gate_tdvp,
+    digital_tjm.py:255).  ``kind='mpo'``: zip-up application of the gate MPO
+    over its support window (reference apply_long_range_gate_mpo, :371).
+    The state is renormalized afterwards (fixed-chi renorm_drift semantics),
+    then the gate-scoped noise runs with ``dt = 1``.
+    """
+    import dataclasses
+
+    w = win_mpo.shape[0]
+    tensors = shift_center_right(tensors, w0)
+    window = tensors[w0 : w0 + w]
+    if kind == "window":
+        # dt = 1 with ||G|| up to pi: the fixed-iteration Lanczos needs a
+        # larger Krylov space than the small-dt analog sweeps (error ~
+        # (pi)^k / k!; k = 25 reaches machine precision).  The projector
+        # splitting itself is approximate at gate times (the reference's
+        # documented production trade-off — its own long-range-RZZ fidelity
+        # target is ~0.9777 at one sweep); ``cfg.sweeps`` substeps of
+        # ``1/sweeps`` converge it (reference tdvp_sweeps, tdvp.py:24-67).
+        win_cfg = dataclasses.replace(cfg, krylov_dim=max(cfg.krylov_dim, 25))
+        sub = 1.0 / win_cfg.sweeps
+        for _ in range(win_cfg.sweeps):
+            window = sweep_2site(window, win_mpo, sub, win_cfg)
+    else:
+        window = mpo_apply_mps_zipup(
+            win_mpo,
+            window,
+            mode=cfg.trunc_mode,
+            threshold=cfg.threshold,
+            max_bond_dim=cfg.max_bond_dim,
+            svd_method=cfg.svd_method,
+            subspace_iters=cfg.subspace_iters,
+        )
+    tensors = tensors.at[w0 : w0 + w].set(window)
+    tensors, _ = normalize_canonical(tensors)
+    if noisy:
+        tensors = _apply_scoped_noise(tensors, noise, site_mask, ch_mask, key)
+    return tensors
+
+
+def _gate_stage_noise_masks(stage: GateStage, length: int, noise: CompiledNoise | None):
+    """(L,) site mask + (nc,) channel mask for a gate stage's noise scope."""
+    if noise is None:
+        return None, None
+    site_mask = np.zeros((length,))
+    for s in stage.noise_sites:
+        site_mask[s] = 1.0
+    active = set(stage.noise_sites)
+    nc = noise.ch_gamma.shape[0]
+    ch = np.zeros((nc,))
+    for k in range(nc):
+        sites = {int(noise.ch_site1[k]), int(noise.ch_site2[k])}
+        ch[k] = 1.0 if sites <= active else 0.0
+    return site_mask, ch
 
 
 def _channel_scope_masks(segment: CompiledSegment, noise: CompiledNoise | None):
@@ -260,7 +349,8 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         msg = "digital simulation requires an MPS-representation State"
         raise ValueError(msg)
     d = 2
-    compiled_circ = compile_circuit(circ)
+    gate_mode = getattr(sim_params, "gate_mode", "mpo")
+    compiled_circ = compile_circuit(circ, gate_mode)
     chi = simulator._resolve_chi(sim_params, length, d)
 
     sampled_noise = simulator._sample_noise(noise_model, sim_params)
@@ -279,6 +369,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         trunc_mode=sim_params.trunc_mode,
         threshold=sim_params.svd_threshold,
         max_bond_dim=chi,
+        sweeps=getattr(sim_params, "tdvp_sweeps", 1),
     )
 
     wants_obs = bool(sim_params.observables)
@@ -297,37 +388,57 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     seed = sim_params.random_seed if sim_params.random_seed is not None else 0
     base_key = jax.random.PRNGKey(seed)
 
-    # batched trajectory evolution, segment by segment
+    # batched trajectory evolution, stage by stage
     batch = num_traj
     tensors_b = jnp.broadcast_to(
         jnp.asarray(tensors0)[None], (batch,) + tensors0.shape
     )
-    scopes = [_channel_scope_masks(seg, noise) for seg in compiled_circ.segments]
 
     mid_cols: list[np.ndarray] = []
     if sim_params.sample_layers and wants_obs:
         col0 = jax.vmap(lambda t: evaluate_observables(t, observables))(tensors_b)
         mid_cols.append(np.real(np.asarray(col0)))
 
-    for seg_idx, seg in enumerate(compiled_circ.segments):
-        keys = jax.vmap(
-            lambda i: jax.random.fold_in(jax.random.fold_in(base_key, seg_idx), i)
-        )(jnp.arange(batch))
-        seg_fn = jax.vmap(
-            lambda t, k: apply_segment(
-                t,
-                seg.mats1q,
-                seg.bond_mats,
-                seg.noise_site_mask,
-                noise,
-                scopes[seg_idx],
-                k,
-                cfg,
-                noisy,
-            )
-        )
-        tensors_b = seg_fn(tensors_b, keys)
-        is_last = seg_idx == len(compiled_circ.segments) - 1
+    stage_idx = 0
+    for plan_idx, plan in enumerate(compiled_circ.segments):
+        for stage in plan.stages:
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(jax.random.fold_in(base_key, stage_idx), i)
+            )(jnp.arange(batch))
+            if isinstance(stage, GateStage):
+                site_mask, ch_mask = _gate_stage_noise_masks(stage, length, noise)
+                stage_fn = jax.vmap(
+                    lambda t, k: apply_gate_stage(
+                        t,
+                        stage.mpo,
+                        site_mask,
+                        ch_mask,
+                        noise,
+                        k,
+                        stage.w0,
+                        cfg,
+                        noisy,
+                        stage.kind,
+                    )
+                )
+            else:
+                scope = _channel_scope_masks(stage, noise)
+                stage_fn = jax.vmap(
+                    lambda t, k: apply_segment(
+                        t,
+                        stage.mats1q,
+                        stage.bond_mats,
+                        stage.noise_site_mask,
+                        noise,
+                        scope,
+                        k,
+                        cfg,
+                        noisy,
+                    )
+                )
+            tensors_b = stage_fn(tensors_b, keys)
+            stage_idx += 1
+        is_last = plan_idx == len(compiled_circ.segments) - 1
         if wants_obs and (sim_params.sample_layers or is_last):
             col = jax.vmap(lambda t: evaluate_observables(t, observables))(tensors_b)
             mid_cols.append(np.real(np.asarray(col)))

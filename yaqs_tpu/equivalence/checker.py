@@ -181,8 +181,10 @@ class EquivalenceChecker:
             trunc_mode="discarded_weight", threshold=svd_threshold, max_bond_dim=chi
         )
 
-        segs1 = [s for cc in [compile_circuit(c1)] for s in cc.segments]
-        segs2 = [s for cc in [compile_circuit(c2)] for s in cc.segments]
+        # swaps mode keeps every gate inside half-layer segments (no MPO /
+        # window stages), which is what the doubled-layer contraction needs
+        segs1 = [s for plan in compile_circuit(c1, "swaps").segments for s in plan.stages]
+        segs2 = [s for plan in compile_circuit(c2, "swaps").segments for s in plan.stages]
         halves1 = _split_half_layers(segs1)
         halves2 = _split_half_layers(segs2)
 
@@ -218,6 +220,12 @@ class EquivalenceChecker:
 def _split_half_layers(segments: list[CompiledSegment]) -> list[CompiledSegment]:
     out = []
     for seg in segments:
+        if not isinstance(seg, CompiledSegment):  # GateStage (>=3-qubit gate)
+            msg = (
+                "the MPO equivalence backend supports 1- and 2-qubit gates; "
+                "decompose larger gates first (or use the matrix backend)"
+            )
+            raise NotImplementedError(msg)
         for h in range(seg.n_half_layers):
             out.append(
                 CompiledSegment(

@@ -32,7 +32,15 @@ from .operators import (
     u_gate,
 )
 
-__all__ = ["GATES", "gate_matrix", "gate_arity", "controlled", "two_qubit_exchange"]
+__all__ = [
+    "GATES",
+    "gate_matrix",
+    "gate_arity",
+    "gate_generator",
+    "controlled",
+    "two_qubit_exchange",
+    "permute_qubits",
+]
 
 
 def controlled(u: np.ndarray) -> np.ndarray:
@@ -138,3 +146,77 @@ def gate_matrix(name: str, params: tuple = ()) -> np.ndarray:
 def two_qubit_exchange(u: np.ndarray) -> np.ndarray:
     """Exchange the two qubits of a 4x4 matrix (swap significance)."""
     return u.reshape(2, 2, 2, 2).transpose(1, 0, 3, 2).reshape(4, 4)
+
+
+def permute_qubits(u: np.ndarray, perm: tuple[int, ...], d: int = 2) -> np.ndarray:
+    """Reorder the qubits of a k-qubit matrix: output qubit ``j`` of the result
+    is input qubit ``perm[j]`` of ``u`` (most-significant-first convention)."""
+    k = len(perm)
+    t = u.reshape([d] * (2 * k))
+    axes = list(perm) + [p + k for p in perm]
+    return t.transpose(axes).reshape(d**k, d**k)
+
+
+# ---------------------------------------------------------------------------
+# Product-form generators: gate = exp(-i * factor_1 ⊗ factor_2 ⊗ ...)
+# (one 2x2 factor per listed qubit, identity on unlisted sites).  Used by the
+# digital ``tdvp``/``full-tdvp`` gate modes for windowed-TDVP application of
+# long-range gates (reference gate_library.py generator attributes +
+# digital_tjm.construct_generator_mpo, digital_tjm.py:182).
+# ---------------------------------------------------------------------------
+
+# controlled-family gates: n-1 control projectors + principal log of the base
+_CONTROLLED_GENERATOR: dict[str, int] = {
+    # name -> number of control qubits
+    "cx": 1, "cnot": 1, "cy": 1, "cz": 1, "ch": 1,
+    "cp": 1, "cu1": 1, "cphase": 1, "crx": 1, "cry": 1, "crz": 1, "cu3": 1,
+    "ccx": 2, "ccz": 2,
+}
+
+_EXCHANGE_GENERATOR: dict[str, object] = {
+    "rxx": lambda: pauli_x, "ryy": lambda: pauli_y,
+    "rzz": lambda: pauli_z, "rzx": lambda: pauli_z,
+}
+_EXCHANGE_SECOND: dict[str, object] = {
+    "rxx": lambda: pauli_x, "ryy": lambda: pauli_y,
+    "rzz": lambda: pauli_z, "rzx": lambda: pauli_x,
+}
+
+
+def _principal_log(u: np.ndarray) -> np.ndarray:
+    """Hermitian ``G`` with ``exp(-i G) = u`` (angles in (-pi, pi])."""
+    evals, evecs = np.linalg.eig(np.asarray(u, dtype=np.complex128))
+    angles = -np.angle(evals)
+    return (evecs * angles) @ np.linalg.inv(evecs)
+
+
+def gate_generator(name: str, params: tuple = ()) -> list[np.ndarray] | None:
+    """Per-qubit 2x2 factors of a product-form generator, or None.
+
+    Returns ``[f_1, ..., f_k]`` (in listed-qubit order, most significant
+    first) with ``gate == exp(-i f_1 ⊗ ... ⊗ f_k)`` exactly.  Gates without a
+    single-product generator (swap, iswap, cswap, generic unitaries) return
+    ``None`` and must be applied via TEBD or their MPO form.
+    """
+    lname = name.lower()
+    if lname in _EXCHANGE_GENERATOR:
+        (theta,) = params
+        a = (theta / 2) * np.asarray(_EXCHANGE_GENERATOR[lname](), dtype=np.complex128)
+        b = np.asarray(_EXCHANGE_SECOND[lname](), dtype=np.complex128)
+        return [a, b]
+    n_ctrl = _CONTROLLED_GENERATOR.get(lname)
+    if n_ctrl is None:
+        return None
+    arity, n_params, factory = GATES[lname]
+    if len(params) != n_params:
+        msg = f"gate {name!r} expects {n_params} params, got {len(params)}"
+        raise ValueError(msg)
+    base = np.asarray(factory(*params), dtype=np.complex128)
+    target_dim = base.shape[0] // (2**n_ctrl)
+    if target_dim != 2:
+        return None
+    target = base[-2:, -2:]  # the controlled block acting when all controls are 1
+    g = _principal_log(target)
+    if np.linalg.norm(g) < 1e-14:
+        g = np.zeros((2, 2), dtype=np.complex128)
+    return [np.asarray(projector_1, dtype=np.complex128)] * n_ctrl + [g]
