@@ -129,3 +129,84 @@ def test_noisy_backend_runs():
     w = np.real(np.trace(rho))
     assert 0 < w <= 1 + 1e-9
     np.testing.assert_allclose(rho, rho.conj().T, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# MPO (tensor-train) process tensor
+# ---------------------------------------------------------------------------
+
+
+def test_mpo_process_tensor_matches_dense():
+    from yaqs_tpu.characterization.memory.mpo_process_tensor import (
+        build_process_tensor_mpo,
+    )
+
+    L, tau, k = 3, 0.25, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    dense = build_process_tensor(ham, num_interventions=k, tau=tau)
+    mpo = build_process_tensor_mpo(
+        ham, num_interventions=k, tau=tau, max_bond_dim=None
+    )
+    # identical multilinear map
+    np.testing.assert_allclose(mpo.to_dense().tensor, dense.tensor, atol=1e-9)
+    # identical probe outputs
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        seq = [sample_intervention(rng) for _ in range(k)]
+        np.testing.assert_allclose(
+            mpo.evaluate_probe(seq), dense.evaluate_probe(seq), atol=1e-10
+        )
+    # information measures agree
+    np.testing.assert_allclose(mpo.qmi(1), dense.qmi(1), atol=1e-8)
+
+
+def test_mpo_process_tensor_deep_and_truncated():
+    """k = 4 legs would need 16^4 dense simulations; the train needs 16*chi
+    per leg.  Probe outputs must match the direct sequence simulator."""
+    from yaqs_tpu.characterization.memory.mpo_process_tensor import (
+        build_process_tensor_mpo,
+    )
+
+    L, tau, k = 3, 0.3, 4
+    ham = Hamiltonian.ising(L, 1.0, 0.6)
+    mpo = build_process_tensor_mpo(ham, num_interventions=k, tau=tau, max_bond_dim=64)
+    assert max(mpo.bond_dims) <= 64
+    backend = ExactBackend(ham, tau)
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        seq = [sample_intervention(rng) for _ in range(k)]
+        meas = np.stack([iv.meas for iv in seq])[None]
+        prep = np.stack([iv.prep for iv in seq])[None]
+        direct = backend.evaluate_sequences(meas, prep)[0]
+        np.testing.assert_allclose(mpo.evaluate_probe(seq), direct, atol=1e-8)
+
+
+def test_mpo_process_tensor_noisy_legs():
+    """Unlike the reference's direct construction, noisy (Lindblad) legs are
+    supported because branches are density matrices."""
+    from yaqs_tpu.characterization.memory.mpo_process_tensor import (
+        build_process_tensor_mpo,
+    )
+
+    L, tau, k = 2, 0.4, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    nm = NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.15} for i in range(L)])
+    dense = build_process_tensor(ham, num_interventions=k, tau=tau, noise_model=nm)
+    mpo = build_process_tensor_mpo(
+        ham, num_interventions=k, tau=tau, noise_model=nm, max_bond_dim=None
+    )
+    np.testing.assert_allclose(mpo.to_dense().tensor, dense.tensor, atol=1e-9)
+
+
+def test_mpo_process_tensor_via_characterizer():
+    mc = MemoryCharacterizer(preset="quick")
+    ham = Hamiltonian.ising(2, 1.0, 0.5)
+    pt = mc.build_process_tensor(ham, num_interventions=2, tau=0.3, method="mpo")
+    assert pt.k == 2
+    # non-uniform schedule
+    pt2 = mc.build_process_tensor(ham, timesteps=[0.1, 0.2, 0.3], method="mpo")
+    assert pt2.k == 2
+    assert pt2.timesteps == [0.1, 0.2, 0.3]
+    # characterize() accepts the MPO form as a probe target
+    res = mc.characterize(pt, seed=0)
+    assert np.isfinite(res.entropy)

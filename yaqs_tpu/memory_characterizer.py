@@ -66,11 +66,44 @@ class MemoryCharacterizer:
         self,
         hamiltonian: Hamiltonian,
         *,
-        num_interventions: int,
-        tau: float,
+        num_interventions: int | None = None,
+        tau: float | None = None,
         noise_model=None,
-    ) -> DenseProcessTensor:
-        """Exhaustive-tomography multi-time Choi tensor (small k)."""
+        method: str = "dense",
+        timesteps: list[float] | None = None,
+        max_bond_dim: int | None = 64,
+        basis: str = "tetrahedral",
+        basis_seed: int | None = None,
+    ):
+        """Multi-time process tensor.
+
+        ``method="dense"``: exhaustive 16^k Choi tomography (small k).
+        ``method="mpo"``: leg-by-leg tensor-train construction — 16*chi
+        simulations per leg (reference build_process_tensor_direct,
+        direct.py:297), scaling to many interventions; supports an optional
+        non-uniform ``timesteps`` schedule and noisy (Lindblad) legs.
+        """
+        if method == "mpo":
+            from .characterization.memory.mpo_process_tensor import (
+                build_process_tensor_mpo,
+            )
+
+            return build_process_tensor_mpo(
+                hamiltonian,
+                num_interventions=num_interventions,
+                tau=tau,
+                timesteps=timesteps,
+                noise_model=noise_model,
+                max_bond_dim=max_bond_dim,
+                basis=basis,
+                basis_seed=basis_seed,
+            )
+        if method != "dense":
+            msg = f"method must be 'dense' or 'mpo', got {method!r}"
+            raise ValueError(msg)
+        if num_interventions is None or tau is None:
+            msg = "dense construction requires num_interventions= and tau="
+            raise ValueError(msg)
         return build_process_tensor(
             hamiltonian,
             num_interventions=num_interventions,
