@@ -210,3 +210,64 @@ def test_mpo_process_tensor_via_characterizer():
     # characterize() accepts the MPO form as a probe target
     res = mc.characterize(pt, seed=0)
     assert np.isfinite(res.entropy)
+
+
+# ---------------------------------------------------------------------------
+# MPS sequence backend (long chains)
+# ---------------------------------------------------------------------------
+
+
+def test_mps_backend_matches_exact_noiseless():
+    from yaqs_tpu.characterization.memory.mps_backend import MPSBackend
+
+    L, tau, k = 4, 0.3, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.7)
+    rng = np.random.default_rng(2)
+    batch = 3
+    meas = rng.normal(size=(batch, k, 2)) + 1j * rng.normal(size=(batch, k, 2))
+    meas /= np.linalg.norm(meas, axis=-1, keepdims=True)
+    prep = rng.normal(size=(batch, k, 2)) + 1j * rng.normal(size=(batch, k, 2))
+    prep /= np.linalg.norm(prep, axis=-1, keepdims=True)
+
+    exact = ExactBackend(ham, tau).evaluate_sequences(meas, prep)
+    mps = MPSBackend(ham, tau, chi=16, dt=0.05, krylov_dim=20).evaluate_sequences(
+        meas, prep
+    )
+    np.testing.assert_allclose(mps, exact, atol=5e-4)
+
+
+def test_mps_backend_noisy_matches_lindblad():
+    """Trajectory-averaged noisy sequences agree with the exact Lindblad
+    backend within Monte-Carlo error."""
+    from yaqs_tpu.characterization.memory.mps_backend import MPSBackend
+
+    L, tau, k = 3, 0.4, 1
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    nm = NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.2} for i in range(L)])
+    rng = np.random.default_rng(7)
+    meas = rng.normal(size=(2, k, 2)) + 1j * rng.normal(size=(2, k, 2))
+    meas /= np.linalg.norm(meas, axis=-1, keepdims=True)
+    prep = rng.normal(size=(2, k, 2)) + 1j * rng.normal(size=(2, k, 2))
+    prep /= np.linalg.norm(prep, axis=-1, keepdims=True)
+
+    exact = ExactBackend(ham, tau, nm).evaluate_sequences(meas, prep)
+    mps = MPSBackend(
+        ham, tau, nm, chi=8, dt=0.05, num_traj=300, seed=11
+    ).evaluate_sequences(meas, prep)
+    np.testing.assert_allclose(mps, exact, atol=0.08)
+
+
+def test_mps_backend_long_chain_via_characterizer():
+    """L = 12 is far beyond the dense backend; the MPS route runs the full
+    operational workflow."""
+    ham = Hamiltonian.ising(12, 1.0, 1.0)
+    mc = MemoryCharacterizer(preset="quick")
+    res = mc.characterize(
+        ham,
+        num_interventions=2,
+        tau=0.2,
+        backend="mps",
+        backend_options={"chi": 8, "dt": 0.1},
+        seed=0,
+    )
+    assert np.isfinite(res.entropy)

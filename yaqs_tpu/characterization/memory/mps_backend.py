@@ -1,0 +1,180 @@
+"""MPS sequence backend for memory characterization on long chains.
+
+Reference parity: mqt-yaqs characterization/memory/shared/utils.py TJM solver
+path (``_evolve_backend_state`` with MPS states) — probe sequences evolved
+with tensor networks instead of dense matrices, so the environment chain can
+be far longer than the ~10 sites the dense backend handles.
+
+TPU design: the whole probe grid is ONE vmapped jitted program — each probe
+sequence is a ``lax.scan`` of (segment TDVP evolution, measure-prepare at
+site 0); noisy processes add the TJM dissipation + jump machinery per step
+and average over a trajectory batch (second vmap axis).  Weights are tracked
+as scalars so states stay normalized for jump bookkeeping; the returned
+site-0 density matrices are unnormalized (trace = sequence weight), matching
+:class:`.exact.ExactBackend` semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import mps_ops
+from ...core.noise_model import compile_noise
+from ...methods.dissipation import apply_dissipation
+from ...methods.stochastic import stochastic_process
+from ...methods.tdvp import TDVPConfig, sweep_2site
+
+__all__ = ["MPSBackend"]
+
+
+def _site0_rho(tensors):
+    """Site-0 reduced density matrix for canonical-at-0 tensors."""
+    a0 = tensors[0]
+    return jnp.einsum("slr,tlr->st", a0, a0.conj())
+
+
+def _apply_mp(tensors, m, p):
+    """Measure-prepare at site 0: ``a0 -> |p> <m| a0`` (keeps gauge)."""
+    collapsed = jnp.einsum("t,tlr->lr", m.conj(), tensors[0])
+    new0 = jnp.einsum("s,lr->slr", p, collapsed)
+    return tensors.at[0].set(new0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "noisy"))
+def _sequence_program(
+    tensors0, mpo, meas, prep, noise, key, dt, cfg: TDVPConfig, n_steps: int, noisy: bool
+):
+    """One probe sequence: k segments of evolution + MP, then a final segment.
+
+    ``meas/prep (k, d)``.  Returns the unnormalized site-0 density matrix.
+    """
+
+    def segment(carry, key):
+        tensors, w = carry
+
+        def step(carry2, subkey):
+            t, w2 = carry2
+            t = sweep_2site(t, mpo, dt, cfg)
+            if noisy:
+                t = apply_dissipation(t, noise, dt)
+                t, _ = stochastic_process(t, noise, dt, subkey)
+            return (t, w2), None
+
+        (tensors, w), _ = jax.lax.scan(
+            step, (tensors, w), jax.random.split(key, n_steps)
+        )
+        return tensors, w
+
+    def leg(carry, xs):
+        tensors, w = carry
+        m, p, key = xs
+        tensors, w = segment((tensors, w), key)
+        tensors = _apply_mp(tensors, m, p)
+        n2 = mps_ops.norm_squared_center0(tensors)
+        safe = jnp.where(n2 > 0, jnp.sqrt(n2), 1.0)
+        tensors = tensors.at[0].set(tensors[0] / safe.astype(tensors.dtype))
+        return (tensors, w * n2), None
+
+    k = meas.shape[0]
+    keys = jax.random.split(key, k + 1)
+    (tensors, w), _ = jax.lax.scan(
+        leg, (tensors0, jnp.asarray(1.0, mps_ops.norm_squared_center0(tensors0).dtype)),
+        (meas, prep, keys[:k]),
+    )
+    tensors, w = segment((tensors, w), keys[k])
+    return _site0_rho(tensors) * w.astype(tensors.dtype)
+
+
+class MPSBackend:
+    """Sequence simulator over a padded-MPS chain (long environments).
+
+    Args:
+        hamiltonian: Hamiltonian; system = site 0.
+        tau: Segment duration between interventions.
+        noise_model: Optional NoiseModel — evolves TJM trajectories and
+            averages ``num_traj`` of them per probe.
+        chi: Padded bond dimension.
+        dt: TDVP step; ``tau`` is subdivided into ``ceil(tau/dt)`` steps.
+        krylov_dim / svd_threshold / max_bond_dim: sweep settings.
+        num_traj: Trajectory count per probe for noisy processes.
+        seed: Base PRNG seed for the jump streams.
+    """
+
+    def __init__(
+        self,
+        hamiltonian,
+        tau: float,
+        noise_model=None,
+        d: int = 2,
+        *,
+        chi: int = 16,
+        dt: float = 0.1,
+        krylov_dim: int = 12,
+        svd_threshold: float = 1e-10,
+        trunc_mode: str = "discarded_weight",
+        num_traj: int = 64,
+        seed: int = 0,
+    ) -> None:
+        self.length = hamiltonian.length
+        self.d = d
+        self.tau = float(tau)
+        self.n_steps = max(1, int(np.ceil(self.tau / float(dt))))
+        self.dt = self.tau / self.n_steps
+        self.chi = int(chi)
+        self.mpo = np.asarray(hamiltonian.ensure_mpo(), dtype=np.complex128)
+        self.cfg = TDVPConfig(
+            krylov_dim=int(krylov_dim),
+            trunc_mode=trunc_mode,
+            threshold=float(svd_threshold),
+            max_bond_dim=self.chi,
+        )
+        self.noisy = noise_model is not None and bool(noise_model.processes)
+        self.noise = (
+            compile_noise(noise_model, self.length, d) if self.noisy else None
+        )
+        self.num_traj = int(num_traj) if self.noisy else 1
+        self.seed = int(seed)
+        self.tensors0 = mps_ops.named_product_state("zeros", self.length, self.chi)
+
+    def evaluate_sequences(self, meas, prep) -> np.ndarray:
+        """``meas/prep (batch, k, d)`` kets -> unnormalized ``(batch, d, d)``."""
+        meas = np.asarray(meas, dtype=np.complex128)
+        prep = np.asarray(prep, dtype=np.complex128)
+        base = jax.random.PRNGKey(self.seed)
+
+        def one(m, p, key):
+            return _sequence_program(
+                jnp.asarray(self.tensors0),
+                self.mpo,
+                m,
+                p,
+                self.noise,
+                key,
+                self.dt,
+                self.cfg,
+                self.n_steps,
+                self.noisy,
+            )
+
+        batch = meas.shape[0]
+        if self.noisy:
+            keys = jax.vmap(
+                lambda i: jax.vmap(lambda t: jax.random.fold_in(jax.random.fold_in(base, i), t))(
+                    jnp.arange(self.num_traj)
+                )
+            )(jnp.arange(batch))
+            out = jax.vmap(
+                lambda m, p, ks: jnp.mean(
+                    jax.vmap(lambda k: one(m, p, k))(ks), axis=0
+                )
+            )(jnp.asarray(meas), jnp.asarray(prep), keys)
+        else:
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(batch))
+            out = jax.vmap(one)(jnp.asarray(meas), jnp.asarray(prep), keys)
+        re = np.asarray(jnp.real(out))
+        im = np.asarray(jnp.imag(out))
+        return re + 1j * im

@@ -124,12 +124,16 @@ class MemoryCharacterizer:
         probe_set: ProbeSet | None = None,
         seed: int | None = None,
         delay: int = 0,
+        backend: str = "exact",
+        backend_options: dict | None = None,
     ) -> CharacterizationResult:
         """Operational split-cut memory characterization.
 
-        ``target`` is a Hamiltonian (exact dense backend; requires ``tau``)
-        or a :class:`DenseProcessTensor` / surrogate exposing
-        ``evaluate_probes``.
+        ``target`` is a Hamiltonian (``backend="exact"`` dense simulator for
+        short chains or ``backend="mps"`` TDVP sequence simulator for long
+        chains; both require ``tau``) or a :class:`DenseProcessTensor` /
+        surrogate exposing ``evaluate_probes``.  ``backend_options`` forwards
+        kwargs (``chi``, ``dt``, ``num_traj``, ...) to the MPS backend.
         """
         if isinstance(target, Hamiltonian):
             if tau is None:
@@ -138,7 +142,17 @@ class MemoryCharacterizer:
             if num_interventions is None:
                 msg = "characterize(Hamiltonian, ...) requires num_interventions="
                 raise ValueError(msg)
-            backend = ExactBackend(target, tau, noise_model)
+            if backend == "mps":
+                from .characterization.memory.mps_backend import MPSBackend
+
+                backend = MPSBackend(
+                    target, tau, noise_model, **(backend_options or {})
+                )
+            elif backend == "exact":
+                backend = ExactBackend(target, tau, noise_model)
+            else:
+                msg = f"backend must be 'exact' or 'mps', got {backend!r}"
+                raise ValueError(msg)
             k = int(num_interventions)
         else:
             backend = target
