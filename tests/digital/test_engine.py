@@ -201,3 +201,46 @@ def test_noisy_digital_vs_dense_channel_oracle():
     stderr = res.trajectories.std(axis=0)[:, -1] / np.sqrt(n)
     diff = np.abs(res.expectation_values[:, -1] - np.asarray(exact))
     assert np.all(diff < 5 * stderr + 0.02), (diff, stderr)
+
+
+def test_noisy_parallel_gates_per_gate_jumps():
+    """Two disjoint 2q gates in the SAME half-layer with strong noise: the
+    per-gate jump scheme must reproduce the dense sequential-channel oracle
+    (each gate gets its own jump decision; double jumps per layer allowed)."""
+    length = 4
+    gamma = 0.25
+    c = Circuit(length)
+    for q in range(length):
+        c.h(q)
+    c.cx(0, 1)
+    c.cx(2, 3)  # same half-layer as cx(0,1) — disjoint bonds
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": gamma} for i in range(length)]
+    )
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[0] = 1.0
+    rho = dense_noisy_oracle(
+        c,
+        np.outer(psi0, psi0.conj()),
+        [
+            {"name": "lowering", "sites": [i], "strength": gamma, "matrix": lowering}
+            for i in range(length)
+        ],
+        length,
+    )
+    exact = [
+        np.real(np.trace(embed_one_site(pauli_z, i, length) @ rho))
+        for i in range(length)
+    ]
+    params = DigitalSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        num_traj=800,
+        max_bond_dim=8,
+        svd_threshold=1e-12,
+        random_seed=31,
+    )
+    res = Simulator().run(State(length), c, params, nm)
+    n = res.num_trajectories
+    stderr = res.trajectories.std(axis=0)[:, -1] / np.sqrt(n)
+    diff = np.abs(res.expectation_values[:, -1] - np.asarray(exact))
+    assert np.all(diff < 5 * stderr + 0.03), (diff, stderr)

@@ -50,12 +50,16 @@ class CompiledSegment:
     """One jit-compilable half-layer block.
 
     ``mats1q (n_hl, L, 2, 2)``, ``bond_mats (n_hl, L-1, 4, 4)``,
-    ``noise_site_mask (n_hl, L)`` float; the half-layer count is circuit-dependent.
+    ``noise_site_mask (n_hl, L)`` float; the half-layer count is
+    circuit-dependent.  ``gate_scopes[h]`` lists the logical site tuples of
+    the gates finishing in half-layer ``h`` — the per-gate noise scopes
+    (reference create_local_noise_model: one jump decision per gate).
     """
 
     mats1q: np.ndarray
     bond_mats: np.ndarray
     noise_site_mask: np.ndarray
+    gate_scopes: list = dataclasses.field(default_factory=list)
 
     @property
     def n_half_layers(self) -> int:
@@ -105,6 +109,7 @@ class _Scheduler:
         self.ops_1q: dict[tuple[int, int], np.ndarray] = {}  # (h, site) -> mat
         self.ops_2q: dict[tuple[int, int], np.ndarray] = {}  # (h, bond) -> mat
         self.noise_sites: dict[int, set[int]] = {}
+        self.noise_gates: dict[int, list[tuple[int, ...]]] = {}  # h -> gate scopes
         self.n_hl = 0
 
     @property
@@ -124,6 +129,7 @@ class _Scheduler:
         self.avail[bond] = self.avail[bond + 1] = h + 1
         if noise_sites:
             self.noise_sites.setdefault(h, set()).update(noise_sites)
+            self.noise_gates.setdefault(h, []).append(tuple(sorted(noise_sites)))
         self.n_hl = max(self.n_hl, h + 1)
 
     def finish(self) -> CompiledSegment:
@@ -141,7 +147,8 @@ class _Scheduler:
         for h, sites in self.noise_sites.items():
             for s in sites:
                 mask[h, s] = 1.0
-        return CompiledSegment(mats1q, bond_mats, mask)
+        scopes = [self.noise_gates.get(h, []) for h in range(max(n_hl, 2))]
+        return CompiledSegment(mats1q, bond_mats, mask, scopes)
 
 
 def _window_generator_mpo(op: GateOp, length: int) -> GateStage | None:
@@ -285,3 +292,4 @@ def _schedule_tebd(sched: _Scheduler, qubits: tuple[int, int], op: GateOp) -> No
     # noise scope: the logical gate sites, after the chain completes
     h = max(sched.avail[lo], sched.avail[hi]) - 1
     sched.noise_sites.setdefault(h, set()).update((lo, hi))
+    sched.noise_gates.setdefault(h, []).append((lo, hi))

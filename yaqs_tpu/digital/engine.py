@@ -7,14 +7,15 @@ One trajectory = a sequence of jitted segment programs; each segment is a
 2. per-bond two-qubit gates inside the canonical-center sweep (masked
    identity bonds still QR through the SVD split, keeping shapes fixed),
 3. the per-gate-scoped dissipation + jump process with ``dt = 1``
-   (reference digital_tjm.py:521-522), with channel masks restricting jumps
-   to the half-layer's gate sites.
+   (reference digital_tjm.py:521-522): dissipation over the union of the
+   half-layer's gate sites (exact for disjoint gates), then an independent
+   jump decision per gate from shared gauge-free channel moments.
 
-Deviation from the reference (documented): the reference applies noise after
-*each* two-qubit gate sequentially; this engine applies it once per
-half-layer over the union of that half-layer's gate sites.  For disjoint
-gates the dissipation is identical; jump statistics differ at
-``O((gamma dt)^2)`` (at most one jump per half-layer instead of per gate).
+Deviation from the reference (documented): the reference recomputes local
+weights sequentially after each gate; this engine draws all of a
+half-layer's per-gate jumps from one moment pass, so the weights seen by a
+later gate ignore an earlier disjoint-scope jump — an ``O((gamma dt)^2)``
+difference.
 """
 
 from __future__ import annotations
@@ -113,43 +114,55 @@ def _masked_dissipation_ops(noise: CompiledNoise, site_mask):
     return jnp.einsum("iab,ib,icb->iac", v, phases.astype(v.dtype), v.conj())
 
 
-def _masked_jump(tensors, noise: CompiledNoise, ch_mask, key):
-    """Jump-or-not with channels masked to the active scope; renormalizes."""
-    from ..core.mps_ops import norm_squared_center0
+def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key):
+    """Independent jump decisions per gate scope (then one renormalization).
+
+    The reference applies a local stochastic process after *each* gate
+    (digital_tjm.py:521): jump probability = local dissipation deficit,
+    channel sampled from the local weights.  Here all channel weights come
+    from one gauge-free moment pass over the post-dissipation state and each
+    gate draws its own Bernoulli — multiple gates in a half-layer can each
+    jump (matching the reference to O(gamma^2), where the deviation is the
+    stale weights after an earlier disjoint-scope jump).
+    ``gate_ch_masks (G, nc)``; zero rows are padding and never fire.
+    """
     from ..methods.stochastic import _apply_channel
 
-    key_decide, key_choose = jax.random.split(key)
-    n2 = norm_squared_center0(tensors)
-    dp = 1.0 - n2
-    u = jax.random.uniform(key_decide, dtype=n2.dtype)
-    jumped = u < dp
+    w_all = jnp.maximum(channel_weights(tensors, noise, 1.0), 0.0)
 
-    def do_jump(t):
-        w = channel_weights(t, noise, 1.0) * ch_mask
-        w = jnp.maximum(w, 0.0)
-        total = jnp.sum(w)
-        safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
-        idx = jax.random.categorical(key_choose, jnp.log(safe_w))
-        return _apply_channel(t, noise, idx)
+    def per_gate(t, xs):
+        mask_g, kg = xs
+        wg = w_all * mask_g
+        pg = jnp.sum(wg)
+        k_decide, k_choose = jax.random.split(kg)
+        u = jax.random.uniform(k_decide, dtype=pg.dtype)
+        fire = u < pg
+        safe = jnp.where(pg > 0, wg, jnp.ones_like(wg))
+        idx = jax.random.categorical(k_choose, jnp.log(safe))
+        t = jax.lax.cond(
+            fire, lambda tt: _apply_channel(tt, noise, idx), lambda tt: tt, t
+        )
+        return t, None
 
-    tensors = jax.lax.cond(jumped, do_jump, lambda t: t, tensors)
+    n_gates = gate_ch_masks.shape[0]
+    keys = jax.random.split(key, n_gates)
+    tensors, _ = jax.lax.scan(per_gate, tensors, (gate_ch_masks, keys))
     tensors, _ = normalize_canonical(tensors)
     return tensors
 
 
-def _apply_scoped_noise(tensors, noise: CompiledNoise, site_mask, ch_mask, key):
-    """Dissipation (dt=1, masked sites) then jump-or-not (masked channels).
+def _apply_scoped_noise(tensors, noise: CompiledNoise, site_mask, gate_ch_masks, key):
+    """Dissipation (dt=1, masked sites) then per-gate jump decisions.
 
-    Expects a normalized canonical-at-0 state; the post-dissipation norm
-    deficit is the jump probability (reference digital noise application,
-    digital_tjm.py:521).
+    Expects a normalized canonical-at-0 state (reference digital noise
+    application, digital_tjm.py:521).
     """
     from ..core.mps_ops import canonicalize_right
 
     ops = _masked_dissipation_ops(noise, site_mask)
     tensors = jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
     tensors = canonicalize_right(tensors)
-    return _masked_jump(tensors, noise, ch_mask, key)
+    return _per_gate_jumps(tensors, noise, gate_ch_masks, key)
 
 
 # ---------------------------------------------------------------------------
@@ -255,36 +268,41 @@ def apply_gate_stage(
     return tensors
 
 
-def _gate_stage_noise_masks(stage: GateStage, length: int, noise: CompiledNoise | None):
-    """(L,) site mask + (nc,) channel mask for a gate stage's noise scope."""
-    if noise is None:
-        return None, None
-    site_mask = np.zeros((length,))
-    for s in stage.noise_sites:
-        site_mask[s] = 1.0
-    active = set(stage.noise_sites)
+def _channel_mask_for_scope(scope, noise: CompiledNoise) -> np.ndarray:
+    """(nc,) activation: a channel is active when all its sites are inside
+    the gate scope (reference create_local_noise_model subset rule)."""
+    active = set(scope)
     nc = noise.ch_gamma.shape[0]
     ch = np.zeros((nc,))
     for k in range(nc):
         sites = {int(noise.ch_site1[k]), int(noise.ch_site2[k])}
         ch[k] = 1.0 if sites <= active else 0.0
-    return site_mask, ch
+    return ch
+
+
+def _gate_stage_noise_masks(stage: GateStage, length: int, noise: CompiledNoise | None):
+    """(L,) site mask + (1, nc) per-gate channel mask for a gate stage."""
+    if noise is None:
+        return None, None
+    site_mask = np.zeros((length,))
+    for s in stage.noise_sites:
+        site_mask[s] = 1.0
+    return site_mask, _channel_mask_for_scope(stage.noise_sites, noise)[None]
 
 
 def _channel_scope_masks(segment: CompiledSegment, noise: CompiledNoise | None):
-    """(n_hl, nc) channel activation from the half-layer site masks:
-    a channel is active when all its sites are in the scope (reference
-    create_local_noise_model subset rule)."""
+    """(n_hl, G_max, nc) per-gate channel activations (zero rows = padding)."""
     if noise is None:
         return None
     n_hl = segment.n_half_layers
     nc = noise.ch_gamma.shape[0]
-    out = np.zeros((n_hl, nc))
+    g_max = max((len(g) for g in segment.gate_scopes), default=0)
+    g_max = max(g_max, 1)
+    out = np.zeros((n_hl, g_max, nc))
     for h in range(n_hl):
-        active = set(np.nonzero(segment.noise_site_mask[h])[0].tolist())
-        for k in range(nc):
-            sites = {int(noise.ch_site1[k]), int(noise.ch_site2[k])}
-            out[h, k] = 1.0 if sites <= active else 0.0
+        scopes = segment.gate_scopes[h] if h < len(segment.gate_scopes) else []
+        for g, scope in enumerate(scopes):
+            out[h, g] = _channel_mask_for_scope(scope, noise)
     return out
 
 
