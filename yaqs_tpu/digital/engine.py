@@ -50,7 +50,13 @@ def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
     if cfg.svd_method == "subspace":
         from ..ops.decomp import split_two_site_subspace
 
-        return split_two_site_subspace(theta, chi, svd_distribution=distribution)
+        return split_two_site_subspace(
+            theta,
+            chi,
+            iters=cfg.subspace_iters,
+            orth_every=cfg.subspace_orth,
+            svd_distribution=distribution,
+        )
     return split_two_site_truncated(
         theta,
         chi,

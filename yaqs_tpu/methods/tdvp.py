@@ -62,6 +62,7 @@ class TDVPConfig:
     sweeps: int = 1  # substeps of dt/sweeps each
     svd_method: str = "exact"  # "exact" | "subspace" (fast TPU splits)
     subspace_iters: int = 2  # power iterations for the subspace split
+    subspace_orth: bool = True  # QR between power iterations (stability)
     lanczos_reorth: bool = True  # full reorthogonalization in Lanczos
 
     @property
@@ -154,7 +155,11 @@ def heff_bond(f, g, c):
 def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
     if cfg.svd_method == "subspace":
         return split_two_site_subspace(
-            theta, chi, iters=cfg.subspace_iters, svd_distribution=distribution
+            theta,
+            chi,
+            iters=cfg.subspace_iters,
+            orth_every=cfg.subspace_orth,
+            svd_distribution=distribution,
         )
     return split_two_site_truncated(
         theta,

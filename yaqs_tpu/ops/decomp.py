@@ -118,6 +118,7 @@ def split_matrix_subspace(
     chi: int,
     *,
     iters: int = 2,
+    orth_every: bool = True,
     svd_distribution: str = "right",
 ):
     """Approximate rank-``chi`` split via subspace (power) iteration — no SVD.
@@ -148,7 +149,8 @@ def split_matrix_subspace(
         # left factor isometric: dominant COLUMN subspace of m
         y = m @ jnp.asarray(omega_c, dtype=m.dtype)
         for _ in range(iters):
-            y, _ = jnp.linalg.qr(y)
+            if orth_every:  # re-orth between powers: resolves tails ~eps^(1/2)
+                y, _ = jnp.linalg.qr(y)
             y = m @ (mh @ y)
         q, _ = jnp.linalg.qr(y)
         left = q
@@ -158,7 +160,8 @@ def split_matrix_subspace(
         # right factor isometric: dominant ROW subspace of m
         y = mh @ jnp.asarray(omega_r, dtype=m.dtype)
         for _ in range(iters):
-            y, _ = jnp.linalg.qr(y)
+            if orth_every:
+                y, _ = jnp.linalg.qr(y)
             y = mh @ (m @ y)
         v, _ = jnp.linalg.qr(y)
         left = m @ v
@@ -176,13 +179,14 @@ def split_two_site_subspace(
     chi: int,
     *,
     iters: int = 2,
+    orth_every: bool = True,
     svd_distribution: str = "right",
 ):
     """Two-site variant of :func:`split_matrix_subspace`."""
     d1, d2, l, r = theta.shape
     m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(d1 * l, d2 * r)
     left, right, s, keep = split_matrix_subspace(
-        m, chi, iters=iters, svd_distribution=svd_distribution
+        m, chi, iters=iters, orth_every=orth_every, svd_distribution=svd_distribution
     )
     a = left.reshape(d1, l, chi)
     b = right.reshape(chi, d2, r).transpose(1, 0, 2)
