@@ -139,6 +139,16 @@ class NoiseModel:
                 kind = s.get("distribution")
                 if kind == "normal":
                     val = rng.normal(s.get("mean", 0.0), s.get("std", 1.0))
+                    if val < 0:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "Sampled noise strength %f ('normal', mean=%f, "
+                            "std=%f) was negative and clamped to 0.0.",
+                            val,
+                            s.get("mean", 0.0),
+                            s.get("std", 1.0),
+                        )
                 elif kind == "lognormal":
                     val = rng.lognormal(s.get("mean", 0.0), s.get("sigma", s.get("std", 1.0)))
                 elif kind == "truncated_normal":

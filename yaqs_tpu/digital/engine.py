@@ -379,6 +379,9 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
 
     sampled_noise = simulator._sample_noise(noise_model, sim_params)
     noisy = sampled_noise is not None and not sampled_noise.all_zero()
+    if noisy and sim_params.get_state:
+        msg = "Cannot return state in noisy circuit simulation due to stochastics."
+        raise ValueError(msg)
     noise = compile_noise(sampled_noise, length, d) if noisy else None
     if noise is not None and noise.ch2_gamma.shape[0] > 0:
         msg = (
