@@ -244,3 +244,92 @@ def test_noisy_parallel_gates_per_gate_jumps():
     stderr = res.trajectories.std(axis=0)[:, -1] / np.sqrt(n)
     diff = np.abs(res.expectation_values[:, -1] - np.asarray(exact))
     assert np.all(diff < 5 * stderr + 0.03), (diff, stderr)
+
+
+def test_noisy_digital_two_site_channel_vs_oracle():
+    """Adjacent non-Pauli two-site noise (merged-pair channel) on the digital
+    path: agree with a dense Lindblad channel oracle applied after each gate."""
+    from yaqs_tpu.analog.embedding import embed_operator
+    from yaqs_tpu.analog.lindblad import build_liouvillian
+
+    length = 3
+    gamma2 = 0.15
+    # non-product two-site jump: |00><11| + |11><00| style exchange
+    two_site = np.zeros((4, 4), dtype=complex)
+    two_site[0, 3] = 1.0
+    two_site[3, 0] = 1.0
+    c = Circuit(length)
+    c.h(0)
+    c.cx(0, 1)
+    c.cx(1, 2)
+    nm = NoiseModel(
+        [
+            {"name": "pair_exchange", "sites": [0, 1], "strength": gamma2, "matrix": two_site},
+            {"name": "pair_exchange", "sites": [1, 2], "strength": gamma2, "matrix": two_site},
+        ]
+    )
+
+    dim = 2**length
+    psi0 = np.zeros(dim, dtype=complex)
+    psi0[0] = 1.0
+    rho = np.outer(psi0, psi0.conj())
+
+    def embed_two(mat, a, b):
+        t = np.asarray(mat).reshape(2, 2, 2, 2)
+        # first listed site = most significant of the 4x4
+        full = np.zeros((dim, dim), dtype=complex)
+        for sa in range(2):
+            for sb in range(2):
+                for ta in range(2):
+                    for tb in range(2):
+                        full += t[sa, sb, ta, tb] * np.kron(
+                            embed_one_site(np.eye(2), 0, length) * 0
+                            + embed_operator({a: _unit(sa, ta), b: _unit(sb, tb)}, length),
+                            np.eye(1),
+                        )
+        return full
+
+    def _unit(i, j):
+        m = np.zeros((2, 2), dtype=complex)
+        m[i, j] = 1.0
+        return m
+
+    for op in c.ops:
+        if op.name in {"barrier", "measure"}:
+            continue
+        u_cols = []
+        for col in range(dim):
+            e = np.zeros(dim, dtype=complex)
+            e[col] = 1.0
+            u_cols.append(dense_apply(e, op.resolved_matrix(), list(op.qubits), length))
+        u_full = np.stack(u_cols, axis=1)
+        rho = u_full @ rho @ u_full.conj().T
+        if len(op.qubits) == 2:
+            lo, hi = min(op.qubits), max(op.qubits)
+            jumps = []
+            for proc in nm.processes:
+                if set(proc["sites"]) <= {lo, hi}:
+                    a, b = proc["sites"]
+                    jumps.append(
+                        np.sqrt(proc["strength"]) * embed_two(proc["matrix"], a, b)
+                    )
+            if jumps:
+                liou = build_liouvillian(np.zeros((dim, dim)), jumps)
+                rho = (scipy.linalg.expm(liou) @ rho.reshape(-1)).reshape(dim, dim)
+
+    exact = [
+        np.real(np.trace(embed_one_site(pauli_z, i, length) @ rho))
+        for i in range(length)
+    ]
+    params = DigitalSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        num_traj=600,
+        max_bond_dim=8,
+        svd_threshold=1e-12,
+        random_seed=19,
+    )
+    res = Simulator().run(State(length), c, params, nm)
+    n = res.num_trajectories
+    stderr = res.trajectories.std(axis=0)[:, -1] / np.sqrt(n)
+    diff = np.abs(res.expectation_values[:, -1] - np.asarray(exact))
+    assert np.all(diff < 5 * stderr + 0.03), (diff, stderr, exact)

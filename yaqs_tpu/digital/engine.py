@@ -120,7 +120,30 @@ def _masked_dissipation_ops(noise: CompiledNoise, site_mask):
     return jnp.einsum("iab,ib,icb->iac", v, phases.astype(v.dtype), v.conj())
 
 
-def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key):
+def _masked_bond_dissipation(tensors, noise: CompiledNoise, bond_mask, cfg: TDVPConfig):
+    """Adjacent two-site dissipators (crosstalk etc.) with masked bonds
+    active: one merge-split sweep with ``dt = 1`` (reference dissipation
+    sweep, core/methods/dissipation.py:142).  Expects canonical-at-0 input;
+    output canonical at the last site (callers recanonicalize)."""
+    length, d, chi, _ = tensors.shape
+    evals = jnp.asarray(noise.diss2_evals)
+    v = jnp.asarray(noise.diss2_evecs)
+    phases = jnp.exp(-0.5 * evals * bond_mask[:, None])
+    bond_ops = jnp.einsum("iab,ib,icb->iac", v, phases.astype(v.dtype), v.conj())
+
+    def body(tensors, xs):
+        i, e = xs
+        theta = merge_two_site(tensors[i], tensors[i + 1])
+        th = theta.reshape(d * d, chi * chi)
+        th = (e.astype(th.dtype) @ th).reshape(d, d, chi, chi)
+        a, b, _, _ = _split_cfg(th, chi, cfg, "right")
+        return tensors.at[i].set(a).at[i + 1].set(b), None
+
+    tensors, _ = jax.lax.scan(body, tensors, (jnp.arange(length - 1), bond_ops))
+    return tensors
+
+
+def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key, cfg=None):
     """Independent jump decisions per gate scope (then one renormalization).
 
     The reference applies a local stochastic process after *each* gate
@@ -130,11 +153,36 @@ def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key):
     gate draws its own Bernoulli — multiple gates in a half-layer can each
     jump (matching the reference to O(gamma^2), where the deviation is the
     stale weights after an earlier disjoint-scope jump).
-    ``gate_ch_masks (G, nc)``; zero rows are padding and never fire.
+    ``gate_ch_masks (G, nc1 + nc2)``; zero rows are padding and never fire.
+    Indices ``>= nc1`` select adjacent two-site (crosstalk) channels.
     """
-    from ..methods.stochastic import _apply_channel
+    from ..methods.stochastic import _apply_channel, _apply_channel2, channel_weights2
 
-    w_all = jnp.maximum(channel_weights(tensors, noise, 1.0), 0.0)
+    nc1 = noise.ch_gamma.shape[0]
+    nc2 = noise.ch2_gamma.shape[0]
+    w1 = (
+        jnp.maximum(channel_weights(tensors, noise, 1.0), 0.0)
+        if nc1
+        else jnp.zeros((0,))
+    )
+    w2 = (
+        jnp.maximum(channel_weights2(tensors, noise, 1.0), 0.0)
+        if nc2
+        else jnp.zeros((0,), dtype=w1.dtype)
+    )
+    w_all = jnp.concatenate([w1, w2.astype(w1.dtype) if nc1 else w2])
+
+    def apply_idx(t, idx):
+        if nc2 == 0:
+            return _apply_channel(t, noise, idx)
+        if nc1 == 0:
+            return _apply_channel2(t, noise, idx, cfg)
+        return jax.lax.cond(
+            idx < nc1,
+            lambda tt: _apply_channel(tt, noise, jnp.minimum(idx, nc1 - 1)),
+            lambda tt: _apply_channel2(tt, noise, jnp.minimum(idx - nc1, nc2 - 1), cfg),
+            t,
+        )
 
     def per_gate(t, xs):
         mask_g, kg = xs
@@ -145,9 +193,7 @@ def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key):
         fire = u < pg
         safe = jnp.where(pg > 0, wg, jnp.ones_like(wg))
         idx = jax.random.categorical(k_choose, jnp.log(safe))
-        t = jax.lax.cond(
-            fire, lambda tt: _apply_channel(tt, noise, idx), lambda tt: tt, t
-        )
+        t = jax.lax.cond(fire, lambda tt: apply_idx(tt, idx), lambda tt: tt, t)
         return t, None
 
     n_gates = gate_ch_masks.shape[0]
@@ -157,8 +203,10 @@ def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key):
     return tensors
 
 
-def _apply_scoped_noise(tensors, noise: CompiledNoise, site_mask, gate_ch_masks, key):
-    """Dissipation (dt=1, masked sites) then per-gate jump decisions.
+def _apply_scoped_noise(
+    tensors, noise: CompiledNoise, site_mask, bond_mask, gate_ch_masks, key, cfg
+):
+    """Dissipation (dt=1, masked sites/bonds) then per-gate jump decisions.
 
     Expects a normalized canonical-at-0 state (reference digital noise
     application, digital_tjm.py:521).
@@ -167,8 +215,11 @@ def _apply_scoped_noise(tensors, noise: CompiledNoise, site_mask, gate_ch_masks,
 
     ops = _masked_dissipation_ops(noise, site_mask)
     tensors = jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
+    if noise.ch2_gamma.shape[0] > 0:
+        tensors = canonicalize_right(tensors)
+        tensors = _masked_bond_dissipation(tensors, noise, bond_mask, cfg)
     tensors = canonicalize_right(tensors)
-    return _per_gate_jumps(tensors, noise, gate_ch_masks, key)
+    return _per_gate_jumps(tensors, noise, gate_ch_masks, key, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +238,7 @@ def apply_segment(
     key,
     cfg: TDVPConfig,
     noisy: bool,
+    noise_bond_masks: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run one compiled segment (expects canonical-at-0 normalized input).
 
@@ -206,8 +258,9 @@ def apply_segment(
             # sweep is not miscounted as jump probability (reference
             # renorm_drift for fixed-chi runs, sweep_utils.py:152)
             tensors, _ = normalize_canonical(tensors)
+            bond_mask = None if noise_bond_masks is None else noise_bond_masks[h]
             tensors = _apply_scoped_noise(
-                tensors, noise, noise_masks[h], ch_scope[h], key
+                tensors, noise, noise_masks[h], bond_mask, ch_scope[h], key, cfg
             )
         else:
             tensors, _ = normalize_canonical(tensors)
@@ -230,6 +283,7 @@ def apply_gate_stage(
     cfg: TDVPConfig,
     noisy: bool,
     kind: str,
+    bond_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Apply one long-range/multi-qubit gate stage (canonical-at-0 in/out).
 
@@ -270,46 +324,69 @@ def apply_gate_stage(
     tensors = tensors.at[w0 : w0 + w].set(window)
     tensors, _ = normalize_canonical(tensors)
     if noisy:
-        tensors = _apply_scoped_noise(tensors, noise, site_mask, ch_mask, key)
+        tensors = _apply_scoped_noise(
+            tensors, noise, site_mask, bond_mask, ch_mask, key, cfg
+        )
     return tensors
 
 
 def _channel_mask_for_scope(scope, noise: CompiledNoise) -> np.ndarray:
-    """(nc,) activation: a channel is active when all its sites are inside
-    the gate scope (reference create_local_noise_model subset rule)."""
+    """(nc1 + nc2,) activation: a channel is active when all its sites are
+    inside the gate scope (reference create_local_noise_model subset rule).
+    Entries beyond nc1 are the adjacent two-site (crosstalk) channels."""
     active = set(scope)
-    nc = noise.ch_gamma.shape[0]
-    ch = np.zeros((nc,))
-    for k in range(nc):
+    nc1 = noise.ch_gamma.shape[0]
+    nc2 = noise.ch2_gamma.shape[0]
+    ch = np.zeros((nc1 + nc2,))
+    for k in range(nc1):
         sites = {int(noise.ch_site1[k]), int(noise.ch_site2[k])}
         ch[k] = 1.0 if sites <= active else 0.0
+    for k in range(nc2):
+        b = int(noise.ch2_bond[k])
+        ch[nc1 + k] = 1.0 if {b, b + 1} <= active else 0.0
     return ch
 
 
+def _bond_mask_for_scopes(scopes, length: int) -> np.ndarray:
+    """(L-1,) bond activation: both bond sites inside some gate scope."""
+    mask = np.zeros((max(length - 1, 1),))
+    for scope in scopes:
+        active = set(scope)
+        for b in range(length - 1):
+            if {b, b + 1} <= active:
+                mask[b] = 1.0
+    return mask
+
+
 def _gate_stage_noise_masks(stage: GateStage, length: int, noise: CompiledNoise | None):
-    """(L,) site mask + (1, nc) per-gate channel mask for a gate stage."""
+    """(L,), (L-1,), (1, nc) noise masks for a gate stage."""
     if noise is None:
-        return None, None
+        return None, None, None
     site_mask = np.zeros((length,))
     for s in stage.noise_sites:
         site_mask[s] = 1.0
-    return site_mask, _channel_mask_for_scope(stage.noise_sites, noise)[None]
+    bond_mask = _bond_mask_for_scopes([stage.noise_sites], length)
+    return site_mask, bond_mask, _channel_mask_for_scope(stage.noise_sites, noise)[None]
 
 
 def _channel_scope_masks(segment: CompiledSegment, noise: CompiledNoise | None):
-    """(n_hl, G_max, nc) per-gate channel activations (zero rows = padding)."""
+    """Per-gate channel activations (n_hl, G_max, nc1+nc2) and per-half-layer
+    bond masks (n_hl, L-1) (zero rows = padding)."""
     if noise is None:
-        return None
+        return None, None
     n_hl = segment.n_half_layers
-    nc = noise.ch_gamma.shape[0]
+    length = segment.mats1q.shape[1]
+    nc = noise.ch_gamma.shape[0] + noise.ch2_gamma.shape[0]
     g_max = max((len(g) for g in segment.gate_scopes), default=0)
     g_max = max(g_max, 1)
     out = np.zeros((n_hl, g_max, nc))
+    bonds = np.zeros((n_hl, max(length - 1, 1)))
     for h in range(n_hl):
         scopes = segment.gate_scopes[h] if h < len(segment.gate_scopes) else []
         for g, scope in enumerate(scopes):
             out[h, g] = _channel_mask_for_scope(scope, noise)
-    return out
+        bonds[h] = _bond_mask_for_scopes(scopes, length)
+    return out, bonds
 
 
 # ---------------------------------------------------------------------------
@@ -383,12 +460,6 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         msg = "Cannot return state in noisy circuit simulation due to stochastics."
         raise ValueError(msg)
     noise = compile_noise(sampled_noise, length, d) if noisy else None
-    if noise is not None and noise.ch2_gamma.shape[0] > 0:
-        msg = (
-            "adjacent non-Pauli two-site noise is not supported on the "
-            "digital path yet (use factored/Pauli processes)"
-        )
-        raise NotImplementedError(msg)
 
     tensors0 = initial_state.to_padded_mps(chi)
     cfg = TDVPConfig(
@@ -433,7 +504,9 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                 lambda i: jax.random.fold_in(jax.random.fold_in(base_key, stage_idx), i)
             )(jnp.arange(batch))
             if isinstance(stage, GateStage):
-                site_mask, ch_mask = _gate_stage_noise_masks(stage, length, noise)
+                site_mask, bond_mask, ch_mask = _gate_stage_noise_masks(
+                    stage, length, noise
+                )
                 stage_fn = jax.vmap(
                     lambda t, k: apply_gate_stage(
                         t,
@@ -446,10 +519,15 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                         cfg,
                         noisy,
                         stage.kind,
+                        bond_mask,
                     )
                 )
             else:
-                scope = _channel_scope_masks(stage, noise)
+                scope, bond_masks = (
+                    _channel_scope_masks(stage, noise)
+                    if noise is not None
+                    else (None, None)
+                )
                 stage_fn = jax.vmap(
                     lambda t, k: apply_segment(
                         t,
@@ -461,6 +539,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                         k,
                         cfg,
                         noisy,
+                        bond_masks,
                     )
                 )
             tensors_b = stage_fn(tensors_b, keys)
