@@ -53,7 +53,7 @@ DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 KRYLOV = int(os.environ.get("BENCH_KRYLOV", 12))
 SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
-SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 1))
+SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 2))
 REORTH = os.environ.get("BENCH_REORTH", "0") == "1"
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 REPS = int(os.environ.get("BENCH_REPS", 2))

@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 from .truncation import keep_mask
 
+
+def _real_or(dtype):
+    return jnp.zeros((), dtype=dtype).real.dtype
+
 __all__ = [
     "right_qr",
     "left_qr",
@@ -134,6 +138,11 @@ def split_matrix_subspace(
     cap): at fixed padded bond dimension, sub-threshold directions are
     harmless zero-padding rather than a cost. Use the exact path when
     reference-exact truncation semantics are required.
+
+    Accuracy in complex64 (TPU): ``iters=2`` matches the exact-SVD path's
+    precision floor on 100-site TFIM sweeps; ``iters=1`` loses the subspace
+    (O(0.1) observable errors) and ``orth_every=False`` overflows to NaN —
+    both are only safe in float64.
     """
     import numpy as _np
 
@@ -145,25 +154,40 @@ def split_matrix_subspace(
     rows = m.shape[-2]
     omega_c = _np.random.default_rng(20260816).standard_normal((cols, chi)) / _np.sqrt(cols)
     omega_r = _np.random.default_rng(20260817).standard_normal((rows, chi)) / _np.sqrt(rows)
+
+    # Rank-safety: padded states make the iterate rank-deficient, and the
+    # TPU's Householder QR produces NaN columns on exactly-singular blocks
+    # (LAPACK completes them gracefully; XLA:TPU does not).  A deterministic
+    # noise floor ~eps^(3/4) below the iterate norm keeps every QR full-rank
+    # while perturbing the kept subspace far below the dtype's working
+    # precision for the power iteration.
+    eps_reg = float(jnp.finfo(_real_or(m.dtype)).eps) ** 0.75
+
+    def _safe_qr(y, seed):
+        nz = _np.random.default_rng(seed).standard_normal(y.shape[-2:])
+        nz = nz / _np.linalg.norm(nz)
+        scale = (eps_reg * jnp.linalg.norm(y)).astype(y.dtype)
+        q, _ = jnp.linalg.qr(y + scale * jnp.asarray(nz, dtype=y.dtype))
+        return q
     if svd_distribution == "right":
         # left factor isometric: dominant COLUMN subspace of m
         y = m @ jnp.asarray(omega_c, dtype=m.dtype)
-        for _ in range(iters):
+        for it in range(iters):
             if orth_every:  # re-orth between powers: resolves tails ~eps^(1/2)
-                y, _ = jnp.linalg.qr(y)
+                y = _safe_qr(y, 31 + it)
             y = m @ (mh @ y)
-        q, _ = jnp.linalg.qr(y)
+        q = _safe_qr(y, 63)
         left = q
         right = jnp.swapaxes(q.conj(), -1, -2) @ m
         s_approx = jnp.sqrt(jnp.sum(jnp.abs(right) ** 2, axis=-1))
     elif svd_distribution == "left":
         # right factor isometric: dominant ROW subspace of m
         y = mh @ jnp.asarray(omega_r, dtype=m.dtype)
-        for _ in range(iters):
+        for it in range(iters):
             if orth_every:
-                y, _ = jnp.linalg.qr(y)
+                y = _safe_qr(y, 47 + it)
             y = mh @ (m @ y)
-        v, _ = jnp.linalg.qr(y)
+        v = _safe_qr(y, 79)
         left = m @ v
         right = jnp.swapaxes(v.conj(), -1, -2)
         s_approx = jnp.sqrt(jnp.sum(jnp.abs(left) ** 2, axis=-2))

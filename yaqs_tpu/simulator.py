@@ -62,6 +62,7 @@ class Simulator:
         devices=None,
         show_progress: bool = False,
         max_workers: int | None = None,  # accepted for reference API parity
+        matmul_precision: str | None = "highest",
     ) -> None:
         del max_workers
         self._execution = ExecutionConfig(
@@ -70,6 +71,11 @@ class Simulator:
             devices=tuple(devices) if devices else None,
             show_progress=show_progress,
         )
+        # TPU matmuls default to bf16-multiply passes, which degrades complex64
+        # sweeps from a ~1e-4 observable floor to ~1e-1 over 5 sweeps (measured
+        # on 100-site TFIM); "highest" restores full f32 products.  None keeps
+        # the platform default.
+        self._matmul_precision = matmul_precision
 
     @property
     def execution(self) -> ExecutionConfig:
@@ -84,19 +90,33 @@ class Simulator:
         noise_model: NoiseModel | None = None,
     ) -> Result:
         """Run a simulation and return an aggregated :class:`Result`."""
+        import contextlib
+
+        import jax
+
         t_start = time.perf_counter()
-        if isinstance(initial_state, (list, tuple)):
-            if not isinstance(sim_params, AnalogSimParams):
-                msg = "ensemble (list-of-State) runs require AnalogSimParams"
+        prec_ctx = (
+            jax.default_matmul_precision(self._matmul_precision)
+            if self._matmul_precision is not None
+            else contextlib.nullcontext()
+        )
+        with prec_ctx:
+            if isinstance(initial_state, (list, tuple)):
+                if not isinstance(sim_params, AnalogSimParams):
+                    msg = "ensemble (list-of-State) runs require AnalogSimParams"
+                    raise TypeError(msg)
+                result = self._run_ensemble(list(initial_state), operator, sim_params)
+            elif isinstance(sim_params, AnalogSimParams):
+                result = self._run_analog(
+                    initial_state, operator, sim_params, noise_model
+                )
+            elif isinstance(sim_params, DigitalSimParams):
+                result = self._run_digital(
+                    initial_state, operator, sim_params, noise_model
+                )
+            else:
+                msg = f"Unsupported sim_params type: {type(sim_params).__name__}"
                 raise TypeError(msg)
-            result = self._run_ensemble(list(initial_state), operator, sim_params)
-        elif isinstance(sim_params, AnalogSimParams):
-            result = self._run_analog(initial_state, operator, sim_params, noise_model)
-        elif isinstance(sim_params, DigitalSimParams):
-            result = self._run_digital(initial_state, operator, sim_params, noise_model)
-        else:
-            msg = f"Unsupported sim_params type: {type(sim_params).__name__}"
-            raise TypeError(msg)
         result.elapsed_wall_time = time.perf_counter() - t_start
         return result
 
