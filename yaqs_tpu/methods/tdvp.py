@@ -63,6 +63,7 @@ class TDVPConfig:
     svd_method: str = "exact"  # "exact" | "subspace" (fast TPU splits)
     subspace_iters: int = 2  # power iterations for the subspace split
     subspace_orth: bool = True  # QR between power iterations (stability)
+    subspace_qr: str = "householder"  # "householder" | "cholesky" (fast TPU)
     lanczos_reorth: bool = True  # full reorthogonalization in Lanczos
 
     @property
@@ -159,6 +160,7 @@ def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
             chi,
             iters=cfg.subspace_iters,
             orth_every=cfg.subspace_orth,
+            qr_method=cfg.subspace_qr,
             svd_distribution=distribution,
         )
     return split_two_site_truncated(
