@@ -49,7 +49,7 @@ from yaqs_tpu.analog.tjm import (  # noqa: E402
     trajectory_key,
 )
 from yaqs_tpu.core import mps_ops  # noqa: E402
-from yaqs_tpu.core.mpo_builders import ising_mpo  # noqa: E402
+from yaqs_tpu.core.mpo_builders import heisenberg_mpo, ising_mpo  # noqa: E402
 from yaqs_tpu.core.noise_model import NoiseModel, compile_noise  # noqa: E402
 from yaqs_tpu.core.observables import compile_observables  # noqa: E402
 from yaqs_tpu.core.sim_params import Observable  # noqa: E402
@@ -57,6 +57,7 @@ from yaqs_tpu.methods.tdvp import TDVPConfig  # noqa: E402
 
 L = int(os.environ.get("BENCH_L", 100))
 CHI = int(os.environ.get("BENCH_CHI", 64))
+MODEL = os.environ.get("BENCH_MODEL", "tfim")  # tfim | heisenberg (XXZ)
 DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 KRYLOV = int(os.environ.get("BENCH_KRYLOV", 6))
@@ -74,7 +75,10 @@ def main() -> None:
     # operands stay host-side numpy (complex device arrays cannot be jit
     # constants on the tunneled TPU platform)
     np_cdtype = np.complex128 if use_x64 else np.complex64
-    w = ising_mpo(L, 1.0, 0.5).astype(np_cdtype)
+    if MODEL == "heisenberg":  # XXZ: BASELINE config 2
+        w = heisenberg_mpo(L, 1.0, 1.0, 0.5, 0.2).astype(np_cdtype)
+    else:
+        w = ising_mpo(L, 1.0, 0.5).astype(np_cdtype)
     tensors0 = mps_ops.named_product_state("x+", L, CHI).astype(np_cdtype)
     nm = NoiseModel(
         [{"name": "z", "sites": [i], "strength": 0.05} for i in range(L)]
@@ -137,8 +141,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"TJM trajectories/sec/chip (TFIM L={L}, chi={CHI}, "
-                f"{STEPS} steps dt={DT}, order 2, noisy)",
+                "metric": f"TJM trajectories/sec/chip ({MODEL.upper()} L={L}, "
+                f"chi={CHI}, {STEPS} steps dt={DT}, order 2, noisy)",
                 "value": round(traj_per_sec, 4),
                 "unit": "traj/sec/chip",
                 "vs_baseline": round(traj_per_sec / TARGET_TRAJ_PER_SEC_PER_CHIP, 4),

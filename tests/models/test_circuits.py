@@ -86,3 +86,53 @@ def test_heisenberg_circuit_runs():
         None,
     )
     assert np.isfinite(res.expectation_values).all()
+
+
+def test_qft_circuit_matches_dense_dft():
+    """QFT unitary (with bit-reversal swaps) equals the DFT matrix in the
+    site-0-LSB convention."""
+    import numpy as np
+
+    from yaqs_tpu.models.circuits import create_qft_circuit
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "digital"))
+    from test_engine import run_dense
+
+    n = 4
+    dim = 2**n
+    c = create_qft_circuit(n)
+    cols = []
+    for b in range(dim):
+        e = np.zeros(dim, dtype=complex)
+        e[b] = 1.0
+        cols.append(run_dense(c, e))
+    u = np.stack(cols, axis=1)
+    omega = np.exp(2j * np.pi / dim)
+    dft = np.array([[omega ** (r * col) for col in range(dim)] for r in range(dim)])
+    dft /= np.sqrt(dim)
+    # the textbook circuit reads qubit 0 as the MOST significant bit; the
+    # dense oracle reads site 0 as LSB -> DFT conjugated by bit reversal
+    perm = np.zeros((dim, dim))
+    for i in range(dim):
+        perm[int(format(i, f"0{n}b")[::-1], 2), i] = 1.0
+    np.testing.assert_allclose(u, perm @ dft @ perm, atol=1e-10)
+
+
+def test_transpiled_qft_equivalent():
+    import numpy as np
+
+    from yaqs_tpu.equivalence import EquivalenceChecker
+    from yaqs_tpu.models.circuits import create_qft_circuit, create_transpiled_qft_circuit
+
+    n = 6
+    res = EquivalenceChecker().check(
+        create_qft_circuit(n), create_transpiled_qft_circuit(n)
+    )
+    assert res.equivalent
+    assert res.fidelity > 1 - 1e-8
+
+    # negative control: different phase ladder
+    c_bad = create_qft_circuit(n)
+    c_bad.append("p", (0,), params=(0.3,))
+    res_bad = EquivalenceChecker().check(create_qft_circuit(n), c_bad)
+    assert not res_bad.equivalent

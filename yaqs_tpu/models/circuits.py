@@ -19,6 +19,8 @@ __all__ = [
     "create_2d_heisenberg_circuit",
     "create_1d_fermi_hubbard_circuit",
     "nearest_neighbour_random_circuit",
+    "create_qft_circuit",
+    "create_transpiled_qft_circuit",
     "snake_index",
 ]
 
@@ -193,3 +195,47 @@ def nearest_neighbour_random_circuit(n_qubits: int, layers: int, seed: int = 42)
             else:
                 circ.cx(q, q + 1)
     return circ
+
+
+def create_qft_circuit(length: int, include_swaps: bool = True) -> Circuit:
+    """Quantum Fourier transform: H + controlled-phase cascade (+ bit-reversal
+    SWAPs).  The canonical equivalence-checking workload (BASELINE config 4:
+    QFT vs transpiled QFT)."""
+    c = Circuit(length)
+    for i in range(length):
+        c.h(i)
+        for j in range(i + 1, length):
+            c.append("cp", (j, i), params=(np.pi / 2 ** (j - i),))
+    if include_swaps:
+        for i in range(length // 2):
+            c.append("swap", (i, length - 1 - i))
+    return c
+
+
+def create_transpiled_qft_circuit(length: int, include_swaps: bool = True) -> Circuit:
+    """QFT with every controlled-phase decomposed to {p, cx} and every SWAP to
+    three CX — the 'transpiled to a basis gate set' counterpart used to
+    exercise the equivalence checker on structurally different circuits."""
+    c = Circuit(length)
+
+    def cp_decomposed(ctrl: int, tgt: int, theta: float) -> None:
+        # cp(theta) = P(theta/2)_c . CX . P(-theta/2)_t . CX . P(theta/2)_t
+        c.append("p", (ctrl,), params=(theta / 2,))
+        c.append("cx", (ctrl, tgt))
+        c.append("p", (tgt,), params=(-theta / 2,))
+        c.append("cx", (ctrl, tgt))
+        c.append("p", (tgt,), params=(theta / 2,))
+
+    def swap_decomposed(a: int, b: int) -> None:
+        c.append("cx", (a, b))
+        c.append("cx", (b, a))
+        c.append("cx", (a, b))
+
+    for i in range(length):
+        c.h(i)
+        for j in range(i + 1, length):
+            cp_decomposed(j, i, np.pi / 2 ** (j - i))
+    if include_swaps:
+        for i in range(length // 2):
+            swap_decomposed(i, length - 1 - i)
+    return c

@@ -45,8 +45,11 @@ hadamard = np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)
 s_gate = np.diag([1, 1j]).astype(np.complex128)
 t_gate = np.diag([1, np.exp(1j * np.pi / 4)]).astype(np.complex128)
 sx_gate = 0.5 * np.array([[1 + 1j, 1 - 1j], [1 - 1j, 1 + 1j]], dtype=np.complex128)
-raising = np.array([[0, 1], [0, 0]], dtype=np.complex128)  # sigma^+ = |0><1|
-lowering = np.array([[0, 0], [1, 0]], dtype=np.complex128)  # sigma^- = |1><0|
+# basis: index 0 = |0> (ground), index 1 = |1> (excited); Z|0> = +|0>.
+# raising excites (0 -> 1), lowering relaxes (1 -> 0) — reference
+# noise_library.py:22-53 conventions (Lowering.matrix[0][1] = 1).
+raising = np.array([[0, 0], [1, 0]], dtype=np.complex128)  # sigma^+ = |1><0|
+lowering = np.array([[0, 1], [0, 0]], dtype=np.complex128)  # sigma^- = |0><1|
 projector_0 = np.diag([1.0, 0.0]).astype(np.complex128)
 projector_1 = np.diag([0.0, 1.0]).astype(np.complex128)
 
