@@ -24,11 +24,12 @@ from yaqs_tpu.models.circuits import create_qft_circuit, create_transpiled_qft_c
 
 def main() -> None:
     n = int(os.environ.get("N_QUBITS", 20))
-    chi = int(os.environ.get("CHI", 32))
+    chi = int(os.environ.get("CHI", 64))
+    swaps = os.environ.get("QFT_SWAPS", "1") == "1"
     t0 = time.perf_counter()
     res = EquivalenceChecker().check(
-        create_qft_circuit(n),
-        create_transpiled_qft_circuit(n),
+        create_qft_circuit(n, include_swaps=swaps),
+        create_transpiled_qft_circuit(n, include_swaps=swaps),
         method="mpo",
         max_bond_dim=chi,
     )
@@ -38,6 +39,9 @@ def main() -> None:
             {
                 "config": f"4: QFT vs transpiled QFT equivalence, n={n} chi={chi}",
                 "equivalent": bool(res.equivalent),
+                "conclusive": bool(res.conclusive),
+                "kept_weight": round(float(res.kept_weight), 6),
+                "bond_dim_used": res.bond_dim_used,
                 "fidelity": round(float(res.fidelity), 10),
                 "wall_sec": round(wall, 2),
             }

@@ -92,3 +92,29 @@ def test_mpo_backend_larger_circuit():
 def test_width_mismatch_raises():
     with pytest.raises(ValueError):
         EquivalenceChecker().check(Circuit(2), Circuit(3))
+
+
+def test_truncation_is_flagged_inconclusive_and_auto_retried():
+    """A bond cap too small for the intermediate operator must not report
+    'not equivalent': kept_weight exposes the truncation, and the checker
+    retries with a doubled cap until conclusive."""
+    from yaqs_tpu.models.circuits import (
+        create_qft_circuit,
+        create_transpiled_qft_circuit,
+    )
+
+    c1 = create_qft_circuit(6)
+    c2 = create_transpiled_qft_circuit(6)
+    # forced tiny cap, no retries: the misaligned interleave truncates
+    res = EquivalenceChecker().check(
+        c1, c2, method="mpo", max_bond_dim=2, max_auto_bond_dim=2
+    )
+    assert not res.conclusive
+    assert res.kept_weight < 0.99
+    # with auto-retry room the checker grows chi until the verdict is solid
+    res2 = EquivalenceChecker().check(
+        c1, c2, method="mpo", max_bond_dim=2, max_auto_bond_dim=64
+    )
+    assert res2.conclusive
+    assert res2.equivalent
+    assert res2.bond_dim_used > 2

@@ -45,6 +45,9 @@ class EquivalenceCheckResult:
     elapsed_time: float
     schmidt_values: np.ndarray | None = None  # (L-1, chi) operator Schmidt spectra
     entanglement_entropies: np.ndarray | None = None  # (L-1,) operator entropies
+    kept_weight: float = 1.0  # Frobenius weight surviving MPO truncation
+    conclusive: bool = True  # False when truncation dominated the verdict
+    bond_dim_used: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +127,7 @@ class EquivalenceChecker:
         threshold: float = 1e-6,
         method: str = "auto",
         max_bond_dim: int = 64,
+        max_auto_bond_dim: int = 256,
         svd_threshold: float = 1e-13,
     ) -> EquivalenceCheckResult:
         t0 = time.perf_counter()
@@ -136,21 +140,41 @@ class EquivalenceChecker:
             method = "matrix" if c1.num_qubits <= self.matrix_max_qubits else "mpo"
         if method == "matrix":
             fid = self._matrix_fidelity(c1, c2)
-            schmidt = entropies = None
-        elif method == "mpo":
-            fid, schmidt, entropies = self._mpo_fidelity(
-                c1, c2, max_bond_dim, svd_threshold
+            return EquivalenceCheckResult(
+                equivalent=bool(1.0 - fid <= threshold),
+                fidelity=float(fid),
+                method=method,
+                elapsed_time=time.perf_counter() - t0,
             )
-        else:
+        if method != "mpo":
             msg = f"unknown method {method!r}"
             raise ValueError(msg)
+
+        # Every doubled gate is unitary on the (o, i) fused space, so any
+        # norm loss during the layered contraction is truncation.  A low
+        # fidelity with low kept weight is therefore INCONCLUSIVE (the bond
+        # dimension could not represent the intermediate operator) — retry
+        # with a doubled cap up to ``max_auto_bond_dim``.
+        chi = int(max_bond_dim)
+        while True:
+            fid, schmidt, entropies, kept = self._mpo_fidelity(
+                c1, c2, chi, svd_threshold
+            )
+            equivalent = bool(1.0 - fid <= threshold)
+            conclusive = equivalent or (kept >= 1.0 - 10 * threshold)
+            if conclusive or chi * 2 > int(max_auto_bond_dim):
+                break
+            chi *= 2
         return EquivalenceCheckResult(
-            equivalent=bool(1.0 - fid <= threshold),
+            equivalent=equivalent,
             fidelity=float(fid),
             method=method,
             elapsed_time=time.perf_counter() - t0,
             schmidt_values=schmidt,
             entanglement_entropies=entropies,
+            kept_weight=float(kept),
+            conclusive=bool(conclusive),
+            bond_dim_used=chi,
         )
 
     # -- dense backend -----------------------------------------------------
@@ -212,9 +236,11 @@ class EquivalenceChecker:
         ident = jnp.asarray(_identity_doubled_mps(length, chi, d))
         overlap = mps_ops.scalar_product(ident, tensors)
         fid = float(jnp.abs(overlap)) * float(np.exp(log_norm))
+        # doubled gates are unitary -> all norm decay is truncation loss
+        kept_weight = float(np.exp(2.0 * min(log_norm, 0.0)))
 
         spectra, entropies = _bond_spectra(tensors)
-        return fid, np.asarray(spectra), np.asarray(entropies)
+        return fid, np.asarray(spectra), np.asarray(entropies), kept_weight
 
 
 def _split_half_layers(segments: list[CompiledSegment]) -> list[CompiledSegment]:
