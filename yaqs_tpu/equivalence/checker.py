@@ -213,15 +213,32 @@ class EquivalenceChecker:
         halves2 = _split_half_layers(segs2)
 
         doubled: list[CompiledSegment] = []
-        # interleave proportionally so both circuits advance together
+        # interleave proportionally by applied two-qubit-gate weight so both
+        # circuits advance through the same circuit *fraction* together (the
+        # intermediate stays near identity when the circuits are equivalent);
+        # half-layer counts alone misalign when gate density differs
+        def _weight(seg: CompiledSegment) -> int:
+            eye = np.eye(seg.bond_mats.shape[-1])
+            w = sum(
+                0 if np.allclose(g, eye) else 1 for g in seg.bond_mats[0]
+            )
+            return max(w, 1)
+
+        w1 = [_weight(h) for h in halves1]
+        w2 = [_weight(h) for h in halves2]
+        tot1 = max(sum(w1), 1)
+        tot2 = max(sum(w2), 1)
         n1, n2 = len(halves1), len(halves2)
         i = j = 0
+        a1 = a2 = 0
         while i < n1 or j < n2:
-            if j >= n2 or (i < n1 and i * max(n2, 1) <= j * max(n1, 1)):
+            if j >= n2 or (i < n1 and a1 * tot2 <= a2 * tot1):
                 doubled.append(_double_segment(halves1[i], below=True, d=d))
+                a1 += w1[i]
                 i += 1
             else:
                 doubled.append(_double_segment(halves2[j], below=False, d=d))
+                a2 += w2[j]
                 j += 1
 
         tensors = jnp.asarray(_identity_doubled_mps(length, chi, d))
