@@ -64,6 +64,7 @@ KRYLOV = int(os.environ.get("BENCH_KRYLOV", 6))
 SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
 SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 1))
 REORTH = os.environ.get("BENCH_REORTH", "0") == "1"
+SUBSPACE_QR = os.environ.get("BENCH_QR", "newton")  # householder | newton
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 REPS = int(os.environ.get("BENCH_REPS", 2))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
@@ -106,6 +107,7 @@ def main() -> None:
             svd_method=SVD_METHOD,
             subspace_iters=SUBSPACE_ITERS,
             lanczos_reorth=REORTH,
+            subspace_qr=SUBSPACE_QR,
         ),
     )
 

@@ -147,6 +147,21 @@ def tjm_trajectory(
     )
 
 
+def _renorm_center0(tensors):
+    """Rescale site 0 so the canonical-at-0 state is normalized.
+
+    Applied right after the unitary TDVP/BUG evolution: the exact step is
+    norm-preserving, so any drift (fixed-iteration Krylov series truncation,
+    fixed-chi split loss) is numerical and must NOT leak into the subsequent
+    dissipation norm deficit, which IS the jump probability (reference
+    renorm_drift for fixed-chi runs, sweep_utils.py:152)."""
+    from ..core.mps_ops import norm_squared_center0
+
+    n2 = norm_squared_center0(tensors)
+    safe = jnp.where(n2 > 0, jnp.sqrt(n2), 1.0)
+    return tensors.at[0].set(tensors[0] / safe.astype(tensors.dtype))
+
+
 def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     dt = plan.dt
     t_total = plan.num_times
@@ -155,7 +170,7 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
 
     def sample(phi, j):
         """Measure a copy evolved by dt + dissipated dt/2 + jumped (indep. RNG)."""
-        psi = evolve(phi, dt)
+        psi = _renorm_center0(evolve(phi, dt))
         psi = apply_dissipation(psi, noise, dt / 2, cfg)
         psi, _ = stochastic_process(
             psi, noise, dt, jax.random.fold_in(smpl_key, j), cfg
@@ -168,7 +183,7 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
         return _evaluate(psi, observables), diag, psi
 
     def step_through(phi, j):
-        phi = evolve(phi, dt)
+        phi = _renorm_center0(evolve(phi, dt))
         phi = apply_dissipation(phi, noise, dt, cfg)
         phi, _ = stochastic_process(
             phi, noise, dt, jax.random.fold_in(traj_key, j), cfg
@@ -226,6 +241,7 @@ def _run_order1(
         j = xs[0] if plan.has_scheduled else xs
         state = evolve(state, dt)
         if noise is not None:
+            state = _renorm_center0(state)
             state = apply_dissipation(state, noise, dt, plan.evolution)
             if plan.has_scheduled:
                 _, flag, mats = xs

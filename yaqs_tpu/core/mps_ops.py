@@ -194,6 +194,27 @@ def norm_squared_center0(tensors: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _qr_rank_noise(shape, dtype) -> np.ndarray | None:
+    """Deterministic rank-safety noise for complex64 QRs.
+
+    XLA:TPU's Householder QR produces NaN columns on exactly rank-deficient
+    blocks, which padded states (and exactly-rank-preserving splits such as
+    the Newton-Schulz subspace split) create.  A fixed noise matrix at
+    ~eps^(3/4) below the input norm keeps every QR full-rank while staying
+    far below the complex64 working precision.  float64 runs use LAPACK,
+    which completes rank-deficient QRs gracefully — no noise there.
+    """
+    if jnp.zeros((), dtype).real.dtype != jnp.float32:
+        return None
+    nz = np.random.default_rng(9157).standard_normal(shape)
+    return (nz / np.linalg.norm(nz)).astype(np.float32)
+
+
+# one ulp relative suffices to keep Householder off exact singularity while
+# perturbing the state below accumulation relevance (~sqrt(n_calls) * eps)
+_QR_EPS32 = float(np.finfo(np.float32).eps)
+
+
 def canonicalize_right(tensors: jnp.ndarray) -> jnp.ndarray:
     """Bring the MPS to canonical form at site 0 without normalizing.
 
@@ -205,11 +226,19 @@ def canonicalize_right(tensors: jnp.ndarray) -> jnp.ndarray:
     if length == 1:
         return tensors
 
+    noise = _qr_rank_noise((d * chi, chi), tensors.dtype)
+
     def step(c, a):
         # Absorb carried factor from the right, then LQ-split.
         t = jnp.einsum("slr,rm->slm", a, c)
         m = jnp.transpose(t, (1, 0, 2)).reshape(chi, d * chi)
-        qh, rh = jnp.linalg.qr(m.conj().T)  # m = rh^H qh^H
+        mh = m.conj().T
+        if noise is not None:
+            # absolute floor keeps even exactly-zero blocks (post-jump site
+            # tensors) full rank without f32 underflow inside Householder
+            scale = (_QR_EPS32 * jnp.linalg.norm(mh) + 1e-16).astype(mh.dtype)
+            mh = mh + scale * jnp.asarray(noise, dtype=mh.dtype)
+        qh, rh = jnp.linalg.qr(mh)  # m = rh^H qh^H
         b = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
         return rh.conj().T, b
 
@@ -229,10 +258,14 @@ def shift_center_right(tensors: jnp.ndarray, n: int) -> jnp.ndarray:
     if n <= 0:
         return tensors
     length, d, chi, _ = tensors.shape
+    noise = _qr_rank_noise((d * chi, chi), tensors.dtype)
 
     def body(t, i):
-        a = t[i]
-        q, r = jnp.linalg.qr(a.reshape(d * chi, chi))
+        a = t[i].reshape(d * chi, chi)
+        if noise is not None:
+            scale = (_QR_EPS32 * jnp.linalg.norm(a) + 1e-16).astype(a.dtype)
+            a = a + scale * jnp.asarray(noise, dtype=a.dtype)
+        q, r = jnp.linalg.qr(a)
         b = jnp.einsum("lm,smr->slr", r, t[i + 1])
         return t.at[i].set(q.reshape(d, chi, chi)).at[i + 1].set(b), None
 

@@ -166,6 +166,37 @@ def split_matrix_subspace(
     eps_reg = float(jnp.finfo(_real_or(m.dtype)).eps) ** 0.75
 
     def _safe_qr(y, seed):
+        if qr_method == "newton":
+            # Newton-Schulz polar orthogonalization: matmuls only (MXU-
+            # native, no Householder/cholesky TPU hazards).  Rank-safe:
+            # for rank-deficient y the iteration converges to a partial
+            # isometry — null directions stay (harmlessly) null.  Weak
+            # singular directions are only partially orthonormalized, which
+            # costs nothing here because they carry negligible state weight.
+            # Frobenius norm is a GUARANTEED upper bound on sigma_max — the
+            # degree-5 polynomial diverges for singular values above ~1.46,
+            # so an underestimating spectral estimate (e.g. a short power
+            # iteration) overflows to NaN on noisy states.
+            frob = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2) + 1e-30)
+            x = y / frob.astype(y.dtype)
+            # degree-5 accelerated iterations pull singular values from
+            # ~1e-4 up to 1 in a handful of steps (aggressive first, then
+            # contractive); two plain NS steps polish to isometry
+            for a, b, c in (
+                (3.4445, -4.7750, 2.0315),
+                (3.4445, -4.7750, 2.0315),
+                (3.4445, -4.7750, 2.0315),
+                (3.4445, -4.7750, 2.0315),
+                (2.0, -1.3333, 0.3333),
+                (2.0, -1.3333, 0.3333),
+            ):
+                g = jnp.swapaxes(x.conj(), -1, -2) @ x
+                xg = x @ g
+                x = a * x + b * xg + c * (xg @ g)
+            for _ in range(2):
+                g = jnp.swapaxes(x.conj(), -1, -2) @ x
+                x = 1.5 * x - 0.5 * (x @ g)
+            return x
         if qr_method == "cholesky":
             # CholQR with an eps-shifted Gram: ~2x cheaper than Householder
             # per microbenchmark, but XLA:TPU's cholesky NaNs on the
