@@ -65,6 +65,7 @@ SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
 SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 1))
 REORTH = os.environ.get("BENCH_REORTH", "0") == "1"
 SUBSPACE_QR = os.environ.get("BENCH_QR", "newton")  # householder | newton
+CANON = os.environ.get("BENCH_CANON", "qr")  # qr | newton
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 REPS = int(os.environ.get("BENCH_REPS", 2))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
@@ -108,6 +109,7 @@ def main() -> None:
             subspace_iters=SUBSPACE_ITERS,
             lanczos_reorth=REORTH,
             subspace_qr=SUBSPACE_QR,
+            canon_method=CANON,
         ),
     )
 

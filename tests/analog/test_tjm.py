@@ -230,3 +230,35 @@ def test_two_site_nonpauli_noise_vs_lindblad():
     stderr = res.trajectories.std(axis=0) / np.sqrt(res.num_trajectories)
     diff = np.abs(res.expectation_values - exact)
     assert np.all(diff < 5 * stderr + 0.03), (diff.max(), stderr.max())
+
+
+def test_chunked_dispatch_matches_monolithic():
+    # tjm_order2_start + tjm_order2_chunk composition must reproduce the
+    # monolithic tjm_trajectory scan exactly (chunking exists to keep TPU
+    # dispatches under the worker limit; it must not change physics).
+    from yaqs_tpu.analog.tjm import tjm_order2_chunk, tjm_order2_start
+
+    L, chi, steps = 5, 8, 6
+    w = ising_mpo(L, 1.0, 0.5)
+    t0 = mps_ops.named_product_state("x+", L, chi)
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(L)]
+    )
+    cn = compile_noise(nm, L, 2)
+    obs = make_obs_z(L)
+    plan = TrajectoryPlan(
+        dt=0.1, num_steps=steps, order=2, sample_timesteps=True,
+        evolution=TDVPConfig(krylov_dim=8, threshold=1e-10, max_bond_dim=chi),
+    )
+    base = jax.random.PRNGKey(13)
+    tk, sk = trajectory_key(base, 0), sample_key(base, 0)
+
+    mono, _, final_mono = tjm_trajectory(tk, sk, t0, w, cn, obs, plan)
+
+    carry, cols01, _ = tjm_order2_start(tk, sk, t0, w, cn, obs, plan)
+    carry, obs_a, _ = tjm_order2_chunk(tk, sk, carry, w, cn, obs, plan, 2, 4)
+    carry, obs_b, _ = tjm_order2_chunk(tk, sk, carry, w, cn, obs, plan, 4, steps + 1)
+    cols = jnp.concatenate([cols01, obs_a, obs_b], axis=0).T  # (n_obs, T)
+
+    np.testing.assert_array_equal(np.asarray(mono), np.asarray(cols))
+    np.testing.assert_array_equal(np.asarray(final_mono), np.asarray(carry[1]))

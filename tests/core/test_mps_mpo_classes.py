@@ -110,3 +110,59 @@ def test_mpo_operator_entanglement():
     )
     spec = cx.operator_schmidt_spectrum(1)
     assert np.sum(np.asarray(spec) > 1e-10) == 2
+
+
+def test_mps_mixed_expectation():
+    # <bra|X_1|ket> must match the dense matrix element (reference
+    # MPS.mixed_expectation, mps.py:1157-1172)
+    from yaqs_tpu.core.mps_ops import named_product_state
+
+    rng = np.random.default_rng(5)
+    ket = MPS(tensors=named_product_state("random", 3, 4, rng=rng))
+    bra = MPS(tensors=named_product_state("random", 3, 4, rng=rng))
+    val = ket.mixed_expectation(bra, pauli_x, 1)
+    vb, vk = bra.to_vec(), ket.to_vec()
+    op = np.kron(np.eye(2), np.kron(pauli_x, np.eye(2)))  # site 0 = LSB
+    np.testing.assert_allclose(val, np.vdot(vb, op @ vk), atol=1e-10)
+
+
+def test_mpo_custom_and_finite_state_machine():
+    # Ising FSM tensors in the reference's (wl, wr, s, s') convention must
+    # reproduce the library Ising MPO (reference MPO.finite_state_machine,
+    # mpo.py:1104-1129)
+    J, g = 1.0, 0.7
+    ident, z, x = np.eye(2), PAULI["Z"], PAULI["X"]
+    inner = np.zeros((3, 3, 2, 2), dtype=complex)
+    inner[0, 0] = ident
+    inner[0, 1] = -J * z
+    inner[0, 2] = -g * x
+    inner[1, 2] = z
+    inner[2, 2] = ident
+    left = inner[:1]  # (1, 3, 2, 2)
+    right = inner[:, 2:]  # (3, 1, 2, 2)
+    fsm = MPO.finite_state_machine(4, left, inner, right)
+    np.testing.assert_allclose(fsm.to_matrix(), MPO.ising(4, J, g).to_matrix(), atol=1e-12)
+    # custom with transpose=False accepts (s, s', wl, wr) directly
+    ts = [np.transpose(left, (2, 3, 0, 1))] + [np.transpose(inner, (2, 3, 0, 1))] * 2 + [
+        np.transpose(right, (2, 3, 0, 1))
+    ]
+    cus = MPO.custom(ts, transpose=False)
+    np.testing.assert_allclose(cus.to_matrix(), fsm.to_matrix(), atol=1e-12)
+
+
+def test_mpo_partial_trace_sites():
+    # tracing sites of an Ising MPO must equal the dense partial trace
+    # (reference MPO.partial_trace_sites, mpo.py:176-206)
+    L = 4
+    mpo = MPO.ising(L, 1.0, 0.5)
+    dense = mpo.to_matrix()
+    keep = [1, 2]
+    red = mpo.partial_trace_sites(keep)
+    assert red.length == 2
+    # dense partial trace over sites 0 and 3 (site 0 least significant)
+    t = dense.reshape([2] * L + [2] * L)  # (o3, o2, o1, o0, i3, i2, i1, i0)
+    red_dense = np.einsum("aijbaklb->ijkl", t).reshape(4, 4)
+    np.testing.assert_allclose(red.to_matrix(), red_dense, atol=1e-12)
+    # single-site bond matrix: tracing everything gives the full trace
+    full = mpo.partial_trace_sites([0])
+    np.testing.assert_allclose(np.trace(full.to_matrix()), np.trace(dense), atol=1e-10)

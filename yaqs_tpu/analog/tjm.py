@@ -33,7 +33,14 @@ from ..methods.stochastic import stochastic_process
 from ..methods.bug import bug_step
 from ..methods.tdvp import TDVPConfig, tdvp_step
 
-__all__ = ["TrajectoryPlan", "tjm_trajectory", "trajectory_key", "sample_key"]
+__all__ = [
+    "TrajectoryPlan",
+    "tjm_trajectory",
+    "tjm_order2_start",
+    "tjm_order2_chunk",
+    "trajectory_key",
+    "sample_key",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,16 +169,24 @@ def _renorm_center0(tensors):
     return tensors.at[0].set(tensors[0] / safe.astype(tensors.dtype))
 
 
-def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
-    dt = plan.dt
-    t_total = plan.num_times
+def _order2_branches(smpl_key, traj_key, noise, observables, plan, evolve):
+    """The two stochastic continuations forking from a common evolved state.
 
+    The reference's step_through and sample both begin with the SAME unitary
+    evolution of Phi_j by dt (analog_tjm.py:66-160): the trajectory branch
+    continues with dissipate(dt) + jump (trajectory RNG stream) while the
+    measurement branch continues with dissipate(dt/2) + jump (independent
+    sampling stream).  The evolution is deterministic, so it is computed
+    ONCE per step and both branches fork from the evolved state — exact
+    same results at half the TDVP cost (the reference recomputes it on the
+    sampling deep-copy).
+    """
+    dt = plan.dt
     cfg = plan.evolution
 
-    def sample(phi, j):
-        """Measure a copy evolved by dt + dissipated dt/2 + jumped (indep. RNG)."""
-        psi = _renorm_center0(evolve(phi, dt))
-        psi = apply_dissipation(psi, noise, dt / 2, cfg)
+    def measure_branch(evolved, j):
+        """Dissipate dt/2 + jump (indep. RNG) + measure on the evolved state."""
+        psi = apply_dissipation(evolved, noise, dt / 2, cfg)
         psi, _ = stochastic_process(
             psi, noise, dt, jax.random.fold_in(smpl_key, j), cfg
         )
@@ -182,13 +197,92 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
         )
         return _evaluate(psi, observables), diag, psi
 
-    def step_through(phi, j):
-        phi = _renorm_center0(evolve(phi, dt))
-        phi = apply_dissipation(phi, noise, dt, cfg)
+    def trajectory_branch(evolved, j):
+        """Dissipate dt + jump (trajectory RNG) completing step_through."""
+        phi = apply_dissipation(evolved, noise, dt, cfg)
         phi, _ = stochastic_process(
             phi, noise, dt, jax.random.fold_in(traj_key, j), cfg
         )
         return phi
+
+    def body(carry, j):
+        evolved_prev, _ = carry
+        phi = trajectory_branch(evolved_prev, j)
+        evolved_j = _renorm_center0(evolve(phi, dt))
+        obs_j, diag_j, psi_j = measure_branch(evolved_j, j)
+        return (evolved_j, psi_j), (obs_j, diag_j)
+
+    return measure_branch, body
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def tjm_order2_start(
+    traj_key, smpl_key, tensors0, mpo, noise, observables, plan: TrajectoryPlan
+):
+    """First dispatch of a chunked order-2 TJM trajectory.
+
+    Runs F0 (dissipate dt/2 + jump) and the first evolution, measuring
+    columns 0 and 1.  Returns ``(carry, cols01, diags01)`` where ``carry``
+    stays on device between dispatches (complex state never crosses the
+    host boundary) and ``cols01`` is ``(2, n_obs)``.  Chunking keeps each
+    TPU dispatch under the worker's ~50 s limit for long time grids.
+    """
+    dt = plan.dt
+    cfg = plan.evolution
+    evolve = _make_evolve(mpo, plan)
+    measure_branch, _ = _order2_branches(
+        smpl_key, traj_key, noise, observables, plan, evolve
+    )
+
+    obs0 = _evaluate(tensors0, observables)
+    diag0 = (
+        _diagnostics(tensors0, cfg.threshold)
+        if plan.record_diagnostics
+        else jnp.zeros((3,), tensors0.real.dtype)
+    )
+    phi = apply_dissipation(tensors0, noise, dt / 2, cfg)
+    phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0), cfg)
+    evolved = _renorm_center0(evolve(phi, dt))
+    obs1, diag1, psi1 = measure_branch(evolved, 1)
+    return (
+        (evolved, psi1),
+        jnp.stack([obs0, obs1], axis=0),
+        jnp.stack([diag0, diag1], axis=0),
+    )
+
+
+@partial(jax.jit, static_argnames=("plan", "j0", "j1"))
+def tjm_order2_chunk(
+    traj_key, smpl_key, carry, mpo, noise, observables, plan: TrajectoryPlan, j0: int, j1: int
+):
+    """Continue a chunked order-2 trajectory over output columns ``[j0, j1)``.
+
+    ``carry`` comes from :func:`tjm_order2_start` (or a previous chunk);
+    requires ``2 <= j0 < j1 <= plan.num_times``.  Chunk boundaries do not
+    change results: the composition of chunks is the same operation sequence
+    as the monolithic :func:`tjm_trajectory` scan.
+    """
+    evolve = _make_evolve(mpo, plan)
+    _, body = _order2_branches(smpl_key, traj_key, noise, observables, plan, evolve)
+    carry, (obs, diags) = jax.lax.scan(body, carry, jnp.arange(j0, j1))
+    return carry, obs, diags
+
+
+def _make_evolve(mpo, plan: TrajectoryPlan):
+    cfg = plan.evolution
+    if plan.evolution_mode == "bug":
+        return lambda t, step_dt: bug_step(t, mpo, step_dt, cfg)
+    return lambda t, step_dt: tdvp_step(t, mpo, step_dt, cfg)
+
+
+def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
+    t_total = plan.num_times
+    cfg = plan.evolution
+
+    measure_branch, body = _order2_branches(
+        smpl_key, traj_key, noise, observables, plan, evolve
+    )
+    dt = plan.dt
 
     obs0 = _evaluate(tensors0, observables)
     diag0 = (
@@ -201,18 +295,31 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     phi = apply_dissipation(tensors0, noise, dt / 2, cfg)
     phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0), cfg)
 
-    obs1, diag1, psi1 = sample(phi, 1)
+    evolved = _renorm_center0(evolve(phi, dt))
+
+    if not plan.sample_timesteps:
+        # final-time-only sampling: skip the per-step measurement branch
+        # entirely (the reference's analog_tjm_2 likewise only calls sample()
+        # at the final step when sample_timesteps is off); the trajectory
+        # stream and the final measurement use the same RNG folds as the
+        # sampled path, so turning sampling on/off never perturbs physics.
+        def body_traj(evolved_prev, j):
+            phi_j = apply_dissipation(evolved_prev, noise, dt, cfg)
+            phi_j, _ = stochastic_process(
+                phi_j, noise, dt, jax.random.fold_in(traj_key, j), cfg
+            )
+            return _renorm_center0(evolve(phi_j, dt)), None
+
+        if plan.num_steps >= 2:
+            evolved, _ = jax.lax.scan(body_traj, evolved, jnp.arange(2, t_total))
+        obs_f, diag_f, final_psi = measure_branch(evolved, t_total - 1)
+        return obs_f[:, None], diag_f[:, None], final_psi
+
+    obs1, diag1, psi1 = measure_branch(evolved, 1)
 
     if plan.num_steps >= 2:
-
-        def body(carry, j):
-            phi, _ = carry
-            phi = step_through(phi, j)
-            obs_j, diag_j, psi_j = sample(phi, j)
-            return (phi, psi_j), (obs_j, diag_j)
-
-        (phi, final_psi), (obs_rest, diag_rest) = jax.lax.scan(
-            body, (phi, psi1), jnp.arange(2, t_total)
+        (_, final_psi), (obs_rest, diag_rest) = jax.lax.scan(
+            body, (evolved, psi1), jnp.arange(2, t_total)
         )
         cols = jnp.concatenate([obs0[None], obs1[None], obs_rest], axis=0)  # (T, n_obs)
         diags = jnp.concatenate([diag0[None], diag1[None], diag_rest], axis=0)

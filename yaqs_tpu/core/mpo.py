@@ -101,6 +101,49 @@ class MPO:
         return cls(mpo_from_terms(terms, length, d))
 
     @classmethod
+    def custom(cls, tensors, *, transpose: bool = True) -> MPO:
+        """Custom MPO from a list of per-site tensors (reference MPO.custom,
+        mpo.py:1131-1154).
+
+        Tensors are ``(wl, wr, sigma, sigma')`` when ``transpose`` is True
+        (the reference's input convention) or already
+        ``(sigma, sigma', wl, wr)`` when False; ragged bond dims are padded to
+        a uniform ``Dw`` in the fixed-shape layout.
+        """
+        ts = [np.asarray(t, dtype=np.complex128) for t in tensors]
+        if transpose:
+            ts = [np.transpose(t, (2, 3, 0, 1)) for t in ts]
+        length = len(ts)
+        d = ts[0].shape[0]
+        dw = max(max(t.shape[2], t.shape[3]) for t in ts)
+        out = np.zeros((length, d, d, dw, dw), dtype=np.complex128)
+        for i, t in enumerate(ts):
+            if t.shape[0] != d or t.shape[1] != d:
+                msg = "custom MPO tensors must share the physical dimension"
+                raise ValueError(msg)
+            out[i, :, :, : t.shape[2], : t.shape[3]] = t
+        return cls(out)
+
+    @classmethod
+    def finite_state_machine(
+        cls,
+        length: int,
+        left_bound: np.ndarray,
+        inner: np.ndarray,
+        right_bound: np.ndarray,
+    ) -> MPO:
+        """MPO from finite-state-machine boundary/bulk tensors (reference
+        MPO.finite_state_machine, mpo.py:1104-1129): tensors are given as
+        ``(wl, wr, sigma, sigma')`` and the chain is
+        ``left_bound, inner * (length-2), right_bound``.
+        """
+        if length < 2:
+            msg = "finite_state_machine requires length >= 2"
+            raise ValueError(msg)
+        ts = [left_bound] + [inner] * (length - 2) + [right_bound]
+        return cls.custom(ts, transpose=True)
+
+    @classmethod
     def from_matrix(cls, matrix: np.ndarray, length: int, d: int = 2, chi: int | None = None) -> MPO:
         """Dense operator -> MPO by successive SVD factorization
         (site 0 least significant; reference mpo.py:1804)."""
@@ -214,6 +257,50 @@ class MPO:
         else:
             t[site] = np.einsum("tbmn,ba->tamn", t[site], op)
         return MPO(t)
+
+    def partial_trace_site(self, site: int) -> np.ndarray:
+        """Trace the physical legs of one site, returning its bond matrix
+        ``M[wl, wr] = sum_s T[s, s, wl, wr]`` (reference MPO.partial_trace_site,
+        mpo.py:157-174, which stores a ``(1, 1, wl, wr)`` placeholder; the
+        fixed-shape layout returns the matrix instead — see
+        :meth:`partial_trace_sites` for the composed reduced operator).
+        """
+        t = np.asarray(self.tensors[site])
+        return np.einsum("ssab->ab", t)
+
+    def partial_trace_sites(self, keep_sites: list[int]) -> MPO:
+        """Reduced MPO over ``keep_sites`` with all other sites traced out
+        (reference MPO.partial_trace_sites, mpo.py:176-206).
+
+        Traced sites contribute their bond matrices, which are absorbed into
+        the neighboring kept site, so the result is an MPO of length
+        ``len(keep_sites)`` acting on the kept subspace (the reference keeps
+        placeholder ``(1,1)``-leg sites instead; the operators agree).
+        """
+        if not keep_sites:
+            msg = "keep_sites must be non-empty."
+            raise ValueError(msg)
+        keep = sorted(set(keep_sites))
+        length = self.length
+        if keep[0] < 0 or keep[-1] >= length:
+            msg = f"keep_sites indices {keep} out of range for MPO length {length}."
+            raise ValueError(msg)
+        dw = self.bond_dimension
+        d = self.physical_dimension
+        out: list[np.ndarray] = []
+        carry = np.eye(dw, dtype=np.complex128)  # pending left-bond transform
+        for i in range(length):
+            if i in keep:
+                out.append(np.einsum("ab,stbc->stac", carry, self.tensors[i]))
+                carry = np.eye(dw, dtype=np.complex128)
+            else:
+                m = self.partial_trace_site(i)
+                if out and i > keep[0]:
+                    # absorb into the previous kept site from the right
+                    out[-1] = np.einsum("stab,bc->stac", out[-1], m)
+                else:
+                    carry = carry @ m
+        return MPO(np.stack(out))
 
     # -- analysis (shared with the equivalence checker) --------------------
     def _normalized_doubled(self):

@@ -129,6 +129,25 @@ class MPS:
             mps_ops.site_expectation(self._j(), envs, jnp.asarray(op), site)
         )
 
+    def mixed_expectation(self, bra: MPS, op, site: int | None = None) -> complex:
+        """Mixed matrix element ``<bra|O|ket>`` with ``self`` as the ket
+        (reference MPS.mixed_expectation, mps.py:1157-1172: apply the local
+        observable to a copy of the ket, then contract with the bra).
+
+        ``op`` is a local operator matrix applied at ``site``, or an
+        Observable-like object carrying ``matrix`` and ``site_list``.
+        """
+        if site is None:
+            sites = list(getattr(op, "site_list"))
+            matrix = np.asarray(getattr(op, "matrix"), dtype=np.complex128)
+            if len(sites) != 1:
+                msg = "mixed_expectation supports one-site observables"
+                raise NotImplementedError(msg)
+            site = sites[0]
+            op = matrix
+        ket = self.copy().apply_local(op, site)
+        return bra.scalar_product(ket)
+
     def measure_shots(self, shots: int, seed: int | None = None) -> dict[int, int]:
         """Z-basis projective sampling; returns basis-state counts
         (site 0 least significant)."""

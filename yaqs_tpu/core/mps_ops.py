@@ -215,32 +215,53 @@ def _qr_rank_noise(shape, dtype) -> np.ndarray | None:
 _QR_EPS32 = float(np.finfo(np.float32).eps)
 
 
-def canonicalize_right(tensors: jnp.ndarray) -> jnp.ndarray:
+def canonicalize_right(tensors: jnp.ndarray, method: str = "qr") -> jnp.ndarray:
     """Bring the MPS to canonical form at site 0 without normalizing.
 
     ``tensors[1:]`` become right-orthonormal; ``tensors[0]`` absorbs the
     leftover factor (norm and phase preserved: the represented state is
     unchanged).
+
+    ``method="newton"`` replaces each per-site Householder LQ with a
+    Newton-Schulz polar orthogonalization (matmuls only — ~5x faster per site
+    on TPU, see CLAUDE.md microbenchmarks).  The polar factor spans the same
+    row space up to the iteration's isometry error (~working precision for
+    well-separated singular values; weak directions carry negligible state
+    weight), so the represented state is preserved to the same order as the
+    subspace splits that already use it.
     """
     length, d, chi, _ = tensors.shape
     if length == 1:
         return tensors
 
-    noise = _qr_rank_noise((d * chi, chi), tensors.dtype)
+    if method == "newton":
+        from ..ops.decomp import newton_schulz_orthogonalize
 
-    def step(c, a):
-        # Absorb carried factor from the right, then LQ-split.
-        t = jnp.einsum("slr,rm->slm", a, c)
-        m = jnp.transpose(t, (1, 0, 2)).reshape(chi, d * chi)
-        mh = m.conj().T
-        if noise is not None:
-            # absolute floor keeps even exactly-zero blocks (post-jump site
-            # tensors) full rank without f32 underflow inside Householder
-            scale = (_QR_EPS32 * jnp.linalg.norm(mh) + 1e-16).astype(mh.dtype)
-            mh = mh + scale * jnp.asarray(noise, dtype=mh.dtype)
-        qh, rh = jnp.linalg.qr(mh)  # m = rh^H qh^H
-        b = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
-        return rh.conj().T, b
+        def step(c, a):
+            # Absorb carried factor from the right, then polar-LQ:
+            # m (chi, d*chi) = c_new . q with q = x^H, x = polar(m^H).
+            t = jnp.einsum("slr,rm->slm", a, c)
+            m = jnp.transpose(t, (1, 0, 2)).reshape(chi, d * chi)
+            x = newton_schulz_orthogonalize(m.conj().T)  # (d*chi, chi) isometry
+            b = x.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
+            return m @ x, b
+
+    else:
+        noise = _qr_rank_noise((d * chi, chi), tensors.dtype)
+
+        def step(c, a):
+            # Absorb carried factor from the right, then LQ-split.
+            t = jnp.einsum("slr,rm->slm", a, c)
+            m = jnp.transpose(t, (1, 0, 2)).reshape(chi, d * chi)
+            mh = m.conj().T
+            if noise is not None:
+                # absolute floor keeps even exactly-zero blocks (post-jump site
+                # tensors) full rank without f32 underflow inside Householder
+                scale = (_QR_EPS32 * jnp.linalg.norm(mh) + 1e-16).astype(mh.dtype)
+                mh = mh + scale * jnp.asarray(noise, dtype=mh.dtype)
+            qh, rh = jnp.linalg.qr(mh)  # m = rh^H qh^H
+            b = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
+            return rh.conj().T, b
 
     c0 = jnp.eye(chi, dtype=tensors.dtype)
     c, bs_rev = jax.lax.scan(step, c0, jnp.flip(tensors[1:], axis=0))
@@ -273,13 +294,15 @@ def shift_center_right(tensors: jnp.ndarray, n: int) -> jnp.ndarray:
     return tensors
 
 
-def normalize_canonical(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def normalize_canonical(
+    tensors: jnp.ndarray, method: str = "qr"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Canonicalize at site 0 and scale to unit norm.
 
     Returns ``(tensors, norm)`` where ``norm`` is the pre-normalization norm
     (reference ``MPS.normalize("B")``, mps.py:788-837).
     """
-    canon = canonicalize_right(tensors)
+    canon = canonicalize_right(tensors, method=method)
     nrm = jnp.sqrt(norm_squared_center0(canon))
     safe = jnp.where(nrm > 0, nrm, 1.0)
     canon = canon.at[0].divide(safe.astype(canon.dtype))

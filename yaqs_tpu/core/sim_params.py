@@ -123,6 +123,47 @@ def _sorted_observables(observables: list[Observable]) -> tuple[list[Observable]
 
 
 class _BaseSimParams:
+    def _store_fast_path(
+        self,
+        svd_method: str = "exact",
+        subspace_iters: int = 2,
+        lanczos_reorth: bool = True,
+        subspace_qr: str = "householder",
+        canon_method: str = "qr",
+    ) -> None:
+        """Store the TPU fast-path knobs (no reference counterpart).
+
+        Defaults reproduce the reference's exact linear algebra; the bench
+        configuration (``svd_method="subspace"``, ``subspace_iters=1``,
+        ``lanczos_reorth=False``, ``subspace_qr="newton"``,
+        ``canon_method="newton"``) trades ~1e-3 complex64 deviation for
+        ~3-4x TPU throughput (see benchmarks/accuracy_study.py).
+        """
+        if svd_method not in {"exact", "subspace"}:
+            msg = f"svd_method must be 'exact' or 'subspace', got {svd_method!r}"
+            raise ValueError(msg)
+        if subspace_qr not in {"householder", "cholesky", "newton"}:
+            msg = f"subspace_qr must be householder/cholesky/newton, got {subspace_qr!r}"
+            raise ValueError(msg)
+        if canon_method not in {"qr", "newton"}:
+            msg = f"canon_method must be 'qr' or 'newton', got {canon_method!r}"
+            raise ValueError(msg)
+        self.svd_method = svd_method
+        self.subspace_iters = int(subspace_iters)
+        self.lanczos_reorth = bool(lanczos_reorth)
+        self.subspace_qr = subspace_qr
+        self.canon_method = canon_method
+
+    def fast_path_kwargs(self) -> dict:
+        """TDVPConfig kwargs for the stored fast-path knobs."""
+        return {
+            "svd_method": getattr(self, "svd_method", "exact"),
+            "subspace_iters": getattr(self, "subspace_iters", 2),
+            "lanczos_reorth": getattr(self, "lanczos_reorth", True),
+            "subspace_qr": getattr(self, "subspace_qr", "householder"),
+            "canon_method": getattr(self, "canon_method", "qr"),
+        }
+
     def _apply_preset(self, preset, num_traj, max_bond_dim, svd_threshold, krylov_dim):
         if preset not in SIMULATION_PRESETS:
             msg = f"Unknown preset {preset!r}; valid: {sorted(SIMULATION_PRESETS)}"
@@ -170,9 +211,15 @@ class AnalogSimParams(_BaseSimParams):
         multi_time_observables=None,
         tdvp_sweeps: int = 1,
         tdvp_mode: str = "2site",
+        svd_method: str = "exact",
+        subspace_iters: int = 2,
+        lanczos_reorth: bool = True,
+        subspace_qr: str = "householder",
+        canon_method: str = "qr",
     ) -> None:
         self.observables = list(observables or [])
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
+        self._store_fast_path(svd_method, subspace_iters, lanczos_reorth, subspace_qr, canon_method)
         if dt <= 0 or not np.isfinite(dt):
             msg = "dt must be positive and finite"
             raise ValueError(msg)
@@ -222,9 +269,15 @@ class DigitalSimParams(_BaseSimParams):
         num_mid_measurements: int = 0,
         get_state: bool = False,
         random_seed: int | None = None,
+        svd_method: str = "exact",
+        subspace_iters: int = 2,
+        lanczos_reorth: bool = True,
+        subspace_qr: str = "householder",
+        canon_method: str = "qr",
     ) -> None:
         self.observables = list(observables or [])
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
+        self._store_fast_path(svd_method, subspace_iters, lanczos_reorth, subspace_qr, canon_method)
         self.shots = int(shots)
         self.trunc_mode = trunc_mode
         if gate_mode not in {"swaps", "tdvp", "full-tdvp", "mpo"}:

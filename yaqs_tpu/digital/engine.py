@@ -199,7 +199,7 @@ def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key, cfg=None)
     n_gates = gate_ch_masks.shape[0]
     keys = jax.random.split(key, n_gates)
     tensors, _ = jax.lax.scan(per_gate, tensors, (gate_ch_masks, keys))
-    tensors, _ = normalize_canonical(tensors)
+    tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
     return tensors
 
 
@@ -216,9 +216,9 @@ def _apply_scoped_noise(
     ops = _masked_dissipation_ops(noise, site_mask)
     tensors = jnp.einsum("iab,iblr->ialr", ops.astype(tensors.dtype), tensors)
     if noise.ch2_gamma.shape[0] > 0:
-        tensors = canonicalize_right(tensors)
+        tensors = canonicalize_right(tensors, method=cfg.canon_method)
         tensors = _masked_bond_dissipation(tensors, noise, bond_mask, cfg)
-    tensors = canonicalize_right(tensors)
+    tensors = canonicalize_right(tensors, method=cfg.canon_method)
     return _per_gate_jumps(tensors, noise, gate_ch_masks, key, cfg)
 
 
@@ -257,13 +257,13 @@ def apply_segment(
             # renormalize first so fixed-chi truncation drift from the gate
             # sweep is not miscounted as jump probability (reference
             # renorm_drift for fixed-chi runs, sweep_utils.py:152)
-            tensors, _ = normalize_canonical(tensors)
+            tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
             bond_mask = None if noise_bond_masks is None else noise_bond_masks[h]
             tensors = _apply_scoped_noise(
                 tensors, noise, noise_masks[h], bond_mask, ch_scope[h], key, cfg
             )
         else:
-            tensors, _ = normalize_canonical(tensors)
+            tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
         return tensors, None
 
     keys = jax.random.split(key, n_hl)
@@ -322,7 +322,7 @@ def apply_gate_stage(
             subspace_iters=cfg.subspace_iters,
         )
     tensors = tensors.at[w0 : w0 + w].set(window)
-    tensors, _ = normalize_canonical(tensors)
+    tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
     if noisy:
         tensors = _apply_scoped_noise(
             tensors, noise, site_mask, bond_mask, ch_mask, key, cfg
@@ -468,6 +468,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         threshold=sim_params.svd_threshold,
         max_bond_dim=chi,
         sweeps=getattr(sim_params, "tdvp_sweeps", 1),
+        **sim_params.fast_path_kwargs(),
     )
 
     wants_obs = bool(sim_params.observables)

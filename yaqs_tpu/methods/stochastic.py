@@ -158,8 +158,9 @@ def stochastic_process(
     Input: any gauge (typically canonical-at-0 modified by per-site
     dissipators), norm <= 1. Output: canonical at site 0, normalized.
     """
+    canon = getattr(trunc, "canon_method", "qr")
     if noise is None:
-        out, _ = normalize_canonical(tensors)
+        out, _ = normalize_canonical(tensors, method=canon)
         return out, jnp.asarray(False)
 
     nc1 = noise.ch_gamma.shape[0]
@@ -193,5 +194,5 @@ def stochastic_process(
         )
 
     tensors = jax.lax.cond(jumped, do_jump, lambda t: t, tensors)
-    tensors, _ = normalize_canonical(tensors)
+    tensors, _ = normalize_canonical(tensors, method=canon)
     return tensors, jumped

@@ -22,12 +22,56 @@ def _real_or(dtype):
     return jnp.zeros((), dtype=dtype).real.dtype
 
 __all__ = [
+    "newton_schulz_orthogonalize",
     "right_qr",
     "left_qr",
     "merge_two_site",
     "split_two_site_truncated",
     "split_matrix_truncated",
 ]
+
+
+def newton_schulz_orthogonalize(y: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormalize the columns of ``y`` by Newton-Schulz polar iteration.
+
+    Matmuls only (MXU-native): avoids the XLA:TPU Householder-QR NaN hazard on
+    exactly rank-deficient blocks (padded states produce them).  Rank-safe:
+    for rank-deficient ``y`` the iteration converges to a partial isometry —
+    null directions stay (harmlessly) null; weak singular directions are only
+    partially orthonormalized, which carries negligible state weight.
+
+    The scaling must be a GUARANTEED upper bound on sigma_max — the degree-5
+    polynomial (polar-express coefficients) diverges for singular values above
+    ~1.46, so an underestimating spectral estimate (e.g. a short power
+    iteration) would overflow to NaN on noisy states.  We use
+    ``min(frobenius, sqrt(norm1 * norminf))`` — both are true upper bounds,
+    and the Holder bound is typically ~sqrt(rank) tighter than Frobenius,
+    which buys roughly one extra converged decade per iteration budget.
+    Degree-5 accelerated iterations pull singular values from ~1e-4 up to 1
+    in a handful of steps; plain NS steps polish to isometry.
+    """
+    a1 = jnp.abs(y)
+    holder = jnp.sqrt(
+        jnp.max(jnp.sum(a1, axis=-2), axis=-1) * jnp.max(jnp.sum(a1, axis=-1), axis=-1)
+    )
+    frob = jnp.sqrt(jnp.sum(a1**2, axis=(-2, -1)))
+    bound = (jnp.minimum(frob, holder) + 1e-30)[..., None, None]
+    x = y / bound.astype(y.dtype)
+    for a, b, c in (
+        (3.4445, -4.7750, 2.0315),
+        (3.4445, -4.7750, 2.0315),
+        (3.4445, -4.7750, 2.0315),
+        (3.4445, -4.7750, 2.0315),
+        (2.0, -1.3333, 0.3333),
+        (2.0, -1.3333, 0.3333),
+    ):
+        g = jnp.swapaxes(x.conj(), -1, -2) @ x
+        xg = x @ g
+        x = a * x + b * xg + c * (xg @ g)
+    for _ in range(2):
+        g = jnp.swapaxes(x.conj(), -1, -2) @ x
+        x = 1.5 * x - 0.5 * (x @ g)
+    return x
 
 
 def right_qr(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -167,36 +211,7 @@ def split_matrix_subspace(
 
     def _safe_qr(y, seed):
         if qr_method == "newton":
-            # Newton-Schulz polar orthogonalization: matmuls only (MXU-
-            # native, no Householder/cholesky TPU hazards).  Rank-safe:
-            # for rank-deficient y the iteration converges to a partial
-            # isometry — null directions stay (harmlessly) null.  Weak
-            # singular directions are only partially orthonormalized, which
-            # costs nothing here because they carry negligible state weight.
-            # Frobenius norm is a GUARANTEED upper bound on sigma_max — the
-            # degree-5 polynomial diverges for singular values above ~1.46,
-            # so an underestimating spectral estimate (e.g. a short power
-            # iteration) overflows to NaN on noisy states.
-            frob = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2) + 1e-30)
-            x = y / frob.astype(y.dtype)
-            # degree-5 accelerated iterations pull singular values from
-            # ~1e-4 up to 1 in a handful of steps (aggressive first, then
-            # contractive); two plain NS steps polish to isometry
-            for a, b, c in (
-                (3.4445, -4.7750, 2.0315),
-                (3.4445, -4.7750, 2.0315),
-                (3.4445, -4.7750, 2.0315),
-                (3.4445, -4.7750, 2.0315),
-                (2.0, -1.3333, 0.3333),
-                (2.0, -1.3333, 0.3333),
-            ):
-                g = jnp.swapaxes(x.conj(), -1, -2) @ x
-                xg = x @ g
-                x = a * x + b * xg + c * (xg @ g)
-            for _ in range(2):
-                g = jnp.swapaxes(x.conj(), -1, -2) @ x
-                x = 1.5 * x - 0.5 * (x @ g)
-            return x
+            return newton_schulz_orthogonalize(y)
         if qr_method == "cholesky":
             # CholQR with an eps-shifted Gram: ~2x cheaper than Householder
             # per microbenchmark, but XLA:TPU's cholesky NaNs on the

@@ -331,6 +331,7 @@ class Simulator:
                 max_bond_dim=chi,
                 mode=sim_params.tdvp_mode,
                 sweeps=sim_params.tdvp_sweeps,
+                **sim_params.fast_path_kwargs(),
             ),
         )
 
@@ -501,6 +502,7 @@ class Simulator:
                 max_bond_dim=chi,
                 mode=sim_params.tdvp_mode,
                 sweeps=sim_params.tdvp_sweeps,
+                **sim_params.fast_path_kwargs(),
             ),
         )
 
