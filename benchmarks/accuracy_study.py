@@ -116,18 +116,22 @@ def run_config() -> np.ndarray:
     )
 
     base = jax.random.PRNGKey(0)
+
+    # batch-1 vmap matches the bench's program shape (the unbatched program
+    # hits a TPU lowering gap on the tunneled platform)
+    def one(tk, sk):
+        res, _, _ = tjm_trajectory(tk, sk, tensors0, w, noise, observables, plan)
+        return res
+
+    batched = jax.jit(jax.vmap(one))
     rows = []
     for i in range(NTRAJ):
-        res, _, _ = tjm_trajectory(
-            trajectory_key(base, i),
-            sample_key(base, i),
-            tensors0,
-            w,
-            noise,
-            observables,
-            plan,
-        )
-        rows.append(np.asarray(res))  # fetch forces completion on the tunnel
+        import jax.numpy as _jnp
+
+        tk = jax.vmap(lambda j: trajectory_key(base, j))(_jnp.asarray([i]))
+        sk = jax.vmap(lambda j: sample_key(base, j))(_jnp.asarray([i]))
+        res = batched(tk, sk)
+        rows.append(np.asarray(res[0]))  # fetch forces completion on the tunnel
         print(f"traj {i} done", file=sys.stderr)
     return np.stack(rows)
 

@@ -118,3 +118,41 @@ def test_truncation_is_flagged_inconclusive_and_auto_retried():
     assert res2.conclusive
     assert res2.equivalent
     assert res2.bond_dim_used > 2
+
+
+def test_global_phase_equivalence():
+    # |Tr(U2^dag U1)|/d is phase-invariant: circuits differing by a global
+    # phase are equivalent (reference fidelity definition, mpo.py:1702)
+    c1 = Circuit(3).h(0).cx(0, 1).rz(2, params=(0.5,))
+    c2 = Circuit(3).h(0).cx(0, 1).rz(2, params=(0.5,))
+    # rz on all qubits + x sandwich realizes exp(i phi) I on one qubit:
+    # rz(a) x rz(a) x = e^{-ia} I... simpler: compare rz-based phase variants
+    c2.rz(0, params=(2 * np.pi,))  # = -I on qubit 0 (global phase -1)
+    for method in ("matrix", "mpo"):
+        res = EquivalenceChecker().check(c1, c2, method=method, max_bond_dim=16)
+        assert res.equivalent, (method, res.fidelity)
+
+
+def test_final_measurements_stripped():
+    qasm_m = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\ncreg c[3];\n'
+        "h q[0];\ncx q[0],q[1];\nmeasure q -> c;\n"
+    )
+    qasm_nm = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\n'
+        "h q[0];\ncx q[0],q[1];\n"
+    )
+    res = EquivalenceChecker().check(qasm_m, qasm_nm)
+    assert res.equivalent
+
+
+def test_qasm_string_inputs_mpo_backend():
+    lines = ['OPENQASM 2.0;', 'include "qelib1.inc";', "qreg q[9];"]
+    for i in range(9):
+        lines.append(f"h q[{i}];")
+    for i in range(8):
+        lines.append(f"cx q[{i}],q[{i + 1}];")
+    qasm = "\n".join(lines) + "\n"
+    res = EquivalenceChecker().check(qasm, qasm)  # 9 qubits -> auto = mpo
+    assert res.method == "mpo"
+    assert res.equivalent
