@@ -60,12 +60,12 @@ CHI = int(os.environ.get("BENCH_CHI", 64))
 MODEL = os.environ.get("BENCH_MODEL", "tfim")  # tfim | heisenberg (XXZ)
 DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
-KRYLOV = int(os.environ.get("BENCH_KRYLOV", 6))
+KRYLOV = int(os.environ.get("BENCH_KRYLOV", 5))
 SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
 SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 1))
 REORTH = os.environ.get("BENCH_REORTH", "0") == "1"
 SUBSPACE_QR = os.environ.get("BENCH_QR", "newton")  # householder | newton
-CANON = os.environ.get("BENCH_CANON", "qr")  # qr | newton
+CANON = os.environ.get("BENCH_CANON", "newton")  # qr | newton
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 REPS = int(os.environ.get("BENCH_REPS", 2))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8

@@ -55,6 +55,13 @@ CHI = int(os.environ.get("BENCH_CHI", 64))
 DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 NTRAJ = int(os.environ.get("ACC_NTRAJ", 2))
+# ACC_NOISE=0 compares the DETERMINISTIC path (TDVP + splits + canon): with
+# realistic noise strengths the jump probability per step is O(1), so a
+# 1e-3-level norm difference flips discrete jump decisions and the raw
+# trajectory comparison measures divergence, not numerical accuracy.  The
+# stochastic machinery is validated against dense Lindblad/MCWF oracles in
+# the CPU test suite instead (tests/analog/test_tjm.py).
+NOISY = os.environ.get("ACC_NOISE", "0") == "1"
 
 
 def run_config() -> np.ndarray:
@@ -77,14 +84,17 @@ def run_config() -> np.ndarray:
     np_cdtype = np.complex128 if golden else np.complex64
     w = ising_mpo(L, 1.0, 0.5).astype(np_cdtype)
     tensors0 = mps_ops.named_product_state("x+", L, CHI).astype(np_cdtype)
-    nm = NoiseModel(
-        [{"name": "z", "sites": [i], "strength": 0.05} for i in range(L)]
-        + [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(L)]
-    )
-    noise = compile_noise(nm, L, 2)
-    noise = jax.tree.map(
-        lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, noise
-    )
+    if NOISY:
+        nm = NoiseModel(
+            [{"name": "z", "sites": [i], "strength": 0.05} for i in range(L)]
+            + [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(L)]
+        )
+        noise = compile_noise(nm, L, 2)
+        noise = jax.tree.map(
+            lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, noise
+        )
+    else:
+        noise = None
     observables = compile_observables([Observable("z", i) for i in range(L)], L, 2)
     observables = jax.tree.map(
         lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, observables
