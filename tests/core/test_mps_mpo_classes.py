@@ -166,3 +166,40 @@ def test_mpo_partial_trace_sites():
     # single-site bond matrix: tracing everything gives the full trace
     full = mpo.partial_trace_sites([0])
     np.testing.assert_allclose(np.trace(full.to_matrix()), np.trace(dense), atol=1e-10)
+
+
+def test_mps_apply_local_two_site():
+    # adjacent, distant (SWAP-routed), reversed, and periodic-wrap gates must
+    # match dense application (reference MPS.apply_local, mps.py:1045-1155)
+    from yaqs_tpu.core.mps_ops import named_product_state
+
+    rng = np.random.default_rng(2)
+    L = 4
+    CX = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+
+    def dense_two_site(v, op4, i, j):
+        psi = v.reshape([2] * L)
+        ax_i, ax_j = L - 1 - i, L - 1 - j
+        t = op4.reshape(2, 2, 2, 2)
+        psi = np.tensordot(t, psi, axes=([2, 3], [ax_i, ax_j]))
+        return np.moveaxis(psi, [0, 1], [ax_i, ax_j]).reshape(-1)
+
+    for (i, j) in [(1, 2), (0, 3), (2, 0), (3, 0)]:
+        m = MPS(tensors=named_product_state("random", L, 4, rng=rng))
+        v0 = m.to_vec()
+        got = m.apply_local(CX, (i, j)).to_vec()
+        np.testing.assert_allclose(got, dense_two_site(v0, CX, i, j), atol=1e-10)
+
+
+def test_mps_measure_in_place():
+    # |+> measured in Z collapses to 0/1 with equal probability; measuring in
+    # X always yields 0 (the +1 eigenstate) and leaves the state intact
+    rng = np.random.default_rng(7)
+    outcomes = set()
+    for _ in range(12):
+        m = MPS(3, state="x+", chi=4)
+        outcomes.add(m.measure(1, "Z", rng=rng))
+    assert outcomes == {0, 1}
+    m = MPS(3, state="x+", chi=4)
+    assert m.measure(1, "X", rng=rng) == 0
+    np.testing.assert_allclose(abs(m.to_vec()[0]) ** 2, 1 / 8, atol=1e-10)

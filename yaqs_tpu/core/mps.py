@@ -161,6 +161,51 @@ class MPS:
     def measure_single_shot(self, seed: int | None = None) -> int:
         return next(iter(self.measure_shots(1, seed=seed)))
 
+    def measure(self, site: int, basis: str = "Z", rng=None) -> int:
+        """In-place projective measurement of one site (reference MPS.measure,
+        mps.py:1415-1489): rotate to the basis, sample the outcome from the
+        local reduced density, project, renormalize.  Returns the outcome."""
+        if site < 0 or site >= self.length:
+            msg = f"Invalid site {site} for MPS of length {self.length}."
+            raise ValueError(msg)
+        basis = basis.upper()
+        if basis == "Z":
+            u = np.eye(self.d, dtype=np.complex128)
+        elif basis == "X":
+            u = np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)
+        elif basis == "Y":
+            u = np.array([[1, -1j], [1, 1j]], dtype=np.complex128) / np.sqrt(2)
+        else:
+            msg = f"Invalid basis {basis!r}; use X, Y, or Z."
+            raise ValueError(msg)
+        if basis != "Z":
+            if self.d != 2:
+                msg = "X/Y measurements require qubits"
+                raise ValueError(msg)
+            self.apply_local(u.conj().T, site)  # rotate basis -> computational
+        canon, _ = mps_ops.normalize_canonical(self._j())
+        envs = mps_ops.left_gram_environments(canon)
+        probs = []
+        for k in range(self.d):
+            proj = np.zeros((self.d, self.d), dtype=np.complex128)
+            proj[k, k] = 1.0
+            p = float(
+                np.real(mps_ops.site_expectation(canon, envs, jnp.asarray(proj), site))
+            )
+            probs.append(max(p, 0.0))
+        probs = np.asarray(probs)
+        probs = probs / probs.sum()
+        rng = rng or np.random.default_rng()
+        outcome = int(rng.choice(self.d, p=probs))
+        proj = np.zeros((self.d, self.d), dtype=np.complex128)
+        proj[outcome, outcome] = 1.0
+        out = mps_ops.apply_one_site_operator(canon, jnp.asarray(proj), site)
+        out, _ = mps_ops.normalize_canonical(out)
+        self.tensors = fetch(out)
+        if basis != "Z":
+            self.apply_local(u, site)  # rotate back
+        return outcome
+
     def project_onto_bitstring(self, bitstring: str) -> float:
         """PVM probability of a computational basis string (site 0 first char)."""
         psi = np.asarray(mps_ops.to_statevector(self._j()))
@@ -191,10 +236,72 @@ class MPS:
         return (self.length - 1) * self.chi**3
 
     # -- manipulation -------------------------------------------------------
-    def apply_local(self, op, site: int) -> MPS:
+    def apply_local(self, op, site: int | list[int] | tuple[int, int]) -> MPS:
+        """Apply a one- or two-site operator in place.
+
+        Two-site support mirrors the reference (MPS.apply_local,
+        mps.py:1045-1155): adjacent pairs via merged exact SVD, the periodic
+        wrap ``(L-1, 0)`` via bubble-SWAPs (gate given in ``|q_{L-1}, q_0>``
+        ordering), plus general distant pairs via SWAP routing.  The padded
+        bond dimension is doubled first so the exact split loses nothing;
+        call :meth:`compress` afterwards to trim.
+        """
+        if isinstance(site, (list, tuple)):
+            if len(site) == 1:
+                site = site[0]
+            elif len(site) == 2:
+                return self._apply_two_site(np.asarray(op, dtype=np.complex128), *site)
+            else:
+                msg = "apply_local supports one- or two-site operators"
+                raise ValueError(msg)
         self.tensors = fetch(
             mps_ops.apply_one_site_operator(self._j(), jnp.asarray(op), site)
         )
+        return self
+
+    def _apply_two_site(self, op4: np.ndarray, i: int, j: int) -> MPS:
+        from ..ops.decomp import merge_two_site, split_two_site_truncated
+
+        length, d = self.length, self.d
+        if op4.shape != (d * d, d * d):
+            msg = f"two-site operator must be ({d * d}, {d * d})"
+            raise ValueError(msg)
+        wrap = (i, j) == (length - 1, 0)
+        if wrap:
+            # reference ordering |q_{L-1}, q_0>: permute to merged |q_0, q_{L-1}>
+            perm = np.zeros((d * d, d * d))
+            for a in range(d):
+                for b in range(d):
+                    perm[d * b + a, d * a + b] = 1.0
+            op4 = perm.T @ op4 @ perm
+            i, j = 0, length - 1
+        swapped = i > j
+        if swapped:
+            # reorder so i < j; swap the operator's qubit significance
+            op4 = op4.reshape(d, d, d, d).transpose(1, 0, 3, 2).reshape(d * d, d * d)
+            i, j = j, i
+        self.pad_bond_dimension(2 * self.chi)
+        t = self._j()
+        chi = t.shape[-1]
+
+        def nn(t, left, mat4):
+            theta = merge_two_site(t[left], t[left + 1])
+            th = jnp.asarray(mat4, t.dtype) @ theta.reshape(d * d, chi * chi)
+            a, b, _, _ = split_two_site_truncated(
+                th.reshape(d, d, chi, chi), chi,
+                mode="relative", threshold=0.0, min_keep=1,
+                svd_distribution="right",
+            )
+            return t.at[left].set(a).at[left + 1].set(b)
+
+        sw = np.eye(d * d).reshape(d, d, d, d).transpose(1, 0, 2, 3).reshape(d * d, d * d)
+        # route j down to i+1 with SWAPs, apply, route back
+        for k in range(j - 1, i, -1):
+            t = nn(t, k, sw)
+        t = nn(t, i, op4)
+        for k in range(i + 1, j):
+            t = nn(t, k, sw)
+        self.tensors = fetch(t)
         return self
 
     def compress(self, threshold: float = 0.0, max_bond_dim: int | None = None) -> MPS:
