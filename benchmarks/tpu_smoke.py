@@ -1,0 +1,184 @@
+"""TPU end-to-end smoke: drive every public path on the real chip.
+
+The tunneled TPU platform has two hard constraints the library must respect
+everywhere (CLAUDE.md): eager complex device compute is UNIMPLEMENTED, and
+complex device->host transfer is UNIMPLEMENTED (fetch real views only).
+This script exercises each public entry point with tiny shapes to flush out
+violations; it is the TPU analogue of the CPU test suite's surface drive.
+
+Run: python benchmarks/tpu_smoke.py   (exits nonzero on first failure)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yaqs_tpu import (
+    AnalogSimParams,
+    DigitalSimParams,
+    EquivalenceChecker,
+    Hamiltonian,
+    NoiseModel,
+    Observable,
+    Simulator,
+    State,
+)
+
+PASS = []
+
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    PASS.append(name)
+    print(f"  ok  {name}  ({dt:.1f}s)", flush=True)
+
+
+def main() -> None:
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    L = 6
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(L)]
+    )
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    zobs = [Observable("z", i) for i in range(L)]
+
+    def analog_tjm():
+        res = Simulator().run(
+            State(L, state="x+"),
+            ham,
+            AnalogSimParams(
+                observables=zobs, elapsed_time=0.3, dt=0.1, num_traj=4,
+                order=2, max_bond_dim=8, random_seed=1,
+                svd_method="subspace", subspace_qr="newton",
+                canon_method="newton", lanczos_reorth=False, subspace_iters=1,
+            ),
+            nm,
+        )
+        ev = np.asarray(res.expectation_values)
+        assert ev.shape == (L, 4) and np.all(np.isfinite(ev))
+
+    def analog_order1():
+        res = Simulator().run(
+            State(L, state="x+"), ham,
+            AnalogSimParams(observables=zobs, elapsed_time=0.2, dt=0.1,
+                            num_traj=2, order=1, max_bond_dim=8, random_seed=2),
+            nm,
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+
+    def mcwf():
+        res = Simulator().run(
+            State(4, state="x+", representation="vector"), Hamiltonian.ising(4, 1.0, 0.5),
+            AnalogSimParams(observables=[Observable("z", i) for i in range(4)],
+                            elapsed_time=0.2, dt=0.1, num_traj=3, random_seed=3),
+            NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(4)]),
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+
+    def lindblad():
+        res = Simulator().run(
+            State(3, state="x+", representation="density_matrix"),
+            Hamiltonian.ising(3, 1.0, 0.5),
+            AnalogSimParams(observables=[Observable("z", i) for i in range(3)],
+                            elapsed_time=0.2, dt=0.1, random_seed=4),
+            NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(3)]),
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+
+    def ensemble_multitime():
+        res = Simulator().run(
+            [State(L, state="x+"), State(L, state="Neel")], ham,
+            AnalogSimParams(
+                observables=zobs, elapsed_time=0.2, dt=0.1, max_bond_dim=8,
+                multi_time_observables=[(Observable("z", 0), Observable("z", 0))],
+            ),
+            None,
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+        assert res.multi_time_correlators is not None
+
+    def digital():
+        qasm = (
+            'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[4];\ncreg c[4];\n'
+            "h q[0];\ncx q[0],q[1];\ncx q[1],q[2];\ncx q[2],q[3];\nmeasure q -> c;\n"
+        )
+        res = Simulator().run(
+            State(4), qasm,
+            DigitalSimParams(observables=[Observable("z", i) for i in range(4)],
+                             shots=16, num_traj=3, max_bond_dim=8, random_seed=5),
+            NoiseModel([{"name": "x", "sites": [i], "strength": 0.01} for i in range(4)]),
+        )
+        assert sum(res.counts.values()) == 16
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+
+    def digital_gate_modes():
+        qasm = (
+            'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[5];\n'
+            "h q[0];\ncx q[0],q[4];\nccx q[0],q[2],q[4];\n"
+        )
+        for mode in ("swaps", "mpo", "tdvp"):
+            res = Simulator().run(
+                State(5), qasm,
+                DigitalSimParams(observables=[Observable("z", 4)], num_traj=1,
+                                 max_bond_dim=8, random_seed=6, gate_mode=mode),
+                None,
+            )
+            assert np.all(np.isfinite(np.asarray(res.expectation_values))), mode
+
+    def equivalence():
+        q1 = 'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\nh q[0];\ncx q[0],q[1];\n'
+        assert EquivalenceChecker().check(q1, q1).equivalent
+
+    def characterize_noise():
+        from yaqs_tpu import NoiseCharacterizer
+
+        n = 3
+        truth = NoiseModel([{"name": "z", "sites": [i], "strength": 0.1} for i in range(n)])
+        guess = NoiseModel([{"name": "z", "sites": [i], "strength": 0.3} for i in range(n)])
+        obs = [Observable("z", i) for i in range(n)]
+        params = AnalogSimParams(observables=obs, elapsed_time=0.2, dt=0.1, max_bond_dim=8)
+        fit = NoiseCharacterizer().characterize(
+            Hamiltonian.ising(n, 1.0, 0.5), params,
+            init_state=State(n, state="x+"), init_guess=guess, observables=obs,
+            x_low=np.zeros(n), x_up=np.ones(n), reference_model=truth,
+            max_iter=3, seed=0,
+        )
+        assert np.all(np.isfinite(np.asarray(fit.strengths)))
+
+    def characterize_memory():
+        from yaqs_tpu import MemoryCharacterizer
+
+        mc = MemoryCharacterizer(preset="quick")
+        res = mc.characterize(
+            Hamiltonian.ising(2, 1.0, 0.5), num_interventions=2, tau=0.3, seed=1
+        )
+        assert np.isfinite(res.entropy)
+
+    check("analog TJM order2 (fast path)", analog_tjm)
+    check("analog TJM order1", analog_order1)
+    check("MCWF (vector)", mcwf)
+    check("Lindblad (density matrix)", lindblad)
+    check("unitary ensemble + multi-time", ensemble_multitime)
+    check("digital TEBD + shots + noise", digital)
+    check("digital gate modes (swaps/mpo/tdvp, 3q)", digital_gate_modes)
+    check("equivalence checker", equivalence)
+    check("noise characterization (CMA-ES)", characterize_noise)
+    check("memory characterization (operational)", characterize_memory)
+    print(f"ALL {len(PASS)} TPU SMOKE CHECKS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,8 @@ size — intended for <= ~6-10 qubits like the reference (lindblad.py:46-99).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax.numpy as jnp
 import jax
 import numpy as np
@@ -117,17 +119,20 @@ def lindblad_expectations(
     prop = scipy.linalg.expm(liou * dt)
     rho = np.outer(psi0, psi0.conj())
 
-    prop_j = jnp.asarray(prop)
-    obs_j = jnp.asarray(np.stack(observables))
+    obs_arr = np.stack(observables)
 
-    def step(vec_rho, _):
-        vec_rho = prop_j @ vec_rho
-        rho_m = vec_rho.reshape(dim, dim)
-        vals = jnp.real(jnp.einsum("kab,ba->k", obs_j, rho_m))
-        return vec_rho, vals
+    # the whole propagation runs under jit with host-numpy operands: eager
+    # complex device compute is unsupported on the tunneled TPU platform
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(prop_j, obs_j, vec0, steps):
+        def step(vec_rho, _):
+            vec_rho = prop_j @ vec_rho
+            rho_m = vec_rho.reshape(dim, dim)
+            vals = jnp.real(jnp.einsum("kab,ba->k", obs_j, rho_m))
+            return vec_rho, vals
 
-    vec0 = jnp.asarray(rho.reshape(-1))
-    rho0_m = vec0.reshape(dim, dim)
-    vals0 = jnp.real(jnp.einsum("kab,ba->k", obs_j, rho0_m))
-    _, vals = jax.lax.scan(step, vec0, None, length=num_steps)
-    return np.asarray(jnp.concatenate([vals0[None], vals], axis=0).T)
+        vals0 = jnp.real(jnp.einsum("kab,ba->k", obs_j, vec0.reshape(dim, dim)))
+        _, vals = jax.lax.scan(step, vec0, None, length=steps)
+        return jnp.concatenate([vals0[None], vals], axis=0).T
+
+    return np.asarray(run(prop, obs_arr, rho.reshape(-1), num_steps))

@@ -33,10 +33,10 @@ class MCWFContext:
     ``obs``: ``(n_obs, D, D)`` observables.
     """
 
-    propagator: jax.Array
-    jump_ops: jax.Array
-    gammas: jax.Array
-    obs: jax.Array
+    propagator: object  # host numpy; transferred as a jit argument
+    jump_ops: object
+    gammas: object
+    obs: object
 
 
 def make_mcwf_context(
@@ -56,11 +56,17 @@ def make_mcwf_context(
         if jump_ops
         else np.zeros((0, dim, dim), dtype=np.complex128)
     )
+    # leaves stay HOST numpy in the platform working precision (the
+    # CompiledNoise pattern): eager device transfers of complex128 are
+    # unsupported on the c64-only tunneled TPU; jit arguments transfer fine.
+    x64 = jax.config.read("jax_enable_x64")
+    cdt = np.complex128 if x64 else np.complex64
+    rdt = np.float64 if x64 else np.float32
     return MCWFContext(
-        propagator=jnp.asarray(prop),
-        jump_ops=jnp.asarray(jumps),
-        gammas=jnp.asarray(np.asarray(gammas, dtype=np.float64).reshape(-1)),
-        obs=jnp.asarray(np.stack(observables)),
+        propagator=np.asarray(prop, dtype=cdt),
+        jump_ops=np.asarray(jumps, dtype=cdt),
+        gammas=np.asarray(gammas, dtype=rdt).reshape(-1),
+        obs=np.asarray(np.stack(observables), dtype=cdt),
     )
 
 

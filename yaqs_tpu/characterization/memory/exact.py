@@ -113,11 +113,13 @@ class ExactBackend:
     def evaluate_sequences(self, meas, prep) -> np.ndarray:
         """Simulate MP sequences: ``meas/prep (batch, k, d)`` kets ->
         unnormalized final system density matrices ``(batch, d, d)``."""
-        meas = jnp.asarray(meas)
-        prep = jnp.asarray(prep)
+        meas = np.asarray(meas)
+        prep = np.asarray(prep)
+        # numpy operands go straight into the jitted call: eager
+        # jnp.asarray of complex128 is unsupported on the tunneled TPU
         out = _simulate_batch(
-            jnp.asarray(self.prop),
-            jnp.asarray(self.rho0),
+            self.prop,
+            self.rho0,
             meas,
             meas,
             prep,
@@ -132,12 +134,12 @@ class ExactBackend:
     def evaluate_general(self, meas_l, meas_r, prep_l, prep_r) -> np.ndarray:
         """General linear-intervention batch (process-tensor tomography)."""
         out = _simulate_batch(
-            jnp.asarray(self.prop),
-            jnp.asarray(self.rho0),
-            jnp.asarray(meas_l),
-            jnp.asarray(meas_r),
-            jnp.asarray(prep_l),
-            jnp.asarray(prep_r),
+            self.prop,
+            self.rho0,
+            np.asarray(meas_l),
+            np.asarray(meas_r),
+            np.asarray(prep_l),
+            np.asarray(prep_r),
             self.env_dim,
             self.mode,
         )

@@ -292,11 +292,13 @@ def build_process_tensor_mpo(
             prop_cache[duration] = _propagator(h, liou, duration, mode)
         prop = prop_cache[duration]
 
+        # numpy operands straight into the jitted call (eager complex
+        # jnp.asarray is unsupported on the tunneled TPU platform)
         ext = _extend_branches(
-            jnp.asarray(prop),
-            jnp.asarray(branches),
-            jnp.asarray(meas),
-            jnp.asarray(prep),
+            prop,
+            branches,
+            np.asarray(meas),
+            np.asarray(prep),
             env_dim,
             mode,
         )

@@ -161,20 +161,28 @@ class MPSBackend:
             )
 
         batch = meas.shape[0]
+        # the whole batch evaluation runs under ONE jit with numpy operands:
+        # eager complex device ops (including jnp.asarray of complex128) are
+        # unsupported on the tunneled TPU platform
         if self.noisy:
+            run = jax.jit(
+                lambda m_b, p_b, ks_b: jax.vmap(
+                    lambda m, p, ks: jnp.mean(
+                        jax.vmap(lambda k: one(m, p, k))(ks), axis=0
+                    )
+                )(m_b, p_b, ks_b)
+            )
             keys = jax.vmap(
                 lambda i: jax.vmap(lambda t: jax.random.fold_in(jax.random.fold_in(base, i), t))(
                     jnp.arange(self.num_traj)
                 )
             )(jnp.arange(batch))
-            out = jax.vmap(
-                lambda m, p, ks: jnp.mean(
-                    jax.vmap(lambda k: one(m, p, k))(ks), axis=0
-                )
-            )(jnp.asarray(meas), jnp.asarray(prep), keys)
+            out = run(meas, prep, keys)
         else:
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(batch))
-            out = jax.vmap(one)(jnp.asarray(meas), jnp.asarray(prep), keys)
+            out = jax.jit(lambda m_b, p_b, ks_b: jax.vmap(one)(m_b, p_b, ks_b))(
+                meas, prep, keys
+            )
         re = np.asarray(jnp.real(out))
         im = np.asarray(jnp.imag(out))
         return re + 1j * im

@@ -9,6 +9,7 @@ d^2-MPS view shared with the equivalence checker.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -196,21 +197,22 @@ class MPO:
         from .mps import MPS
 
         if isinstance(other, MPS):
-            out = mpo_apply_mps(
-                jnp.asarray(self.tensors),
-                jnp.asarray(other.tensors),
-                chi_out=chi_out,
-                threshold=threshold,
+            # jit: eager complex device compute is unsupported on the
+            # tunneled TPU platform (same below)
+            run = jax.jit(
+                lambda w, t: mpo_apply_mps(
+                    w, t, chi_out=chi_out, threshold=threshold
+                )
             )
-            return MPS(tensors=fetch(out))
+            return MPS(tensors=fetch(run(self.tensors, other.tensors)))
         if isinstance(other, MPO):
-            return MPO(fetch(mpo_compose(jnp.asarray(self.tensors), jnp.asarray(other.tensors))))
+            return MPO(fetch(jax.jit(mpo_compose)(self.tensors, other.tensors)))
         msg = f"cannot multiply MPO with {type(other).__name__}"
         raise TypeError(msg)
 
     def rotate(self) -> MPO:
         """Adjoint MPO (reference mpo.rotate, mpo.py:1579)."""
-        return MPO(fetch(mpo_adjoint(jnp.asarray(self.tensors))))
+        return MPO(fetch(jax.jit(mpo_adjoint)(self.tensors)))
 
     def __add__(self, other: MPO) -> MPO:
         """Direct-sum bond stacking (reference __add__/mpo_sum, mpo.py:1928)."""
@@ -244,7 +246,7 @@ class MPO:
         """Vectorized d^2-MPS view (operator legs fused)."""
         from .mps import MPS
 
-        return MPS(tensors=np.asarray(mpo_to_doubled_mps(jnp.asarray(self.tensors))))
+        return MPS(tensors=fetch(jax.jit(mpo_to_doubled_mps)(self.tensors)))
 
     def pad(self, dw: int) -> MPO:
         return MPO(pad_mpo(self.tensors, dw))
@@ -304,9 +306,10 @@ class MPO:
 
     # -- analysis (shared with the equivalence checker) --------------------
     def _normalized_doubled(self):
-        doubled = mpo_to_doubled_mps(jnp.asarray(self.tensors))
-        canon, nrm = mps_ops.normalize_canonical(doubled)
-        return canon, nrm
+        run = jax.jit(
+            lambda w: mps_ops.normalize_canonical(mpo_to_doubled_mps(w))
+        )
+        return run(self.tensors)
 
     def compute_identity_fidelity(self) -> float:
         """``|Tr O| / (d^L)`` normalized by the operator norm (reference
@@ -314,30 +317,33 @@ class MPO:
         length, d = self.length, self.physical_dimension
         canon, nrm = self._normalized_doubled()
         v = np.eye(d).reshape(-1) / np.sqrt(d)
-        ident = jnp.asarray(
-            mps_ops.product_state_tensors([v] * length, canon.shape[-1], d=d * d)
-        )
-        overlap = mps_ops.scalar_product(ident, canon)
-        return float(jnp.abs(overlap) * nrm / (d ** (length / 2)))
+        ident = mps_ops.product_state_tensors([v] * length, int(canon.shape[-1]), d=d * d)
+        run = jax.jit(lambda i, c: jnp.abs(mps_ops.scalar_product(i, c)))
+        overlap_abs = float(np.asarray(run(ident, canon)))
+        return float(overlap_abs * np.asarray(nrm) / (d ** (length / 2)))
 
     def operator_schmidt_spectrum(self, bond: int) -> np.ndarray:
         from ..equivalence.checker import _bond_spectra
 
         canon, _ = self._normalized_doubled()
-        spectra, _ = _bond_spectra(canon)
-        return np.asarray(spectra[bond])
+        spectra, _ = jax.jit(_bond_spectra)(canon)
+        return np.asarray(spectra)[bond]
 
     def operator_entanglement_entropy(self, bond: int) -> float:
         from ..equivalence.checker import _bond_spectra
 
         canon, _ = self._normalized_doubled()
-        _, ents = _bond_spectra(canon)
-        return float(ents[bond])
+        _, ents = jax.jit(_bond_spectra)(canon)
+        return float(np.asarray(ents)[bond])
 
     def compress(self, threshold: float = 0.0, max_bond_dim: int | None = None) -> MPO:
         """SVD-compress the MPO via its doubled-MPS view (norm preserved)."""
-        doubled = mpo_to_doubled_mps(jnp.asarray(self.tensors))
-        out = mps_ops.compress(doubled, threshold=threshold, max_bond_dim=max_bond_dim)
+        run = jax.jit(
+            lambda w: mps_ops.compress(
+                mpo_to_doubled_mps(w), threshold=threshold, max_bond_dim=max_bond_dim
+            )
+        )
+        out = run(self.tensors)
         length, dd, chi, _ = out.shape
         d = self.physical_dimension
         self.tensors = fetch(out).reshape(length, d, d, chi, chi)

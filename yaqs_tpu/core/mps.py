@@ -19,6 +19,19 @@ from . import mps_ops
 
 __all__ = ["MPS"]
 
+# Jitted wrappers: the class is a host-side convenience layer, but its
+# compute must still run as compiled programs — eager complex device ops are
+# UNIMPLEMENTED on the tunneled TPU platform (see yaqs_tpu.utils.host).
+_normalize_j = jax.jit(mps_ops.normalize_canonical, static_argnames=("method",))
+_canonicalize_j = jax.jit(mps_ops.canonicalize_right, static_argnames=("method",))
+_scalar_j = jax.jit(mps_ops.scalar_product)
+_norm2_j = jax.jit(mps_ops.norm_squared)
+_site_expectations_j = jax.jit(mps_ops.site_expectations)
+_left_envs_j = jax.jit(mps_ops.left_gram_environments)
+_site_expectation_j = jax.jit(mps_ops.site_expectation)
+_apply_one_j = jax.jit(mps_ops.apply_one_site_operator)
+_bond_entropies_j = jax.jit(mps_ops.bond_entropies)
+
 
 class MPS:
     """Padded-array matrix product state with tracked padding metadata."""
@@ -97,7 +110,7 @@ class MPS:
     def normalize(self, form: str = "B") -> float:
         """Canonicalize at site 0 and scale to unit norm; returns the norm."""
         del form
-        canon, nrm = mps_ops.normalize_canonical(self._j())
+        canon, nrm = _normalize_j(self._j())
         self.tensors = fetch(canon)
         return float(nrm)
 
@@ -105,28 +118,29 @@ class MPS:
         if center != 0:
             msg = "only canonical center 0 is supported in the padded layout"
             raise NotImplementedError(msg)
-        self.tensors = fetch(mps_ops.canonicalize_right(self._j()))
+        self.tensors = fetch(_canonicalize_j(self._j()))
 
     def norm(self) -> float:
         """Squared norm <psi|psi> (reference MPS.norm semantics)."""
-        return float(mps_ops.norm_squared(self._j()))
+        return float(_norm2_j(self._j()))
 
     def scalar_product(self, other: MPS) -> complex:
-        return complex(mps_ops.scalar_product(self._j(), jnp.asarray(other.tensors)))
+        return complex(fetch(_scalar_j(self._j(), jnp.asarray(other.tensors))))
 
     # -- expectation / measurement -----------------------------------------
     def expect(self, op, site: int) -> float:
         """One-site expectation (state is canonicalized + normalized first)."""
-        canon, _ = mps_ops.normalize_canonical(self._j())
+        canon, _ = _normalize_j(self._j())
         ops = jnp.asarray(np.asarray(op, dtype=np.complex128)[None])
-        val = mps_ops.site_expectations(canon, ops, jnp.asarray([site]))[0]
-        return float(jnp.real(val))
+        val = _site_expectations_j(canon, ops, jnp.asarray([site]))[0]
+        return float(np.asarray(jnp.real(val)))
 
     def local_expect(self, op, site: int) -> complex:
         """<psi|O_site|psi> without normalization."""
-        envs = mps_ops.left_gram_environments(self._j())
+        t = self._j()
+        envs = _left_envs_j(t)
         return complex(
-            mps_ops.site_expectation(self._j(), envs, jnp.asarray(op), site)
+            fetch(_site_expectation_j(t, envs, jnp.asarray(op), site))
         )
 
     def mixed_expectation(self, bra: MPS, op, site: int | None = None) -> complex:
@@ -153,7 +167,7 @@ class MPS:
         (site 0 least significant)."""
         from ..digital.engine import counts_from_samples, sample_bitstrings
 
-        canon, _ = mps_ops.normalize_canonical(self._j())
+        canon, _ = _normalize_j(self._j())
         key = jax.random.PRNGKey(0 if seed is None else seed)
         samples = np.asarray(sample_bitstrings(canon, key, shots))
         return counts_from_samples(samples, self.d)
@@ -183,14 +197,14 @@ class MPS:
                 msg = "X/Y measurements require qubits"
                 raise ValueError(msg)
             self.apply_local(u.conj().T, site)  # rotate basis -> computational
-        canon, _ = mps_ops.normalize_canonical(self._j())
-        envs = mps_ops.left_gram_environments(canon)
+        canon, _ = _normalize_j(self._j())
+        envs = _left_envs_j(canon)
         probs = []
         for k in range(self.d):
             proj = np.zeros((self.d, self.d), dtype=np.complex128)
             proj[k, k] = 1.0
             p = float(
-                np.real(mps_ops.site_expectation(canon, envs, jnp.asarray(proj), site))
+                np.real(fetch(_site_expectation_j(canon, envs, jnp.asarray(proj), site)))
             )
             probs.append(max(p, 0.0))
         probs = np.asarray(probs)
@@ -199,8 +213,8 @@ class MPS:
         outcome = int(rng.choice(self.d, p=probs))
         proj = np.zeros((self.d, self.d), dtype=np.complex128)
         proj[outcome, outcome] = 1.0
-        out = mps_ops.apply_one_site_operator(canon, jnp.asarray(proj), site)
-        out, _ = mps_ops.normalize_canonical(out)
+        out = _apply_one_j(canon, jnp.asarray(proj), site)
+        out, _ = _normalize_j(out)
         self.tensors = fetch(out)
         if basis != "Z":
             self.apply_local(u, site)  # rotate back
@@ -208,22 +222,25 @@ class MPS:
 
     def project_onto_bitstring(self, bitstring: str) -> float:
         """PVM probability of a computational basis string (site 0 first char)."""
-        psi = np.asarray(mps_ops.to_statevector(self._j()))
+        psi = mps_ops.to_statevector_np(self.tensors)
         idx = sum(int(b) * self.d**i for i, b in enumerate(bitstring))
         n2 = np.vdot(psi, psi).real
         return float(abs(psi[idx]) ** 2 / n2)
 
     # -- entropy / diagnostics ---------------------------------------------
     def get_entropy(self, bond: int) -> float:
-        canon, _ = mps_ops.normalize_canonical(self._j())
-        return float(mps_ops.bond_entropies(canon)[bond])
+        canon, _ = _normalize_j(self._j())
+        return float(np.asarray(_bond_entropies_j(canon))[bond])
 
     def get_schmidt_spectrum(self, bond: int) -> np.ndarray:
         from ..equivalence.checker import _bond_spectra
 
-        canon, _ = mps_ops.normalize_canonical(self._j())
-        spectra, _ = _bond_spectra(canon)
-        return np.asarray(spectra[bond])
+        def run(t):
+            canon, _ = mps_ops.normalize_canonical(t)
+            spectra, _ = _bond_spectra(canon)
+            return spectra
+
+        return np.asarray(jax.jit(run)(self._j())[bond])
 
     def get_max_bond(self) -> int:
         return self.chi
@@ -255,7 +272,7 @@ class MPS:
                 msg = "apply_local supports one- or two-site operators"
                 raise ValueError(msg)
         self.tensors = fetch(
-            mps_ops.apply_one_site_operator(self._j(), jnp.asarray(op), site)
+            _apply_one_j(self._j(), jnp.asarray(op.astype(np.complex128) if hasattr(op, "astype") else np.asarray(op, dtype=np.complex128)), site)
         )
         return self
 
@@ -284,6 +301,7 @@ class MPS:
         t = self._j()
         chi = t.shape[-1]
 
+        @jax.jit
         def nn(t, left, mat4):
             theta = merge_two_site(t[left], t[left + 1])
             th = jnp.asarray(mat4, t.dtype) @ theta.reshape(d * d, chi * chi)
@@ -305,9 +323,12 @@ class MPS:
         return self
 
     def compress(self, threshold: float = 0.0, max_bond_dim: int | None = None) -> MPS:
-        self.tensors = fetch(
-            mps_ops.compress(self._j(), threshold=threshold, max_bond_dim=max_bond_dim)
+        run = jax.jit(
+            lambda t: mps_ops.compress(
+                t, threshold=threshold, max_bond_dim=max_bond_dim
+            )
         )
+        self.tensors = fetch(run(self._j()))
         return self
 
     def pad_bond_dimension(self, chi: int) -> MPS:
@@ -323,7 +344,7 @@ class MPS:
         return self
 
     def to_vec(self) -> np.ndarray:
-        return np.asarray(mps_ops.to_statevector(self._j()))
+        return mps_ops.to_statevector_np(self.tensors)
 
     def copy(self) -> MPS:
         out = MPS(tensors=np.array(self.tensors, copy=True))

@@ -383,11 +383,30 @@ def apply_operator_everywhere(tensors: jnp.ndarray, ops: jnp.ndarray) -> jnp.nda
 # ---------------------------------------------------------------------------
 
 
+def to_statevector_np(tensors) -> np.ndarray:
+    """Pure-numpy dense conversion (site 0 least significant).
+
+    Use this for host-side conversions outside jit: eager complex device
+    compute is unsupported on the tunneled TPU platform, so the jnp variant
+    below is only safe inside jitted programs (or on CPU).
+    """
+    t = np.asarray(tensors)
+    length, d, chi, _ = t.shape
+    vec = t[0][:, 0, :]  # (d, chi)
+    for i in range(1, length):
+        vec = np.einsum("...r,srm->...sm", vec, t[i])
+    vec = vec[..., 0]
+    perm = tuple(reversed(range(length)))
+    return np.transpose(vec, perm).reshape(-1)
+
+
 def to_statevector(tensors: jnp.ndarray) -> jnp.ndarray:
     """Contract to a dense state vector with site 0 as the least significant
     index (reference kron order, mps.py:1629-1654 via flip_network).
 
-    Host/test utility — exponential in L.
+    Host/test utility — exponential in L.  On the tunneled TPU platform call
+    :func:`to_statevector_np` instead (eager complex device compute is
+    unsupported there).
     """
     length, d, chi, _ = tensors.shape
     vec = tensors[0][:, 0, :]  # (d, chi): boundary left bond index 0

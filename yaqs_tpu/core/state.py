@@ -148,14 +148,14 @@ class State:
 
             chi = max(16, 2 ** (self.length // 2))
             arr = self.to_padded_mps(min(chi, 256))
-            return np.asarray(mps_ops.to_statevector(jnp.asarray(arr)))
+            return mps_ops.to_statevector_np(arr)
         import jax.numpy as jnp
 
         chi = 1 if self.state not in {"haar-random"} else min(2 ** (self.length // 2), 64)
         tensors = mps_ops.named_product_state(
             self.state, self.length, chi, self.d, basis_string=self.basis_string
         )
-        psi = np.asarray(mps_ops.to_statevector(jnp.asarray(tensors)))
+        psi = mps_ops.to_statevector_np(tensors)
         return psi / np.linalg.norm(psi)
 
     def to_density_matrix(self) -> np.ndarray:

@@ -487,16 +487,20 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     seed = sim_params.random_seed if sim_params.random_seed is not None else 0
     base_key = jax.random.PRNGKey(seed)
 
-    # batched trajectory evolution, stage by stage
+    # batched trajectory evolution, stage by stage.  The initial broadcast
+    # stays HOST-side numpy and observable evaluation is wrapped in jit:
+    # eager complex device ops are UNIMPLEMENTED on the tunneled TPU platform
+    # (host->device complex transfer of jit *arguments* works fine).
     batch = num_traj
-    tensors_b = jnp.broadcast_to(
-        jnp.asarray(tensors0)[None], (batch,) + tensors0.shape
+    tensors_b = np.broadcast_to(
+        np.asarray(tensors0)[None], (batch,) + tensors0.shape
     )
+
+    eval_batch = jax.jit(jax.vmap(lambda t: evaluate_observables(t, observables)))
 
     mid_cols: list[np.ndarray] = []
     if sim_params.sample_layers and wants_obs:
-        col0 = jax.vmap(lambda t: evaluate_observables(t, observables))(tensors_b)
-        mid_cols.append(np.real(np.asarray(col0)))
+        mid_cols.append(np.real(np.asarray(eval_batch(tensors_b))))
 
     stage_idx = 0
     for plan_idx, plan in enumerate(compiled_circ.segments):
@@ -547,8 +551,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
             stage_idx += 1
         is_last = plan_idx == len(compiled_circ.segments) - 1
         if wants_obs and (sim_params.sample_layers or is_last):
-            col = jax.vmap(lambda t: evaluate_observables(t, observables))(tensors_b)
-            mid_cols.append(np.real(np.asarray(col)))
+            mid_cols.append(np.real(np.asarray(eval_batch(tensors_b))))
 
     # ---- results ----------------------------------------------------------
     expectation_values = None
@@ -576,12 +579,15 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                     all_samples.append(samples_np[i, :alloc])
             measurements = np.concatenate(all_samples, axis=0) if all_samples else None
         else:
-            samples = sample_bitstrings(tensors_b[0], jax.random.fold_in(base_key, 999983), shots)
+            first = jax.jit(lambda t: t[0])(tensors_b)
+            samples = sample_bitstrings(first, jax.random.fold_in(base_key, 999983), shots)
             measurements = np.asarray(samples)
         if measurements is not None:
             counts = counts_from_samples(measurements, d)
 
-    output_state = fetch(tensors_b[0]) if sim_params.get_state else None
+    output_state = (
+        fetch(jax.jit(lambda t: t[0])(tensors_b)) if sim_params.get_state else None
+    )
 
     times = np.arange(len(mid_cols), dtype=float) if mid_cols else None
     return Result(

@@ -241,22 +241,26 @@ class EquivalenceChecker:
                 a2 += w2[j]
                 j += 1
 
-        tensors = jnp.asarray(_identity_doubled_mps(length, chi, d))
+        # numpy operands into jitted calls only: eager complex device ops
+        # are unsupported on the tunneled TPU platform
+        tensors = _identity_doubled_mps(length, chi, d)
         log_norm = 0.0
         for seg in doubled:
             tensors, nrm = _apply_doubled_half_layer(
-                tensors, jnp.asarray(seg.mats1q[0]), jnp.asarray(seg.bond_mats[0]), cfg
+                tensors, seg.mats1q[0], seg.bond_mats[0], cfg
             )
-            log_norm += float(jnp.log(jnp.maximum(nrm, 1e-300)))
+            log_norm += float(np.log(max(float(np.asarray(nrm)), 1e-300)))
 
         # overlap with the normalized identity state: |<vecI | O>| * prod(norms)
-        ident = jnp.asarray(_identity_doubled_mps(length, chi, d))
-        overlap = mps_ops.scalar_product(ident, tensors)
-        fid = float(jnp.abs(overlap)) * float(np.exp(log_norm))
+        ident = _identity_doubled_mps(length, chi, d)
+        overlap_abs = jax.jit(
+            lambda i, t: jnp.abs(mps_ops.scalar_product(i, t))
+        )(ident, tensors)
+        fid = float(np.asarray(overlap_abs)) * float(np.exp(log_norm))
         # doubled gates are unitary -> all norm decay is truncation loss
         kept_weight = float(np.exp(2.0 * min(log_norm, 0.0)))
 
-        spectra, entropies = _bond_spectra(tensors)
+        spectra, entropies = jax.jit(_bond_spectra)(tensors)
         return fid, np.asarray(spectra), np.asarray(entropies), kept_weight
 
 

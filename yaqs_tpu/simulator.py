@@ -507,10 +507,13 @@ class Simulator:
         )
 
         members = np.stack([s.to_padded_mps(chi) for s in states])
+        # jit + real/imag fetch: eager complex compute and complex
+        # device->host transfer are both unsupported on the tunneled TPU
+        prepare_phi_j = jax.jit(prepare_phi)
         phis = []
         for member in members:
             member_phis = [
-                np.asarray(prepare_phi(jnp.asarray(member), jnp.asarray(b_mat), b_site))
+                fetch(prepare_phi_j(member, np.asarray(b_mat), b_site))
                 for b_mat, b_site in mt_b
             ]
             phis.append(
@@ -524,17 +527,17 @@ class Simulator:
             jax.vmap(
                 lambda t0, ph: ensemble_trajectory(
                     t0,
-                    jnp.asarray(mpo),
+                    mpo,
                     observables,
-                    jnp.asarray(mt_a_ops_arr),
-                    jnp.asarray(mt_a_sites_arr),
+                    mt_a_ops_arr,
+                    mt_a_sites_arr,
                     ph,
                     plan,
                 )
             ),
             static_argnames=(),
         )
-        obs_b, corr_b = run(jnp.asarray(members), jnp.asarray(phis))
+        obs_b, corr_b = run(members, phis)
         obs_mean = np.asarray(obs_b).mean(axis=0)
         corr_mean = fetch(corr_b).mean(axis=0) if n_pairs else None
         if not sim_params.sample_timesteps:
