@@ -21,6 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ...utils.host import to_device
 import scipy.linalg
 
 from ...analog.lindblad import build_liouvillian, noise_model_jump_ops
@@ -118,12 +120,12 @@ class ExactBackend:
         # numpy operands go straight into the jitted call: eager
         # jnp.asarray of complex128 is unsupported on the tunneled TPU
         out = _simulate_batch(
-            self.prop,
-            self.rho0,
-            meas,
-            meas,
-            prep,
-            prep,
+            to_device(self.prop),
+            to_device(self.rho0),
+            to_device(meas),
+            to_device(meas),
+            to_device(prep),
+            to_device(prep),
             self.env_dim,
             self.mode,
         )
@@ -134,12 +136,12 @@ class ExactBackend:
     def evaluate_general(self, meas_l, meas_r, prep_l, prep_r) -> np.ndarray:
         """General linear-intervention batch (process-tensor tomography)."""
         out = _simulate_batch(
-            self.prop,
-            self.rho0,
-            np.asarray(meas_l),
-            np.asarray(meas_r),
-            np.asarray(prep_l),
-            np.asarray(prep_r),
+            to_device(self.prop),
+            to_device(self.rho0),
+            to_device(np.asarray(meas_l, dtype=np.complex128)),
+            to_device(np.asarray(meas_r, dtype=np.complex128)),
+            to_device(np.asarray(prep_l, dtype=np.complex128)),
+            to_device(np.asarray(prep_r, dtype=np.complex128)),
             self.env_dim,
             self.mode,
         )

@@ -30,6 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ...utils.host import to_device
 import scipy.linalg
 
 from ...analog.lindblad import build_liouvillian, noise_model_jump_ops
@@ -295,10 +297,10 @@ def build_process_tensor_mpo(
         # numpy operands straight into the jitted call (eager complex
         # jnp.asarray is unsupported on the tunneled TPU platform)
         ext = _extend_branches(
-            prop,
-            branches,
-            np.asarray(meas),
-            np.asarray(prep),
+            to_device(prop),
+            to_device(branches),
+            to_device(np.asarray(meas, dtype=np.complex128)),
+            to_device(np.asarray(prep, dtype=np.complex128)),
             env_dim,
             mode,
         )

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils.host import to_device
+
 from ...core import mps_ops
 from ...core.noise_model import compile_noise
 from ...methods.dissipation import apply_dissipation
@@ -177,11 +179,11 @@ class MPSBackend:
                     jnp.arange(self.num_traj)
                 )
             )(jnp.arange(batch))
-            out = run(meas, prep, keys)
+            out = run(to_device(meas), to_device(prep), keys)
         else:
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(batch))
             out = jax.jit(lambda m_b, p_b, ks_b: jax.vmap(one)(m_b, p_b, ks_b))(
-                meas, prep, keys
+                to_device(meas), to_device(prep), keys
             )
         re = np.asarray(jnp.real(out))
         im = np.asarray(jnp.imag(out))

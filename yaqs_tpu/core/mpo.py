@@ -20,7 +20,7 @@ from ..models.hamiltonians import (
     fermi_hubbard_1d_mpo,
     trapped_ion_mpo,
 )
-from ..utils.host import fetch
+from ..utils.host import fetch, to_device
 from . import mps_ops
 from .mpo_builders import (
     gate_product_terms,
@@ -204,15 +204,15 @@ class MPO:
                     w, t, chi_out=chi_out, threshold=threshold
                 )
             )
-            return MPS(tensors=fetch(run(self.tensors, other.tensors)))
+            return MPS(tensors=fetch(run(to_device(self.tensors), to_device(other.tensors))))
         if isinstance(other, MPO):
-            return MPO(fetch(jax.jit(mpo_compose)(self.tensors, other.tensors)))
+            return MPO(fetch(jax.jit(mpo_compose)(to_device(self.tensors), to_device(other.tensors))))
         msg = f"cannot multiply MPO with {type(other).__name__}"
         raise TypeError(msg)
 
     def rotate(self) -> MPO:
         """Adjoint MPO (reference mpo.rotate, mpo.py:1579)."""
-        return MPO(fetch(jax.jit(mpo_adjoint)(self.tensors)))
+        return MPO(fetch(jax.jit(mpo_adjoint)(to_device(self.tensors))))
 
     def __add__(self, other: MPO) -> MPO:
         """Direct-sum bond stacking (reference __add__/mpo_sum, mpo.py:1928)."""
@@ -246,7 +246,7 @@ class MPO:
         """Vectorized d^2-MPS view (operator legs fused)."""
         from .mps import MPS
 
-        return MPS(tensors=fetch(jax.jit(mpo_to_doubled_mps)(self.tensors)))
+        return MPS(tensors=fetch(jax.jit(mpo_to_doubled_mps)(to_device(self.tensors))))
 
     def pad(self, dw: int) -> MPO:
         return MPO(pad_mpo(self.tensors, dw))
@@ -309,7 +309,7 @@ class MPO:
         run = jax.jit(
             lambda w: mps_ops.normalize_canonical(mpo_to_doubled_mps(w))
         )
-        return run(self.tensors)
+        return run(to_device(self.tensors))
 
     def compute_identity_fidelity(self) -> float:
         """``|Tr O| / (d^L)`` normalized by the operator norm (reference
@@ -319,7 +319,7 @@ class MPO:
         v = np.eye(d).reshape(-1) / np.sqrt(d)
         ident = mps_ops.product_state_tensors([v] * length, int(canon.shape[-1]), d=d * d)
         run = jax.jit(lambda i, c: jnp.abs(mps_ops.scalar_product(i, c)))
-        overlap_abs = float(np.asarray(run(ident, canon)))
+        overlap_abs = float(np.asarray(run(to_device(ident), canon)))
         return float(overlap_abs * np.asarray(nrm) / (d ** (length / 2)))
 
     def operator_schmidt_spectrum(self, bond: int) -> np.ndarray:
@@ -343,7 +343,7 @@ class MPO:
                 mpo_to_doubled_mps(w), threshold=threshold, max_bond_dim=max_bond_dim
             )
         )
-        out = run(self.tensors)
+        out = run(to_device(self.tensors))
         length, dd, chi, _ = out.shape
         d = self.physical_dimension
         self.tensors = fetch(out).reshape(length, d, d, chi, chi)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.host import fetch
+from ..utils.host import fetch, to_device
 from . import mps_ops
 
 __all__ = ["MPS"]
@@ -104,7 +104,7 @@ class MPS:
         return self.tensors.shape[-1]
 
     def _j(self) -> jnp.ndarray:
-        return jnp.asarray(self.tensors)
+        return to_device(self.tensors)
 
     # -- gauge / norm -------------------------------------------------------
     def normalize(self, form: str = "B") -> float:
@@ -125,13 +125,13 @@ class MPS:
         return float(_norm2_j(self._j()))
 
     def scalar_product(self, other: MPS) -> complex:
-        return complex(fetch(_scalar_j(self._j(), jnp.asarray(other.tensors))))
+        return complex(fetch(_scalar_j(self._j(), to_device(other.tensors))))
 
     # -- expectation / measurement -----------------------------------------
     def expect(self, op, site: int) -> float:
         """One-site expectation (state is canonicalized + normalized first)."""
         canon, _ = _normalize_j(self._j())
-        ops = jnp.asarray(np.asarray(op, dtype=np.complex128)[None])
+        ops = to_device(np.asarray(op, dtype=np.complex128)[None])
         val = _site_expectations_j(canon, ops, jnp.asarray([site]))[0]
         return float(np.asarray(jnp.real(val)))
 
@@ -140,7 +140,7 @@ class MPS:
         t = self._j()
         envs = _left_envs_j(t)
         return complex(
-            fetch(_site_expectation_j(t, envs, jnp.asarray(op), site))
+            fetch(_site_expectation_j(t, envs, to_device(np.asarray(op, dtype=np.complex128)), site))
         )
 
     def mixed_expectation(self, bra: MPS, op, site: int | None = None) -> complex:
@@ -204,7 +204,7 @@ class MPS:
             proj = np.zeros((self.d, self.d), dtype=np.complex128)
             proj[k, k] = 1.0
             p = float(
-                np.real(fetch(_site_expectation_j(canon, envs, jnp.asarray(proj), site)))
+                np.real(fetch(_site_expectation_j(canon, envs, to_device(proj), site)))
             )
             probs.append(max(p, 0.0))
         probs = np.asarray(probs)
@@ -213,7 +213,7 @@ class MPS:
         outcome = int(rng.choice(self.d, p=probs))
         proj = np.zeros((self.d, self.d), dtype=np.complex128)
         proj[outcome, outcome] = 1.0
-        out = _apply_one_j(canon, jnp.asarray(proj), site)
+        out = _apply_one_j(canon, to_device(proj), site)
         out, _ = _normalize_j(out)
         self.tensors = fetch(out)
         if basis != "Z":
@@ -272,7 +272,7 @@ class MPS:
                 msg = "apply_local supports one- or two-site operators"
                 raise ValueError(msg)
         self.tensors = fetch(
-            _apply_one_j(self._j(), jnp.asarray(op.astype(np.complex128) if hasattr(op, "astype") else np.asarray(op, dtype=np.complex128)), site)
+            _apply_one_j(self._j(), to_device(np.asarray(op, dtype=np.complex128)), site)
         )
         return self
 
@@ -313,12 +313,14 @@ class MPS:
             return t.at[left].set(a).at[left + 1].set(b)
 
         sw = np.eye(d * d).reshape(d, d, d, d).transpose(1, 0, 2, 3).reshape(d * d, d * d)
+        sw_d = to_device(sw.astype(np.complex128))
+        op4_d = to_device(op4)
         # route j down to i+1 with SWAPs, apply, route back
         for k in range(j - 1, i, -1):
-            t = nn(t, k, sw)
-        t = nn(t, i, op4)
+            t = nn(t, k, sw_d)
+        t = nn(t, i, op4_d)
         for k in range(i + 1, j):
-            t = nn(t, k, sw)
+            t = nn(t, k, sw_d)
         self.tensors = fetch(t)
         return self
 

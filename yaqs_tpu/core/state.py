@@ -122,10 +122,12 @@ class State:
                 elif arr.shape[-1] > chi:
                     msg = f"tensors padded to {arr.shape[-1]} exceed requested chi={chi}"
                     raise ValueError(msg)
-            import jax.numpy as jnp
+            import jax
 
-            canon, _ = mps_ops.normalize_canonical(jnp.asarray(arr))
-            return np.asarray(canon)
+            from ..utils.host import fetch, to_device
+
+            canon, _ = jax.jit(mps_ops.normalize_canonical)(to_device(arr))
+            return fetch(canon)
         if self.vector is not None:
             psi = self.vector / np.linalg.norm(self.vector)
             return mps_ops.statevector_to_mps(psi, self.length, chi, self.d)

@@ -34,7 +34,7 @@ from ..methods.mpo_ops import mpo_apply_mps_zipup
 from ..methods.stochastic import channel_weights
 from ..methods.tdvp import TDVPConfig, sweep_2site
 from ..ops.decomp import merge_two_site, split_two_site_truncated
-from ..utils.host import fetch
+from ..utils.host import fetch, to_device
 from .circuit import load_circuit
 from .compile import CompiledSegment, GateStage, compile_circuit
 
@@ -248,26 +248,47 @@ def apply_segment(
     """
     n_hl = mats1q.shape[0]
 
+    # Per-half-layer operands ride the scan as xs: indexing closure-embedded
+    # complex CONSTANTS by the scan counter hits an unimplemented
+    # dynamic-slice lowering on the tunneled TPU platform, while scan-sliced
+    # operands lower fine (bisected on hardware).
     def half_layer(tensors, xs):
-        h, key = xs
-        ops1 = mats1q[h]
+        if noisy:
+            ops1, bmats, nmask, nbmask, scope_h, key = xs
+        else:
+            ops1, bmats, key = xs
         tensors = jnp.einsum("iab,iblr->ialr", ops1.astype(tensors.dtype), tensors)
-        tensors = bond_sweep_ltr(tensors, bond_mats[h], cfg)
+        tensors = bond_sweep_ltr(tensors, bmats, cfg)
         if noisy:
             # renormalize first so fixed-chi truncation drift from the gate
             # sweep is not miscounted as jump probability (reference
             # renorm_drift for fixed-chi runs, sweep_utils.py:152)
             tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
-            bond_mask = None if noise_bond_masks is None else noise_bond_masks[h]
             tensors = _apply_scoped_noise(
-                tensors, noise, noise_masks[h], bond_mask, ch_scope[h], key, cfg
+                tensors, noise, nmask, nbmask, scope_h, key, cfg
             )
         else:
             tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
         return tensors, None
 
     keys = jax.random.split(key, n_hl)
-    tensors, _ = jax.lax.scan(half_layer, tensors, (jnp.arange(n_hl), keys))
+    if noisy:
+        nb = (
+            noise_bond_masks
+            if noise_bond_masks is not None
+            else jnp.zeros((n_hl, 0), dtype=jnp.float32)
+        )
+        xs = (
+            jnp.asarray(mats1q),
+            jnp.asarray(bond_mats),
+            jnp.asarray(noise_masks),
+            jnp.asarray(nb),
+            jnp.asarray(ch_scope),
+            keys,
+        )
+    else:
+        xs = (jnp.asarray(mats1q), jnp.asarray(bond_mats), keys)
+    tensors, _ = jax.lax.scan(half_layer, tensors, xs)
     return tensors
 
 
@@ -492,8 +513,12 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     # eager complex device ops are UNIMPLEMENTED on the tunneled TPU platform
     # (host->device complex transfer of jit *arguments* works fine).
     batch = num_traj
-    tensors_b = np.broadcast_to(
-        np.asarray(tensors0)[None], (batch,) + tensors0.shape
+    # device-resident from the start: complex arrays can only reach the
+    # device as trace constants or via on-device complexification
+    # (utils.host.to_device); device-resident complex args then flow between
+    # stage dispatches freely
+    tensors_b = to_device(
+        np.broadcast_to(np.asarray(tensors0)[None], (batch,) + tensors0.shape)
     )
 
     eval_batch = jax.jit(jax.vmap(lambda t: evaluate_observables(t, observables)))

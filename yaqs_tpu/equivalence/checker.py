@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.host import to_device
+
 from ..core import mps_ops
 from ..digital.circuit import Circuit, load_circuit
 from ..digital.compile import CompiledSegment, compile_circuit
@@ -243,11 +245,11 @@ class EquivalenceChecker:
 
         # numpy operands into jitted calls only: eager complex device ops
         # are unsupported on the tunneled TPU platform
-        tensors = _identity_doubled_mps(length, chi, d)
+        tensors = to_device(_identity_doubled_mps(length, chi, d))
         log_norm = 0.0
         for seg in doubled:
             tensors, nrm = _apply_doubled_half_layer(
-                tensors, seg.mats1q[0], seg.bond_mats[0], cfg
+                tensors, to_device(seg.mats1q[0]), to_device(seg.bond_mats[0]), cfg
             )
             log_norm += float(np.log(max(float(np.asarray(nrm)), 1e-300)))
 
@@ -255,7 +257,7 @@ class EquivalenceChecker:
         ident = _identity_doubled_mps(length, chi, d)
         overlap_abs = jax.jit(
             lambda i, t: jnp.abs(mps_ops.scalar_product(i, t))
-        )(ident, tensors)
+        )(to_device(ident), tensors)
         fid = float(np.asarray(overlap_abs)) * float(np.exp(log_norm))
         # doubled gates are unitary -> all norm decay is truncation loss
         kept_weight = float(np.exp(2.0 * min(log_norm, 0.0)))

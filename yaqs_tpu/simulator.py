@@ -41,7 +41,7 @@ from .core.result import Result
 from .core.sim_params import AnalogSimParams, DigitalSimParams
 from .core.state import State
 from .methods.tdvp import TDVPConfig
-from .utils.host import fetch
+from .utils.host import fetch, to_device
 from .parallel.runtime import ExecutionConfig, run_ensemble
 
 __all__ = ["Simulator"]
@@ -513,7 +513,7 @@ class Simulator:
         phis = []
         for member in members:
             member_phis = [
-                fetch(prepare_phi_j(member, np.asarray(b_mat), b_site))
+                fetch(prepare_phi_j(to_device(member), to_device(np.asarray(b_mat, dtype=np.complex128)), b_site))
                 for b_mat, b_site in mt_b
             ]
             phis.append(
@@ -537,7 +537,7 @@ class Simulator:
             ),
             static_argnames=(),
         )
-        obs_b, corr_b = run(members, phis)
+        obs_b, corr_b = run(to_device(members), to_device(phis))
         obs_mean = np.asarray(obs_b).mean(axis=0)
         corr_mean = fetch(corr_b).mean(axis=0) if n_pairs else None
         if not sim_params.sample_timesteps:

@@ -17,7 +17,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fetch"]
+__all__ = ["fetch", "to_device"]
+
+_complexify = None
+
+
+def to_device(x):
+    """Host array -> device array, complex-safe on the tunneled TPU.
+
+    Host->device transfer of complex arrays is UNIMPLEMENTED there (both as
+    eager ``jnp.asarray`` and as jit call arguments); complex values reach
+    the device only as trace-time constants or by on-device complexification
+    from separately-transferred real and imaginary parts — which this helper
+    does.  Device-resident complex arrays are then valid jit arguments for
+    subsequent dispatches.  Real arrays transfer directly.
+    """
+    global _complexify
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        if _complexify is None:
+            _complexify = jax.jit(jax.lax.complex)
+        return _complexify(np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag))
+    return jnp.asarray(x)
 
 
 def _fetch_one(x):
