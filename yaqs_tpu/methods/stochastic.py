@@ -114,11 +114,28 @@ def channel_weights2(tensors: jnp.ndarray, noise: CompiledNoise, dt) -> jnp.ndar
     return dt * jnp.asarray(noise.ch2_gamma) * vals
 
 
+def _select_row(table, idx, dtype):
+    """Row ``table[idx]`` as a one-hot contraction.
+
+    Mathematically identical to dynamic indexing (exact 0/1 weights) but
+    avoids gather-from-embedded-constant lowerings that the tunneled TPU
+    platform cannot compile inside nested scans.
+    """
+    t = jnp.asarray(table, dtype=dtype)
+    oh = jax.nn.one_hot(idx, t.shape[0], dtype=dtype)
+    return jnp.tensordot(oh, t, axes=(0, 0))
+
+
+def _select_int(values, idx):
+    v = jnp.asarray(values)
+    return jnp.sum(jnp.where(jnp.arange(v.shape[0]) == idx, v, 0))
+
+
 def _apply_channel(tensors: jnp.ndarray, noise: CompiledNoise, idx) -> jnp.ndarray:
-    op1 = jnp.asarray(noise.ch_op1)[idx]
-    op2 = jnp.asarray(noise.ch_op2)[idx]
-    s1 = jnp.asarray(noise.ch_site1)[idx]
-    s2 = jnp.asarray(noise.ch_site2)[idx]
+    op1 = _select_row(noise.ch_op1, idx, tensors.dtype)
+    op2 = _select_row(noise.ch_op2, idx, tensors.dtype)
+    s1 = _select_int(noise.ch_site1, idx)
+    s2 = _select_int(noise.ch_site2, idx)
     tensors = apply_one_site_operator(tensors, op1, s1)
     # slot 2 is the identity at s2 == s1 for one-site channels; applying it is
     # a no-op, so no control flow is needed.
@@ -133,8 +150,8 @@ def _apply_channel(tensors: jnp.ndarray, noise: CompiledNoise, idx) -> jnp.ndarr
 def _apply_channel2(tensors: jnp.ndarray, noise: CompiledNoise, idx, trunc) -> jnp.ndarray:
     """Apply an adjacent non-Pauli two-site jump via merged-split."""
     length, d, chi, _ = tensors.shape
-    bond = jnp.asarray(noise.ch2_bond)[idx]
-    op = jnp.asarray(noise.ch2_op)[idx]
+    bond = _select_int(noise.ch2_bond, idx)
+    op = _select_row(noise.ch2_op, idx, tensors.dtype)
     theta = merge_two_site(tensors[bond], tensors[bond + 1])
     th = theta.reshape(d * d, chi * chi)
     th = (op.astype(th.dtype) @ th).reshape(d, d, chi, chi)

@@ -40,12 +40,17 @@ class ExecutionConfig:
             peak memory); None = all at once.
         devices: explicit device list; None = ``jax.devices()``.
         show_progress: print chunk progress (host-side).
+        max_retries: re-dispatch a failed chunk up to this many times
+            (reference per-job retry, parallel_utils.py:361-389; transient
+            runtime faults only — deterministic compile errors re-raise
+            immediately on the second identical failure).
     """
 
     parallel: bool = True
     batch_size: int | None = None
     devices: tuple | None = None
     show_progress: bool = False
+    max_retries: int = 0
 
 
 def make_trajectory_mesh(config: ExecutionConfig | None = None) -> Mesh:
@@ -90,8 +95,17 @@ def run_ensemble(
         sks = jax.vmap(lambda i: sample_key_fn(base_key, i))(idx_arr)
         tks = jax.device_put(tks, key_sharding)
         sks = jax.device_put(sks, key_sharding)
-        res = batched(tks, sks)
-        outs.append(np.asarray(res))
+        attempt = 0
+        while True:
+            try:
+                res = batched(tks, sks)
+                out_np = np.asarray(res)  # fetch = the real completion point
+                break
+            except Exception:
+                attempt += 1
+                if attempt > config.max_retries:
+                    raise
+        outs.append(out_np)
         if config.show_progress:
             done = min(start + chunk, num_traj)
             print(f"[yaqs_tpu] trajectories {done}/{num_traj}", flush=True)
