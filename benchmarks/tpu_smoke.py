@@ -36,14 +36,41 @@ from yaqs_tpu import (
 )
 
 PASS = []
+FAIL = []
+
+# A failed dispatch wedges the process on this platform (every subsequent
+# dispatch/compile fails), so by default each check runs in its OWN
+# subprocess (CHECK=<name> env runs one check inline); the persistent
+# compile cache keeps repeat runs fast.
+_ONE = os.environ.get("CHECK")
 
 
 def check(name, fn):
+    if _ONE is not None:
+        if name != _ONE:
+            return
+        t0 = time.perf_counter()
+        fn()
+        print(f"  ok  {name}  ({time.perf_counter() - t0:.1f}s)", flush=True)
+        return
+    import subprocess
+
     t0 = time.perf_counter()
-    fn()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env={**os.environ, "CHECK": name},
+        capture_output=True,
+        text=True,
+        timeout=float(os.environ.get("SMOKE_CHECK_TIMEOUT", 1800)),
+    )
     dt = time.perf_counter() - t0
-    PASS.append(name)
-    print(f"  ok  {name}  ({dt:.1f}s)", flush=True)
+    if proc.returncode == 0 and f"ok  {name}" in proc.stdout:
+        PASS.append(name)
+        print(f"  ok  {name}  ({dt:.1f}s)", flush=True)
+    else:
+        FAIL.append(name)
+        tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+        print(f"  FAIL  {name}  ({dt:.1f}s): " + " | ".join(tail), flush=True)
 
 
 def main() -> None:
@@ -167,6 +194,8 @@ def main() -> None:
         )
         assert np.isfinite(res.entropy)
 
+    if _ONE is None:
+        print("running each check in a fresh subprocess (wedge isolation)", flush=True)
     check("analog TJM order2 (fast path)", analog_tjm)
     check("analog TJM order1", analog_order1)
     check("MCWF (vector)", mcwf)
@@ -177,6 +206,11 @@ def main() -> None:
     check("equivalence checker", equivalence)
     check("noise characterization (CMA-ES)", characterize_noise)
     check("memory characterization (operational)", characterize_memory)
+    if _ONE is not None:
+        return
+    if FAIL:
+        print(f"{len(PASS)} passed, {len(FAIL)} FAILED: {FAIL}", flush=True)
+        sys.exit(1)
     print(f"ALL {len(PASS)} TPU SMOKE CHECKS PASSED", flush=True)
 
 

@@ -272,6 +272,10 @@ def apply_segment(
         return tensors, None
 
     keys = jax.random.split(key, n_hl)
+    # NOTE: this whole-segment scan program compiles on CPU but NOT on the
+    # tunneled TPU backend; run_digital therefore drives half-layers one
+    # dispatch at a time via make_half_layer_step (identical operation
+    # order). apply_segment remains as the single-program variant.
     if noisy:
         nb = (
             noise_bond_masks
@@ -290,6 +294,45 @@ def apply_segment(
         xs = (jnp.asarray(mats1q), jnp.asarray(bond_mats), keys)
     tensors, _ = jax.lax.scan(half_layer, tensors, xs)
     return tensors
+
+
+def make_half_layer_step(noise: CompiledNoise | None, cfg: TDVPConfig, noisy: bool):
+    """Batched single-half-layer program, ONE dispatch per half-layer.
+
+    run_digital drives segments half-layer by half-layer from the host: one
+    jitted program is compiled per run and reused for every half-layer/stage
+    with the same shapes, keeping per-dispatch program size bounded (the
+    tunneled TPU backend cannot lower a whole multi-half-layer segment in
+    one program) and device-resident batch state flowing between dispatches.
+    ``noise`` (host-numpy leaves, possibly with zero-sized channel tables)
+    rides as a trace-time CLOSURE — the analog-engine pattern — because
+    zero-sized arrays are not valid operands on the tunneled TPU platform.
+    Operation order matches :func:`apply_segment` exactly.
+    """
+
+    @jax.jit
+    def hl_step(tensors_b, ops1, bmats, nmask, nbmask, scope_h, keys):
+        def one(t, key):
+            t = jnp.einsum("iab,iblr->ialr", ops1.astype(t.dtype), t)
+            t = bond_sweep_ltr(t, bmats, cfg)
+            if noisy:
+                t, _ = normalize_canonical(t, method=cfg.canon_method)
+                t = _apply_scoped_noise(t, noise, nmask, nbmask, scope_h, key, cfg)
+            else:
+                t, _ = normalize_canonical(t, method=cfg.canon_method)
+            return t
+
+        return jax.vmap(one)(tensors_b, keys)
+
+    @jax.jit
+    def hl_step_noiseless(tensors_b, ops1, bmats, keys):
+        return hl_step(tensors_b, ops1, bmats, None, None, None, keys)
+
+    @jax.jit
+    def hl_step_nobond(tensors_b, ops1, bmats, nmask, scope_h, keys):
+        return hl_step(tensors_b, ops1, bmats, nmask, None, scope_h, keys)
+
+    return hl_step, hl_step_noiseless, hl_step_nobond
 
 
 @partial(jax.jit, static_argnames=("w0", "cfg", "noisy", "kind"))
@@ -520,6 +563,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     tensors_b = to_device(
         np.broadcast_to(np.asarray(tensors0)[None], (batch,) + tensors0.shape)
     )
+    hl_full, hl_noiseless, hl_nobond = make_half_layer_step(noise, cfg, noisy)
 
     eval_batch = jax.jit(jax.vmap(lambda t: evaluate_observables(t, observables)))
 
@@ -552,27 +596,34 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                         bond_mask,
                     )
                 )
+                tensors_b = stage_fn(tensors_b, keys)
             else:
                 scope, bond_masks = (
                     _channel_scope_masks(stage, noise)
                     if noise is not None
                     else (None, None)
                 )
-                stage_fn = jax.vmap(
-                    lambda t, k: apply_segment(
-                        t,
-                        stage.mats1q,
-                        stage.bond_mats,
-                        stage.noise_site_mask,
-                        noise,
-                        scope,
-                        k,
-                        cfg,
-                        noisy,
-                        bond_masks,
-                    )
-                )
-            tensors_b = stage_fn(tensors_b, keys)
+                n_hl = stage.mats1q.shape[0]
+                # same per-half-layer key derivation as apply_segment
+                hl_keys = jax.vmap(lambda k: jax.random.split(k, n_hl))(keys)
+                for h in range(n_hl):
+                    ops1_d = to_device(stage.mats1q[h])
+                    bmats_d = to_device(stage.bond_mats[h])
+                    if not noisy:
+                        tensors_b = hl_noiseless(
+                            tensors_b, ops1_d, bmats_d, hl_keys[:, h]
+                        )
+                    elif bond_masks is None:
+                        tensors_b = hl_nobond(
+                            tensors_b, ops1_d, bmats_d,
+                            stage.noise_site_mask[h], scope[h], hl_keys[:, h],
+                        )
+                    else:
+                        tensors_b = hl_full(
+                            tensors_b, ops1_d, bmats_d,
+                            stage.noise_site_mask[h], bond_masks[h], scope[h],
+                            hl_keys[:, h],
+                        )
             stage_idx += 1
         is_last = plan_idx == len(compiled_circ.segments) - 1
         if wants_obs and (sim_params.sample_layers or is_last):
