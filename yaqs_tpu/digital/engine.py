@@ -394,6 +394,89 @@ def apply_gate_stage(
     return tensors
 
 
+def make_gate_stage_steps(
+    noise: CompiledNoise | None,
+    cfg: TDVPConfig,
+    noisy: bool,
+    kind: str,
+    w0: int,
+    w: int,
+    win_mpo: np.ndarray,
+):
+    """Gate-stage pipeline as three bounded dispatches (TPU lowering limit).
+
+    The single-program :func:`apply_gate_stage` exceeds what the tunneled
+    TPU backend can lower (window 2TDVP at krylov 25 or an MPO zip-up plus
+    recanonicalization in one program); split into (1) center shift +
+    window extraction, (2) the window gate application, (3) write-back +
+    renormalization + gate-scoped noise.  Identical operation order.
+    """
+    import dataclasses
+
+    # per-stage closure constant: complex operands cannot be jit arguments
+    # on this platform
+    win_mpo_c = np.asarray(win_mpo)
+
+    @jax.jit
+    def shift_extract(tensors_b):
+        def one(t):
+            t = shift_center_right(t, w0)
+            return t, jax.lax.dynamic_slice_in_dim(t, w0, w, axis=0)
+
+        return jax.vmap(one)(tensors_b)
+
+    if kind == "window":
+        win_cfg = dataclasses.replace(cfg, krylov_dim=max(cfg.krylov_dim, 25))
+        sub = 1.0 / win_cfg.sweeps
+
+        @jax.jit
+        def window_op(window_b):
+            def one(win):
+                for _ in range(win_cfg.sweeps):
+                    win = sweep_2site(win, win_mpo_c, sub, win_cfg)
+                return win
+
+            return jax.vmap(one)(window_b)
+
+    else:
+
+        @jax.jit
+        def window_op(window_b):
+            def one(win):
+                return mpo_apply_mps_zipup(
+                    win_mpo_c,
+                    win,
+                    mode=cfg.trunc_mode,
+                    threshold=cfg.threshold,
+                    max_bond_dim=cfg.max_bond_dim,
+                    svd_method=cfg.svd_method,
+                    subspace_iters=cfg.subspace_iters,
+                )
+
+            return jax.vmap(one)(window_b)
+
+
+    @jax.jit
+    def finish(tensors_b, window_b, keys, site_mask, bond_mask, ch_mask):
+        def one(t, win, key):
+            t = jax.lax.dynamic_update_slice_in_dim(t, win, w0, axis=0)
+            t, _ = normalize_canonical(t, method=cfg.canon_method)
+            if noisy:
+                t = _apply_scoped_noise(
+                    t, noise, site_mask, bond_mask, ch_mask, key, cfg
+                )
+            return t
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(tensors_b, window_b, keys)
+
+    def run(tensors_b, keys, site_mask=None, bond_mask=None, ch_mask=None):
+        tensors_b, window_b = shift_extract(tensors_b)
+        window_b = window_op(window_b)
+        return finish(tensors_b, window_b, keys, site_mask, bond_mask, ch_mask)
+
+    return run
+
+
 def _channel_mask_for_scope(scope, noise: CompiledNoise) -> np.ndarray:
     """(nc1 + nc2,) activation: a channel is active when all its sites are
     inside the gate scope (reference create_local_noise_model subset rule).
@@ -581,22 +664,13 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                 site_mask, bond_mask, ch_mask = _gate_stage_noise_masks(
                     stage, length, noise
                 )
-                stage_fn = jax.vmap(
-                    lambda t, k: apply_gate_stage(
-                        t,
-                        stage.mpo,
-                        site_mask,
-                        ch_mask,
-                        noise,
-                        k,
-                        stage.w0,
-                        cfg,
-                        noisy,
-                        stage.kind,
-                        bond_mask,
-                    )
+                w = stage.mpo.shape[0]
+                run_stage = make_gate_stage_steps(
+                    noise, cfg, noisy, stage.kind, stage.w0, w, stage.mpo
                 )
-                tensors_b = stage_fn(tensors_b, keys)
+                tensors_b = run_stage(
+                    tensors_b, keys, site_mask, bond_mask, ch_mask
+                )
             else:
                 scope, bond_masks = (
                     _channel_scope_masks(stage, noise)
