@@ -203,3 +203,25 @@ def test_mps_measure_in_place():
     m = MPS(3, state="x+", chi=4)
     assert m.measure(1, "X", rng=rng) == 0
     np.testing.assert_allclose(abs(m.to_vec()[0]) ** 2, 1 / 8, atol=1e-10)
+
+
+def test_mps_measure_y_basis():
+    # a |+y> eigenstate measured in Y must deterministically yield 0 and the
+    # post-measurement state must stay |+y| on that site (the round-1 bug
+    # inverted the frame so Y measured X instead)
+    rng = np.random.default_rng(11)
+    plus_y = np.array([1.0, 1.0j], dtype=np.complex128) / np.sqrt(2)
+    minus_y = np.array([1.0, -1.0j], dtype=np.complex128) / np.sqrt(2)
+    prep_plus = np.column_stack([plus_y, minus_y])  # unitary, |0> -> |+y>
+    for _ in range(6):
+        m = MPS(3, state="zeros", chi=4)
+        m.apply_local(prep_plus, 1)
+        assert m.measure(1, "Y", rng=rng) == 0
+        # reduced state on site 1 is still |+y>: <Y> = +1
+        y = np.array([[0, -1j], [1j, 0]])
+        np.testing.assert_allclose(m.expect(y, 1), 1.0, atol=1e-10)
+    # |-y> must deterministically yield 1
+    m = MPS(3, state="zeros", chi=4)
+    u = np.column_stack([minus_y, plus_y])  # unitary sending |0> -> |-y>
+    m.apply_local(u, 1)
+    assert m.measure(1, "Y", rng=rng) == 1

@@ -196,7 +196,9 @@ class MPS:
             if self.d != 2:
                 msg = "X/Y measurements require qubits"
                 raise ValueError(msg)
-            self.apply_local(u.conj().T, site)  # rotate basis -> computational
+            # rows of u are the measurement-basis bras <b_k|, so applying u
+            # maps |b_k> -> |k>: measurement basis -> computational
+            self.apply_local(u, site)
         canon, _ = _normalize_j(self._j())
         envs = _left_envs_j(canon)
         probs = []
@@ -217,7 +219,7 @@ class MPS:
         out, _ = _normalize_j(out)
         self.tensors = fetch(out)
         if basis != "Z":
-            self.apply_local(u, site)  # rotate back
+            self.apply_local(u.conj().T, site)  # rotate back
         return outcome
 
     def project_onto_bitstring(self, bitstring: str) -> float:
