@@ -185,6 +185,72 @@ def main() -> None:
         )
         assert np.all(np.isfinite(np.asarray(fit.strengths)))
 
+    def chunked_analog():
+        # the chunked order-2 dispatch API (bounds per-dispatch work for long
+        # time grids): closure-staged operands, keys+device carry across the
+        # host boundary only
+        import jax.numpy as jnp
+
+        from yaqs_tpu.analog.tjm import (
+            TrajectoryPlan,
+            make_order2_chunked,
+            sample_key,
+            trajectory_key,
+        )
+        from yaqs_tpu.core import mps_ops
+        from yaqs_tpu.core.mpo_builders import ising_mpo
+        from yaqs_tpu.core.noise_model import compile_noise
+        from yaqs_tpu.core.observables import compile_observables
+        from yaqs_tpu.core.sim_params import Observable as Obs
+        from yaqs_tpu.methods.tdvp import TDVPConfig
+
+        Lc, chi = 6, 8
+        c64 = lambda t: jax.tree.map(
+            lambda x: x.astype(np.complex64) if np.iscomplexobj(x) else x, t
+        )
+        w = ising_mpo(Lc, 1.0, 0.5).astype(np.complex64)
+        t0 = mps_ops.named_product_state("x+", Lc, chi).astype(np.complex64)
+        cn = c64(compile_noise(
+            NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(Lc)]),
+            Lc, 2,
+        ))
+        obs = c64(compile_observables([Obs("z", i) for i in range(Lc)], Lc, 2))
+        plan = TrajectoryPlan(
+            dt=0.1, num_steps=4, order=2,
+            evolution=TDVPConfig(
+                krylov_dim=5, max_bond_dim=chi, svd_method="subspace",
+                subspace_qr="newton", canon_method="newton",
+                lanczos_reorth=False, subspace_iters=1,
+            ),
+        )
+        start, chunk = make_order2_chunked(t0, w, cn, obs, plan)
+        base = jax.random.PRNGKey(0)
+        idx = jnp.arange(4)
+        tks = jax.jit(jax.vmap(lambda i: trajectory_key(base, i)))(idx)
+        sks = jax.jit(jax.vmap(lambda i: sample_key(base, i)))(idx)
+        carry, cols01, _ = start(tks, sks)
+        carry, obs_a, _ = chunk(tks, sks, carry, 2, 5)
+        a = np.asarray(cols01)  # real-valued observable fetch
+        b = np.asarray(obs_a)
+        assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+        assert b.shape == (4, 3, Lc)
+
+    def mcwf_krylov():
+        # large-system MCWF path (dim > 4096 cutoff forced down): MPO-over-
+        # statevector H_eff + local jump factors + Arnoldi (complex BCOO
+        # matvecs are UNIMPLEMENTED on this platform — bisected 2026-08-17)
+        import yaqs_tpu.simulator as sim_mod
+
+        sim_mod._MCWF_MAX_PRECOMPUTE_DIM = 2
+        res = Simulator().run(
+            State(4, state="x+", representation="vector"),
+            Hamiltonian.ising(4, 1.0, 0.5),
+            AnalogSimParams(observables=[Observable("z", i) for i in range(4)],
+                            elapsed_time=0.2, dt=0.1, num_traj=2, random_seed=7),
+            NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(4)]),
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+
     def characterize_memory():
         from yaqs_tpu import MemoryCharacterizer
 
@@ -206,6 +272,8 @@ def main() -> None:
     check("equivalence checker", equivalence)
     check("noise characterization (CMA-ES)", characterize_noise)
     check("memory characterization (operational)", characterize_memory)
+    check("chunked order-2 dispatch", chunked_analog)
+    check("MCWF large-system (MPO H_eff + Arnoldi)", mcwf_krylov)
     if _ONE is not None:
         return
     if FAIL:

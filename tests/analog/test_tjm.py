@@ -233,10 +233,12 @@ def test_two_site_nonpauli_noise_vs_lindblad():
 
 
 def test_chunked_dispatch_matches_monolithic():
-    # tjm_order2_start + tjm_order2_chunk composition must reproduce the
+    # the make_order2_chunked start/chunk composition must reproduce the
     # monolithic tjm_trajectory scan exactly (chunking exists to keep TPU
-    # dispatches under the worker limit; it must not change physics).
-    from yaqs_tpu.analog.tjm import tjm_order2_chunk, tjm_order2_start
+    # dispatches under the worker limit; it must not change physics). The
+    # factory bakes all complex operands in as trace-time constants per the
+    # platform rules; keys are batched (always-vmap rule).
+    from yaqs_tpu.analog.tjm import make_order2_chunked
 
     L, chi, steps = 5, 8, 6
     w = ising_mpo(L, 1.0, 0.5)
@@ -251,14 +253,23 @@ def test_chunked_dispatch_matches_monolithic():
         evolution=TDVPConfig(krylov_dim=8, threshold=1e-10, max_bond_dim=chi),
     )
     base = jax.random.PRNGKey(13)
-    tk, sk = trajectory_key(base, 0), sample_key(base, 0)
+    idx = jnp.arange(2)
+    tks = jax.vmap(lambda i: trajectory_key(base, i))(idx)
+    sks = jax.vmap(lambda i: sample_key(base, i))(idx)
 
-    mono, _, final_mono = tjm_trajectory(tk, sk, t0, w, cn, obs, plan)
+    # vmap both sides: batching changes XLA op scheduling at the 1e-12 level,
+    # so bitwise equality only holds within the same batching regime
+    mono, _, final_mono = jax.vmap(
+        lambda tk, sk: tjm_trajectory(tk, sk, t0, w, cn, obs, plan)
+    )(tks, sks)
 
-    carry, cols01, _ = tjm_order2_start(tk, sk, t0, w, cn, obs, plan)
-    carry, obs_a, _ = tjm_order2_chunk(tk, sk, carry, w, cn, obs, plan, 2, 4)
-    carry, obs_b, _ = tjm_order2_chunk(tk, sk, carry, w, cn, obs, plan, 4, steps + 1)
-    cols = jnp.concatenate([cols01, obs_a, obs_b], axis=0).T  # (n_obs, T)
+    start, chunk = make_order2_chunked(t0, w, cn, obs, plan)
+    carry, cols01, _ = start(tks, sks)
+    carry, obs_a, _ = chunk(tks, sks, carry, 2, 4)
+    carry, obs_b, _ = chunk(tks, sks, carry, 4, steps + 1)
+    cols = jnp.concatenate([cols01, obs_a, obs_b], axis=1)  # (B, T, n_obs)
 
-    np.testing.assert_array_equal(np.asarray(mono), np.asarray(cols))
+    np.testing.assert_array_equal(
+        np.asarray(mono), np.transpose(np.asarray(cols), (0, 2, 1))
+    )
     np.testing.assert_array_equal(np.asarray(final_mono), np.asarray(carry[1]))

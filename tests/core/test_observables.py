@@ -102,3 +102,80 @@ def test_two_site_observable_mcwf_and_lindblad():
     )
     np.testing.assert_allclose(res_m.expectation_values, res_v.expectation_values, atol=1e-6)
     np.testing.assert_allclose(res_m.expectation_values, res_r.expectation_values, atol=1e-6)
+
+
+def dense_multi_site(m, sites, length):
+    """Independent dense embedding oracle for a k-site operator (matrix with
+    row/col multi-indices in the given site order; site axis significance via
+    tensordot into an identity, site 0 least significant)."""
+    k = len(sites)
+    dim = 2**length
+    t = np.asarray(m, dtype=complex).reshape([2] * (2 * k))
+    eye = np.eye(dim, dtype=complex).reshape([2] * length + [dim])
+    axes = [length - 1 - s for s in sites]
+    out = np.tensordot(t, eye, axes=(list(range(k, 2 * k)), axes))
+    remaining = [ax for ax in range(length) if ax not in axes]
+    current = axes + remaining + [length]
+    perm = [current.index(i) for i in range(length + 1)]
+    return out.transpose(perm).reshape(dim, dim)
+
+
+def test_three_site_observable_vs_dense():
+    """k>=3-site (non-adjacent, unsorted sites) observables — beyond the
+    reference's 2-site cap — must match the dense oracle on the TJM path."""
+    rng = np.random.default_rng(5)
+    L, dt, steps = 5, 0.05, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.7)
+    h = ham.ensure_matrix()
+    # random Hermitian 3-site operator on non-adjacent, unsorted sites
+    a = rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))
+    m3 = a + a.conj().T
+    sites3 = [3, 0, 4]
+    zzz = np.kron(np.kron(pauli_z, pauli_z), pauli_z)
+    obs = [
+        Observable(m3, sites3),
+        Observable(zzz, [1, 2, 3]),
+        Observable("z", 2),
+    ]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=dt * steps, dt=dt, max_bond_dim=8,
+        svd_threshold=1e-13, krylov_dim=20, order=2, random_seed=0,
+    )
+    res = Simulator().run(State(L, state="x+"), ham, params, None)
+    psi0 = State(L, state="x+").to_vector()
+    dense_ops = [
+        dense_multi_site(m3, sites3, L),
+        dense_multi_site(zzz, [1, 2, 3], L),
+        dense_multi_site(pauli_z, [2], L),
+    ]
+    for j in range(steps + 1):
+        psi_t = scipy.linalg.expm(-1j * h * dt * j) @ psi0
+        for r, o in enumerate(dense_ops):
+            np.testing.assert_allclose(
+                res.expectation_values[r, j],
+                np.real(np.vdot(psi_t, o @ psi_t)),
+                atol=1e-6,
+            )
+
+
+def test_three_site_observable_mcwf_and_lindblad():
+    """The vector (MCWF) and density-matrix (Lindblad) paths accept k=3-site
+    observables too (dense + sparse embedding via product_terms)."""
+    rng = np.random.default_rng(7)
+    L, dt = 3, 0.1
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    zzz = np.kron(np.kron(pauli_z, pauli_z), pauli_z)
+    obs = [Observable(zzz, [0, 1, 2])]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=dt, dt=dt, sample_timesteps=True
+    )
+    res_v = Simulator().run(State(L, representation="vector"), ham, params, None)
+    res_r = Simulator().run(State(L, representation="density_matrix"), ham, params, None)
+    h = ham.ensure_matrix()
+    psi0 = State(L).to_vector()
+    o = dense_multi_site(zzz, [0, 1, 2], L)
+    for j in range(2):
+        psi_t = scipy.linalg.expm(-1j * h * dt * j) @ psi0
+        want = np.real(np.vdot(psi_t, o @ psi_t))
+        np.testing.assert_allclose(res_v.expectation_values[0, j], want, atol=1e-8)
+        np.testing.assert_allclose(res_r.expectation_values[0, j], want, atol=1e-8)

@@ -45,7 +45,7 @@ def test_fast_path_knobs_thread_into_tdvp_config():
     assert cfg.lanczos_reorth is False
     assert cfg.subspace_qr == "newton"
     assert cfg.canon_method == "newton"
-    # defaults reproduce the reference-exact linear algebra
+    # defaults reproduce the reference-exact linear algebra on CPU/x64
     d = DigitalSimParams(observables=[Observable("z", 0)])
     assert d.fast_path_kwargs() == {
         "svd_method": "exact",
@@ -54,6 +54,35 @@ def test_fast_path_knobs_thread_into_tdvp_config():
         "subspace_qr": "householder",
         "canon_method": "qr",
     }
+
+
+def test_fast_path_auto_selects_validated_fast_config_on_tpu(monkeypatch):
+    """Pin the backend auto-selection (accuracy guard for VERDICT item 5):
+    a default-config run on TPU/complex64 must get the validated fast path
+    (8.4e-5 vs x64 golden, docs/tpu_numerics.md); explicit knobs still win."""
+    import jax
+
+    import yaqs_tpu.core.sim_params as sp
+
+    p = AnalogSimParams(observables=[Observable("z", 0)], elapsed_time=0.2, dt=0.1)
+    orig_read = jax.config.read
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        jax.config,
+        "read",
+        lambda name: False if name == "jax_enable_x64" else orig_read(name),
+    )
+    assert p.fast_path_kwargs() == sp._FAST_PATH_TPU
+    # user-set knobs are never overridden by the auto-selection
+    q = AnalogSimParams(
+        observables=[Observable("z", 0)], elapsed_time=0.2, dt=0.1,
+        svd_method="exact", canon_method="qr",
+    )
+    kw = q.fast_path_kwargs()
+    assert kw["svd_method"] == "exact"
+    assert kw["canon_method"] == "qr"
+    # unset knobs in the same params still resolve to the TPU defaults
+    assert kw["subspace_qr"] == "newton"
 
 
 def test_fast_path_validation():

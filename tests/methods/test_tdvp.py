@@ -199,3 +199,71 @@ def test_subspace_split_sweep_accuracy():
     psi0 = np.asarray(mps_ops.to_statevector(t0))
     expected = dense_evolve(h, psi0, dt * steps)
     assert fidelity(pf, expected) > 1 - 1e-7
+
+
+def test_dynamic_sweep_matches_dense_growth_phase():
+    """Dynamic mode on a bond-growth trajectory (product state, uncapped):
+    all bonds start unsaturated, so the sweep is pure 2-site and must track
+    the dense oracle like the 2-site integrator."""
+    from yaqs_tpu.methods.tdvp import sweep_dynamic
+
+    L, chi, dt, steps = 5, 8, 0.05, 4
+    w = ising_mpo(L, 1.0, 0.7)
+    h = mpo_to_matrix(w)
+    tensors = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(tensors))
+    cfg = TDVPConfig(
+        krylov_dim=25, threshold=1e-14, max_bond_dim=chi, mode="dynamic"
+    )
+    wj = jnp.asarray(w)
+    for _ in range(steps):
+        tensors = sweep_dynamic(tensors, wj, dt, cfg)
+        tensors, _ = mps_ops.normalize_canonical(tensors)
+    psi = np.asarray(mps_ops.to_statevector(tensors))
+    expected = dense_evolve(h, psi0, dt * steps)
+    np.testing.assert_allclose(psi, expected, atol=5e-5)
+
+
+def test_dynamic_sweep_saturated_uses_projector_update():
+    """At a saturating cap the dynamic rule must stay accurate and keep the
+    state normalized; the saturated branch (1-site projector update) is
+    exercised because chi_needed exceeds the cap after a few steps."""
+    from yaqs_tpu.methods.tdvp import sweep_dynamic
+
+    L, chi, dt, steps = 6, 4, 0.05, 6  # full rank would need chi=8
+    w = heisenberg_mpo(L, 0.4, 0.6, 1.0, h=0.3)
+    h = mpo_to_matrix(w)
+    tensors = jnp.asarray(mps_ops.named_product_state("Neel", L, chi))
+    psi0 = np.asarray(mps_ops.to_statevector(tensors))
+    cfg_dyn = TDVPConfig(
+        krylov_dim=25, threshold=1e-10, max_bond_dim=chi, mode="dynamic"
+    )
+    cfg_2s = TDVPConfig(krylov_dim=25, threshold=1e-10, max_bond_dim=chi)
+    t_dyn = t_2s = tensors
+    for _ in range(steps):
+        t_dyn = sweep_dynamic(t_dyn, jnp.asarray(w), dt, cfg_dyn)
+        t_dyn, _ = mps_ops.normalize_canonical(t_dyn)
+        t_2s = sweep_2site(t_2s, jnp.asarray(w), dt, cfg_2s)
+    psi_dyn = np.asarray(mps_ops.to_statevector(t_dyn))
+    psi_2s = np.asarray(mps_ops.to_statevector(t_2s))
+    expected = dense_evolve(h, psi0, dt * steps)
+    err_dyn = 1 - fidelity(psi_dyn, expected)
+    err_2s = 1 - fidelity(psi_2s, expected)
+    # the projector update at saturated bonds must not blow up the error
+    # relative to capped 2-site truncation (both are O(truncation))
+    assert err_dyn < 10 * max(err_2s, 1e-8), (err_dyn, err_2s)
+    np.testing.assert_allclose(np.vdot(psi_dyn, psi_dyn).real, 1.0, atol=1e-8)
+
+
+def test_dynamic_mode_via_tdvp_step_and_simulator_params():
+    """mode='dynamic' must thread through tdvp_step (reference tdvp_mode
+    semantics) and produce finite physical observables."""
+    L, chi = 4, 4
+    w = ising_mpo(L, 1.0, 0.5)
+    cfg = TDVPConfig(krylov_dim=10, threshold=1e-10, max_bond_dim=chi, mode="dynamic")
+    tensors = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    out = tdvp_step(tensors, jnp.asarray(w), 0.05, cfg)
+    h = mpo_to_matrix(w)
+    psi0 = np.asarray(mps_ops.to_statevector(tensors))
+    psi = np.asarray(mps_ops.to_statevector(out))
+    np.testing.assert_allclose(psi, dense_evolve(h, psi0, 0.05), atol=1e-6)

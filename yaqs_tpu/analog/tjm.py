@@ -36,8 +36,7 @@ from ..methods.tdvp import TDVPConfig, tdvp_step
 __all__ = [
     "TrajectoryPlan",
     "tjm_trajectory",
-    "tjm_order2_start",
-    "tjm_order2_chunk",
+    "make_order2_chunked",
     "trajectory_key",
     "sample_key",
 ]
@@ -84,9 +83,9 @@ def _diagnostics(tensors, threshold):
     """Effective bond dims from Schmidt spectra: (cost sum(chi_eff^3),
     max bond, total bond) — the reference's per-step diagnostics
     (MPS.record_diagnostics, mps.py:593-602) at fixed padded shape."""
-    from ..equivalence.checker import _bond_spectra
+    from ..core.mps_ops import bond_spectra
 
-    spectra, _ = _bond_spectra(tensors)  # (L-1, chi)
+    spectra, _ = bond_spectra(tensors)  # (L-1, chi)
     smax = jnp.maximum(spectra[:, :1], 1e-300)
     eff = jnp.maximum(jnp.sum(spectra > threshold * smax, axis=1), 1)
     efff = eff.astype(spectra.dtype)
@@ -215,57 +214,73 @@ def _order2_branches(smpl_key, traj_key, noise, observables, plan, evolve):
     return measure_branch, body
 
 
-@partial(jax.jit, static_argnames=("plan",))
-def tjm_order2_start(
-    traj_key, smpl_key, tensors0, mpo, noise, observables, plan: TrajectoryPlan
-):
-    """First dispatch of a chunked order-2 TJM trajectory.
+def make_order2_chunked(tensors0, mpo, noise, observables, plan: TrajectoryPlan):
+    """Closure factory for the chunked order-2 dispatch API.
 
-    Runs F0 (dissipate dt/2 + jump) and the first evolution, measuring
-    columns 0 and 1.  Returns ``(carry, cols01, diags01)`` where ``carry``
-    stays on device between dispatches (complex state never crosses the
-    host boundary) and ``cols01`` is ``(2, n_obs)``.  Chunking keeps each
-    TPU dispatch under the worker's ~50 s limit for long time grids.
+    Returns ``(start, chunk)``:
+
+    - ``start(traj_keys, smpl_keys) -> (carry, cols01, diags01)`` runs F0
+      (dissipate dt/2 + jump) and the first evolution for a BATCH of
+      trajectories (leading axis of the key arrays), measuring columns
+      0 and 1 (``cols01`` is ``(B, 2, n_obs)``).
+    - ``chunk(traj_keys, smpl_keys, carry, j0, j1) -> (carry, obs, diags)``
+      continues over output columns ``[j0, j1)`` (static bounds;
+      ``2 <= j0 < j1 <= plan.num_times``).  Chunk boundaries do not change
+      results: the composition of chunks is the same operation sequence as
+      the monolithic :func:`tjm_trajectory` scan.
+
+    Chunking keeps each TPU dispatch under the worker's ~50 s limit for long
+    time grids.  Platform rules (docs/tpu_numerics.md) are why this is a
+    factory: ``tensors0`` / ``mpo`` / ``noise`` / ``observables`` must be
+    host-numpy complex leaves baked in as trace-time CONSTANTS (host->device
+    complex jit operands and zero-sized channel tables are UNIMPLEMENTED on
+    the tunneled TPU), so only PRNG keys and the device-resident ``carry``
+    cross the dispatch boundary; both functions are vmapped because the
+    unbatched trajectory program does not lower on that platform.
     """
-    dt = plan.dt
     cfg = plan.evolution
+    dt = plan.dt
     evolve = _make_evolve(mpo, plan)
-    measure_branch, _ = _order2_branches(
-        smpl_key, traj_key, noise, observables, plan, evolve
-    )
 
-    obs0 = _evaluate(tensors0, observables)
-    diag0 = (
-        _diagnostics(tensors0, cfg.threshold)
-        if plan.record_diagnostics
-        else jnp.zeros((3,), tensors0.real.dtype)
-    )
-    phi = apply_dissipation(tensors0, noise, dt / 2, cfg)
-    phi, _ = stochastic_process(phi, noise, dt, jax.random.fold_in(traj_key, 0), cfg)
-    evolved = _renorm_center0(evolve(phi, dt))
-    obs1, diag1, psi1 = measure_branch(evolved, 1)
-    return (
-        (evolved, psi1),
-        jnp.stack([obs0, obs1], axis=0),
-        jnp.stack([diag0, diag1], axis=0),
-    )
+    def _start_one(traj_key, smpl_key):
+        t0 = jnp.asarray(tensors0)  # host-numpy closure -> trace-time constant
+        measure_branch, _ = _order2_branches(
+            smpl_key, traj_key, noise, observables, plan, evolve
+        )
+        obs0 = _evaluate(t0, observables)
+        diag0 = (
+            _diagnostics(t0, cfg.threshold)
+            if plan.record_diagnostics
+            else jnp.zeros((3,), t0.real.dtype)
+        )
+        phi = apply_dissipation(t0, noise, dt / 2, cfg)
+        phi, _ = stochastic_process(
+            phi, noise, dt, jax.random.fold_in(traj_key, 0), cfg
+        )
+        evolved = _renorm_center0(evolve(phi, dt))
+        obs1, diag1, psi1 = measure_branch(evolved, 1)
+        return (
+            (evolved, psi1),
+            jnp.stack([obs0, obs1], axis=0),
+            jnp.stack([diag0, diag1], axis=0),
+        )
 
+    start = jax.jit(jax.vmap(_start_one))
 
-@partial(jax.jit, static_argnames=("plan", "j0", "j1"))
-def tjm_order2_chunk(
-    traj_key, smpl_key, carry, mpo, noise, observables, plan: TrajectoryPlan, j0: int, j1: int
-):
-    """Continue a chunked order-2 trajectory over output columns ``[j0, j1)``.
+    def _chunk_one(traj_key, smpl_key, carry, j0, j1):
+        _, body = _order2_branches(
+            smpl_key, traj_key, noise, observables, plan, evolve
+        )
+        carry, (obs, diags) = jax.lax.scan(body, carry, jnp.arange(j0, j1))
+        return carry, obs, diags
 
-    ``carry`` comes from :func:`tjm_order2_start` (or a previous chunk);
-    requires ``2 <= j0 < j1 <= plan.num_times``.  Chunk boundaries do not
-    change results: the composition of chunks is the same operation sequence
-    as the monolithic :func:`tjm_trajectory` scan.
-    """
-    evolve = _make_evolve(mpo, plan)
-    _, body = _order2_branches(smpl_key, traj_key, noise, observables, plan, evolve)
-    carry, (obs, diags) = jax.lax.scan(body, carry, jnp.arange(j0, j1))
-    return carry, obs, diags
+    @partial(jax.jit, static_argnames=("j0", "j1"))
+    def chunk(traj_keys, smpl_keys, carry, j0: int, j1: int):
+        return jax.vmap(
+            lambda tk, sk, c: _chunk_one(tk, sk, c, j0, j1)
+        )(traj_keys, smpl_keys, carry)
+
+    return start, chunk
 
 
 def _make_evolve(mpo, plan: TrajectoryPlan):

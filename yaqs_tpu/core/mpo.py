@@ -323,17 +323,15 @@ class MPO:
         return float(overlap_abs * np.asarray(nrm) / (d ** (length / 2)))
 
     def operator_schmidt_spectrum(self, bond: int) -> np.ndarray:
-        from ..equivalence.checker import _bond_spectra
 
         canon, _ = self._normalized_doubled()
-        spectra, _ = jax.jit(_bond_spectra)(canon)
+        spectra, _ = jax.jit(mps_ops.bond_spectra)(canon)
         return np.asarray(spectra)[bond]
 
     def operator_entanglement_entropy(self, bond: int) -> float:
-        from ..equivalence.checker import _bond_spectra
 
         canon, _ = self._normalized_doubled()
-        _, ents = jax.jit(_bond_spectra)(canon)
+        _, ents = jax.jit(mps_ops.bond_spectra)(canon)
         return float(np.asarray(ents)[bond])
 
     def compress(self, threshold: float = 0.0, max_bond_dim: int | None = None) -> MPO:

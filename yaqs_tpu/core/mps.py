@@ -235,11 +235,9 @@ class MPS:
         return float(np.asarray(_bond_entropies_j(canon))[bond])
 
     def get_schmidt_spectrum(self, bond: int) -> np.ndarray:
-        from ..equivalence.checker import _bond_spectra
-
         def run(t):
             canon, _ = mps_ops.normalize_canonical(t)
-            spectra, _ = _bond_spectra(canon)
+            spectra, _ = mps_ops.bond_spectra(canon)
             return spectra
 
         return np.asarray(jax.jit(run)(self._j())[bond])

@@ -43,6 +43,7 @@ __all__ = [
     "apply_one_site_operator",
     "apply_operator_everywhere",
     "to_statevector",
+    "bond_spectra",
     "bond_entropies",
 ]
 
@@ -493,8 +494,9 @@ def statevector_to_mps(
     return tensors
 
 
-def bond_entropies(tensors: jnp.ndarray) -> jnp.ndarray:
-    """Von Neumann entanglement entropy at every internal bond, ``(L-1,)``.
+def bond_spectra(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Schmidt spectra ``(L-1, chi)`` and von Neumann entropies ``(L-1,)`` at
+    every internal bond.
 
     Assumes canonical form at site 0 with unit norm. Sweeps the center
     rightward via QR, computing the Schmidt spectrum at each bond by SVD of
@@ -512,8 +514,14 @@ def bond_entropies(tensors: jnp.ndarray) -> jnp.ndarray:
         p = s * s
         p = p / jnp.maximum(jnp.sum(p), eps)
         ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
-        return r, ent
+        return r, (s, ent)
 
     center0 = jnp.eye(chi, dtype=tensors.dtype)
-    _, ents = jax.lax.scan(step, center0, tensors[:-1])
+    _, (spectra, ents) = jax.lax.scan(step, center0, tensors[:-1])
+    return spectra, ents
+
+
+def bond_entropies(tensors: jnp.ndarray) -> jnp.ndarray:
+    """Von Neumann entanglement entropy at every internal bond, ``(L-1,)``."""
+    _, ents = bond_spectra(tensors)
     return ents

@@ -8,9 +8,11 @@ TPU design: observables compile host-side into :class:`CompiledObservables`,
 a pytree of term tables evaluated in a few shared scans:
 
 - one-site rows share a single left-Gram-environment scan (O(L chi^3));
-- two-site (possibly distant) observables are operator-Schmidt-decomposed
-  into product terms ``coeff * A_i (x) B_j`` evaluated by per-term transfer
-  scans (vmapped);
+- multi-site (k >= 2, possibly distant, arbitrary site order) observables are
+  MPO-decomposed by iterated operator-Schmidt SVDs into sums of products of
+  local factors ``coeff * A_{s1} B_{s2} ... K_{sk}`` evaluated by per-term
+  transfer scans (vmapped); the reference caps observables at two sites
+  (analog/utils.py:480-482) — this generalizes it;
 - entropy rows reuse the bond-entropy sweep;
 - PVM rows evaluate ``|<b|psi>|^2`` with a projector transfer scan.
 """
@@ -35,12 +37,11 @@ class CompiledObservables:
     ops1: np.ndarray  # (n1, d, d)
     sites1: np.ndarray  # (n1,)
     rows1: np.ndarray  # (n1,)
-    # two-site product terms
+    # multi-site product terms (K = max factor count; identity padding at
+    # site -1, which never matches a chain index)
     t_coeff: np.ndarray  # (nt,) real
-    t_site1: np.ndarray  # (nt,)
-    t_op1: np.ndarray  # (nt, d, d)
-    t_site2: np.ndarray  # (nt,)
-    t_op2: np.ndarray  # (nt, d, d)
+    t_sites: np.ndarray  # (nt, K)
+    t_ops: np.ndarray  # (nt, K, d, d)
     t_rows: np.ndarray  # (nt,)
     # entropy rows (bond index)
     e_bonds: np.ndarray  # (ne,)
@@ -59,10 +60,63 @@ class CompiledObservables:
         )
 
 
+def product_terms(m, sites, d0: int) -> list[list[tuple[int, np.ndarray]]]:
+    """Decompose a k-site operator into a sum of products of local factors.
+
+    ``m`` is the ``d0^k x d0^k`` matrix with row/column multi-indices ordered
+    as ``sites`` (arbitrary order, arbitrary gaps).  Iterated operator-Schmidt
+    SVDs build an operator-MPO over the ascending-site order; expanding its
+    bond indices yields at most ``(d0^2)^(k-1)`` product terms, each a list of
+    ``(site, (d0, d0) matrix)`` factors.  For k=2 this is exactly the
+    operator-Schmidt decomposition.  Generalizes the reference's two-site cap
+    (analog/utils.py:480-482).
+    """
+    k = len(sites)
+    m = np.asarray(m, dtype=np.complex128)
+    order = list(np.argsort(np.asarray(sites)))
+    sorted_sites = [int(sites[o]) for o in order]
+    if len(set(sorted_sites)) != k:
+        msg = f"observable sites must be distinct, got {sites!r}"
+        raise ValueError(msg)
+    t = m.reshape([d0] * (2 * k))
+    # axes: (out legs in given order, in legs in given order) -> per ascending
+    # site (out_i, in_i) pairs
+    perm = []
+    for o in order:
+        perm += [o, k + o]
+    t = t.transpose(perm)
+    # sequential SVD: cores W_i (r_prev, d0, d0, r_next)
+    cores = []
+    rest = t.reshape(1, -1)  # (r_prev * (d0 d0)^k-block row)
+    r_prev = 1
+    for i in range(k - 1):
+        mat = rest.reshape(r_prev * d0 * d0, -1)
+        u, s, vh = np.linalg.svd(mat, full_matrices=False)
+        keep = int(np.sum(s > 1e-14 * max(s[0], 1e-300))) or 1
+        cores.append((u[:, :keep] * s[:keep]).reshape(r_prev, d0, d0, keep))
+        rest = vh[:keep]
+        r_prev = keep
+    cores.append(rest.reshape(r_prev, d0, d0, 1))
+    # expand bond indices into explicit product terms
+    terms: list[list[tuple[int, np.ndarray]]] = []
+
+    def expand(i, b_prev, factors):
+        core = cores[i]
+        for b in range(core.shape[-1]):
+            fac = core[b_prev, :, :, b]
+            if i == k - 1:
+                terms.append(factors + [(sorted_sites[i], fac)])
+            else:
+                expand(i + 1, b, factors + [(sorted_sites[i], fac)])
+
+    expand(0, 0, [])
+    return terms
+
+
 def compile_observables(observables, length: int, d: int) -> CompiledObservables:
     """Compile sorted observables into term tables (host-side)."""
     ops1, sites1, rows1 = [], [], []
-    t_coeff, t_s1, t_o1, t_s2, t_o2, t_rows = [], [], [], [], [], []
+    t_coeff, t_sites, t_ops, t_rows = [], [], [], []
     e_bonds, e_rows = [], []
     pvm_bits, pvm_rows = [], []
 
@@ -93,30 +147,22 @@ def compile_observables(observables, length: int, d: int) -> CompiledObservables
             ops1.append(pad_op(obs.matrix))
             sites1.append(sites[0])
             rows1.append(row)
-        elif len(sites) == 2:
-            m = np.asarray(obs.matrix, dtype=np.complex128)
-            d0 = int(round(np.sqrt(m.shape[0])))
-            i, j = sites
-            if i > j:  # reorder so site1 < site2; swap matrix significance
-                m = m.reshape(d0, d0, d0, d0).transpose(1, 0, 3, 2).reshape(d0 * d0, d0 * d0)
-                i, j = j, i
-            # operator-Schmidt decomposition into product terms
-            t = m.reshape(d0, d0, d0, d0).transpose(0, 2, 1, 3).reshape(d0 * d0, d0 * d0)
-            u, s, vh = np.linalg.svd(t)
-            for kk in range(len(s)):
-                if s[kk] < 1e-14 * max(s[0], 1e-300):
-                    break
-                a = (u[:, kk] * s[kk]).reshape(d0, d0)
-                b = vh[kk].reshape(d0, d0)
-                t_coeff.append(1.0)
-                t_s1.append(i)
-                t_o1.append(pad_op(a))
-                t_s2.append(j)
-                t_o2.append(pad_op(b))
-                t_rows.append(row)
         else:
-            msg = f"observables on {len(sites)} sites are not supported"
-            raise NotImplementedError(msg)
+            m = np.asarray(obs.matrix, dtype=np.complex128)
+            d0 = int(round(m.shape[0] ** (1.0 / len(sites))))
+            for factors in product_terms(m, sites, d0):
+                t_coeff.append(1.0)
+                t_sites.append([s for s, _ in factors])
+                t_ops.append([pad_op(f) for _, f in factors])
+                t_rows.append(row)
+
+    # pad factor lists to the max count with identity at site -1
+    kmax = max((len(s) for s in t_sites), default=2)
+    eye = np.eye(d, dtype=np.complex128)
+    for s_list, o_list in zip(t_sites, t_ops):
+        while len(s_list) < kmax:
+            s_list.append(-1)
+            o_list.append(eye)
 
     def arr(x, dtype, shape_tail):
         if x:
@@ -128,10 +174,8 @@ def compile_observables(observables, length: int, d: int) -> CompiledObservables
         sites1=arr(sites1, np.int32, ()),
         rows1=arr(rows1, np.int32, ()),
         t_coeff=arr(t_coeff, np.float64, ()),
-        t_site1=arr(t_s1, np.int32, ()),
-        t_op1=arr(t_o1, np.complex128, (d, d)),
-        t_site2=arr(t_s2, np.int32, ()),
-        t_op2=arr(t_o2, np.complex128, (d, d)),
+        t_sites=arr(t_sites, np.int32, (kmax,)),
+        t_ops=arr(t_ops, np.complex128, (kmax, d, d)),
         t_rows=arr(t_rows, np.int32, ()),
         e_bonds=arr(e_bonds, np.int32, ()),
         e_rows=arr(e_rows, np.int32, ()),
@@ -142,26 +186,25 @@ def compile_observables(observables, length: int, d: int) -> CompiledObservables
 
 
 def _term_values(tensors, co: CompiledObservables):
-    """Two-site product terms via vmapped transfer scans."""
+    """Multi-site product terms via vmapped transfer scans."""
     length, d, chi, _ = tensors.shape
+    kmax = co.t_sites.shape[1]
 
-    def one_term(site1, op1, site2, op2):
+    def one_term(term_sites, term_ops):
         env0 = jnp.eye(chi, dtype=tensors.dtype)
 
         def step(env, xs):
             i, a = xs
-            op = jnp.where(
-                i == site1,
-                op1.astype(a.dtype),
-                jnp.where(i == site2, op2.astype(a.dtype), jnp.eye(d, dtype=a.dtype)),
-            )
+            op = jnp.eye(d, dtype=a.dtype)
+            for j in range(kmax):  # sites are distinct; at most one matches
+                op = jnp.where(term_sites[j] == i, term_ops[j].astype(a.dtype), op)
             ak = jnp.einsum("ab,blr->alr", op, a)
             return mps_ops.transfer_right(env, a, ak), None
 
         env, _ = jax.lax.scan(step, env0, (jnp.arange(length), tensors))
         return jnp.trace(env)
 
-    return jax.vmap(one_term)(co.t_site1, co.t_op1, co.t_site2, co.t_op2)
+    return jax.vmap(one_term)(co.t_sites, co.t_ops)
 
 
 def _pvm_values(tensors, co: CompiledObservables):

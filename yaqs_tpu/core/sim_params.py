@@ -122,47 +122,80 @@ def _sorted_observables(observables: list[Observable]) -> tuple[list[Observable]
     return [o for _, o in sorted_pairs], tuple(user_to_sorted)
 
 
+# Backend-resolved fast-path defaults. On TPU/complex64 the validated fast
+# configuration (8.4e-5 observable deviation vs the x64 golden at PREC=high,
+# docs/tpu_numerics.md) is the default — a default-config Simulator.run gets
+# the fast path without knob-setting (~3-4x TPU throughput).  On CPU/x64 the
+# exact linear algebra remains the default for 1e-8 reference parity.
+_FAST_PATH_TPU = {
+    "svd_method": "subspace",
+    "subspace_iters": 1,
+    "lanczos_reorth": False,
+    "subspace_qr": "newton",
+    "canon_method": "newton",
+}
+_FAST_PATH_EXACT = {
+    "svd_method": "exact",
+    "subspace_iters": 2,
+    "lanczos_reorth": True,
+    "subspace_qr": "householder",
+    "canon_method": "qr",
+}
+
+
+def resolve_fast_path_defaults(backend: str | None = None) -> dict:
+    """The auto-selected fast-path knob set for ``backend`` (default: the
+    process's jax backend): validated-fast on TPU complex64, exact otherwise."""
+    import jax
+
+    if backend is None:
+        backend = jax.default_backend()
+    use_fast = backend == "tpu" and not jax.config.read("jax_enable_x64")
+    return dict(_FAST_PATH_TPU if use_fast else _FAST_PATH_EXACT)
+
+
 class _BaseSimParams:
     def _store_fast_path(
         self,
-        svd_method: str = "exact",
-        subspace_iters: int = 2,
-        lanczos_reorth: bool = True,
-        subspace_qr: str = "householder",
-        canon_method: str = "qr",
+        svd_method: str | None = None,
+        subspace_iters: int | None = None,
+        lanczos_reorth: bool | None = None,
+        subspace_qr: str | None = None,
+        canon_method: str | None = None,
     ) -> None:
         """Store the TPU fast-path knobs (no reference counterpart).
 
-        Defaults reproduce the reference's exact linear algebra; the bench
-        configuration (``svd_method="subspace"``, ``subspace_iters=1``,
+        ``None`` (the default) means auto: resolved per backend at run time by
+        :func:`resolve_fast_path_defaults` — the validated fast configuration
+        (``svd_method="subspace"``, ``subspace_iters=1``,
         ``lanczos_reorth=False``, ``subspace_qr="newton"``,
-        ``canon_method="newton"``) trades ~1e-3 complex64 deviation for
-        ~3-4x TPU throughput (see benchmarks/accuracy_study.py).
+        ``canon_method="newton"``) on TPU/complex64, exact linear algebra on
+        CPU/x64.  Explicit values always win.
         """
-        if svd_method not in {"exact", "subspace"}:
+        if svd_method is not None and svd_method not in {"exact", "subspace"}:
             msg = f"svd_method must be 'exact' or 'subspace', got {svd_method!r}"
             raise ValueError(msg)
-        if subspace_qr not in {"householder", "cholesky", "newton"}:
+        if subspace_qr is not None and subspace_qr not in {"householder", "cholesky", "newton"}:
             msg = f"subspace_qr must be householder/cholesky/newton, got {subspace_qr!r}"
             raise ValueError(msg)
-        if canon_method not in {"qr", "newton"}:
+        if canon_method is not None and canon_method not in {"qr", "newton"}:
             msg = f"canon_method must be 'qr' or 'newton', got {canon_method!r}"
             raise ValueError(msg)
         self.svd_method = svd_method
-        self.subspace_iters = int(subspace_iters)
-        self.lanczos_reorth = bool(lanczos_reorth)
+        self.subspace_iters = None if subspace_iters is None else int(subspace_iters)
+        self.lanczos_reorth = None if lanczos_reorth is None else bool(lanczos_reorth)
         self.subspace_qr = subspace_qr
         self.canon_method = canon_method
 
     def fast_path_kwargs(self) -> dict:
-        """TDVPConfig kwargs for the stored fast-path knobs."""
-        return {
-            "svd_method": getattr(self, "svd_method", "exact"),
-            "subspace_iters": getattr(self, "subspace_iters", 2),
-            "lanczos_reorth": getattr(self, "lanczos_reorth", True),
-            "subspace_qr": getattr(self, "subspace_qr", "householder"),
-            "canon_method": getattr(self, "canon_method", "qr"),
-        }
+        """TDVPConfig kwargs for the stored fast-path knobs; ``None`` entries
+        resolve to the backend default (fast on TPU c64, exact otherwise)."""
+        auto = resolve_fast_path_defaults()
+        out = {}
+        for key, auto_val in auto.items():
+            user_val = getattr(self, key, None)
+            out[key] = auto_val if user_val is None else user_val
+        return out
 
     def _apply_preset(self, preset, num_traj, max_bond_dim, svd_threshold, krylov_dim):
         if preset not in SIMULATION_PRESETS:
@@ -211,11 +244,11 @@ class AnalogSimParams(_BaseSimParams):
         multi_time_observables=None,
         tdvp_sweeps: int = 1,
         tdvp_mode: str = "2site",
-        svd_method: str = "exact",
-        subspace_iters: int = 2,
-        lanczos_reorth: bool = True,
-        subspace_qr: str = "householder",
-        canon_method: str = "qr",
+        svd_method: str | None = None,
+        subspace_iters: int | None = None,
+        lanczos_reorth: bool | None = None,
+        subspace_qr: str | None = None,
+        canon_method: str | None = None,
     ) -> None:
         self.observables = list(observables or [])
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
@@ -269,11 +302,11 @@ class DigitalSimParams(_BaseSimParams):
         num_mid_measurements: int = 0,
         get_state: bool = False,
         random_seed: int | None = None,
-        svd_method: str = "exact",
-        subspace_iters: int = 2,
-        lanczos_reorth: bool = True,
-        subspace_qr: str = "householder",
-        canon_method: str = "qr",
+        svd_method: str | None = None,
+        subspace_iters: int | None = None,
+        lanczos_reorth: bool | None = None,
+        subspace_qr: str | None = None,
+        canon_method: str | None = None,
     ) -> None:
         self.observables = list(observables or [])
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)

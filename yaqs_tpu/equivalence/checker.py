@@ -262,7 +262,7 @@ class EquivalenceChecker:
         # doubled gates are unitary -> all norm decay is truncation loss
         kept_weight = float(np.exp(2.0 * min(log_norm, 0.0)))
 
-        spectra, entropies = jax.jit(_bond_spectra)(tensors)
+        spectra, entropies = jax.jit(mps_ops.bond_spectra)(tensors)
         return fid, np.asarray(spectra), np.asarray(entropies), kept_weight
 
 
@@ -297,26 +297,6 @@ def _apply_doubled_half_layer(tensors, mats1q, bond_mats, cfg: TDVPConfig):
     return tensors, nrm
 
 
-@jax.jit
-def _bond_spectra(tensors):
-    """Schmidt spectra (L-1, chi) and entropies (L-1,) at every cut of a
-    canonical-at-0 normalized (doubled) MPS."""
-    length, d, chi, _ = tensors.shape
-    eps = jnp.finfo(tensors.real.dtype).tiny
-
-    def step(center, a):
-        t = jnp.einsum("lm,smr->slr", center, a)
-        m = t.reshape(d * chi, chi)
-        q, r = jnp.linalg.qr(m)
-        s = jnp.linalg.svd(r, compute_uv=False)
-        p = s * s
-        p = p / jnp.maximum(jnp.sum(p), eps)
-        ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
-        return r, (s, ent)
-
-    center0 = jnp.eye(chi, dtype=tensors.dtype)
-    _, (spectra, ents) = jax.lax.scan(step, center0, tensors[:-1])
-    return spectra, ents
 
 
 def _dense_gate_matrix(op, length: int) -> np.ndarray:

@@ -41,6 +41,7 @@ __all__ = [
     "heff_bond",
     "sweep_2site",
     "sweep_1site",
+    "sweep_dynamic",
     "tdvp_step",
 ]
 
@@ -377,22 +378,186 @@ def sweep_1site(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> 
     return tensors
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def sweep_dynamic(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> jnp.ndarray:
+    """One dynamic TDVP sweep: 2-site updates while a bond's effective rank is
+    below the cap, the 1-site projector update at saturated bonds.
+
+    Reproduces the reference's ``sweep_dynamic`` rule (integrators.py:294-511)
+    at fixed padded shape: the reference keys the branch on the ragged bond
+    dimension reaching ``max_bond_dim``; here the per-bond effective rank is
+    read off the Schmidt spectra at sweep start (count above
+    ``threshold * s_max``, the diagnostics rule) and updated with each
+    split's keep count.  Branches are ``lax.cond`` (under ``vmap`` both
+    branches execute — dynamic mode trades that overhead for reference
+    semantics).  Each direction applies ``+dt/2`` per site; expects and
+    returns canonical-at-0.
+    """
+    length, d, chi, _ = tensors.shape
+    dw = mpo.shape[-1]
+    if length < 2:
+        msg = "dynamic TDVP requires length >= 2"
+        raise ValueError(msg)
+    cap = chi if cfg.max_bond_dim is None else min(cfg.max_bond_dim, chi)
+    half = -0.5j * dt
+    kdim = cfg.krylov_dim
+
+    from ..core.mps_ops import bond_spectra
+
+    spectra, _ = bond_spectra(tensors)  # (L-1, chi); state normalized at 0
+    smax = jnp.maximum(spectra[:, :1], jnp.finfo(spectra.dtype).tiny)
+    rank = jnp.maximum(jnp.sum(spectra > cfg.threshold * smax, axis=1), 1)
+    rank = rank.astype(jnp.int32)
+
+    r_envs = right_environments(tensors, mpo)
+    f0 = left_boundary(chi, dw, tensors.dtype)
+    w12_all = jax.vmap(merge_mpo_pair)(mpo[:-1], mpo[1:])
+    wm_all = jax.vmap(merge_mpo_site)(mpo)
+
+    def evolve_theta(f, w12, g, theta, coeff):
+        mv = lambda th: heff_two_site_merged(f, w12, g, th)
+        return lanczos_expm_apply(mv, theta, coeff, k=kdim, reorthogonalize=cfg.lanczos_reorth)
+
+    def evolve_site(f, wm, g, a, coeff):
+        mv = lambda x: heff_one_site_merged(f, wm, g, x)
+        return lanczos_expm_apply(mv, a, coeff, k=kdim, reorthogonalize=cfg.lanczos_reorth)
+
+    def evolve_bond(f, g, c, coeff):
+        return lanczos_expm_apply(lambda x: heff_bond(f, g, x), c, coeff, k=kdim)
+
+    # ---- L→R ------------------------------------------------------------
+    def ltr_sat(tensors, f, i):
+        """Saturated bond (i, i+1): 1-site +dt/2, QR shift, bond -dt/2."""
+        a = evolve_site(f, wm_all[i], r_envs[i + 1], tensors[i], half)
+        q, r = jnp.linalg.qr(a.reshape(d * chi, chi))
+        q = q.reshape(d, chi, chi)
+        f_next = update_left_env(f, q, q, mpo[i])
+        r = evolve_bond(f_next, r_envs[i + 1], r, -half)
+        b = jnp.einsum("lm,smr->slr", r, tensors[i + 1])
+        return tensors.at[i].set(q).at[i + 1].set(b), f_next
+
+    def ltr_grow(tensors, f, i, back_evolve: bool):
+        """Unsaturated: 2-site +dt/2, split right (grows the rank), optional
+        site back-evolution (skipped at the final L→R bond)."""
+        theta = merge_two_site(tensors[i], tensors[i + 1])
+        theta = evolve_theta(f, w12_all[i], r_envs[i + 2], theta, half)
+        a_new, b_new, _, keep = _split_cfg(theta, chi, cfg, "right")
+        f_next = update_left_env(f, a_new, a_new, mpo[i])
+        if back_evolve:
+            b_new = evolve_site(f_next, wm_all[i + 1], r_envs[i + 2], b_new, -half)
+        return tensors.at[i].set(a_new).at[i + 1].set(b_new), f_next, keep
+
+    def ltr_body(carry, i):
+        tensors, f, rank = carry
+        def sat(args):
+            t, fc, rk = args
+            t2, f2 = ltr_sat(t, fc, i)
+            return t2, f2, rk
+        def grow(args):
+            t, fc, rk = args
+            t2, f2, keep = ltr_grow(t, fc, i, back_evolve=True)
+            return t2, f2, rk.at[i].set(jnp.minimum(keep, cap).astype(rk.dtype))
+        tensors, f, rank = jax.lax.cond(rank[i] >= cap, sat, grow, (tensors, f, rank))
+        return (tensors, f, rank), f
+
+    if length > 2:
+        (tensors, f_last, rank), f_tail = jax.lax.scan(
+            ltr_body, (tensors, f0, rank), jnp.arange(length - 2)
+        )
+        f_all = jnp.concatenate([f0[None], f_tail], axis=0)  # F[i], i=0..L-2
+    else:
+        f_last = f0
+        f_all = f0[None]
+
+    # final L→R bond (i = L-2): the 2-site branch skips back-evolution
+    i_last = length - 2
+    def last_sat(args):
+        t, rk = args
+        t2, _ = ltr_sat(t, f_last, i_last)
+        return t2, rk
+    def last_grow(args):
+        t, rk = args
+        t2, _, keep = ltr_grow(t, f_last, i_last, back_evolve=False)
+        return t2, rk.at[i_last].set(jnp.minimum(keep, cap).astype(rk.dtype))
+    tensors, rank = jax.lax.cond(
+        rank[i_last] >= cap, last_sat, last_grow, (tensors, rank)
+    )
+
+    # ---- R→L ------------------------------------------------------------
+    g0 = right_boundary(chi, dw, tensors.dtype)
+
+    def rtl_sat(tensors, g, i):
+        """Saturated bond (i-1, i): 1-site +dt/2, LQ shift, bond -dt/2."""
+        a = evolve_site(f_all[i], wm_all[i], g, tensors[i], half)
+        m = jnp.transpose(a, (1, 0, 2)).reshape(chi, d * chi)
+        qh, rh = jnp.linalg.qr(m.conj().T)
+        q = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
+        lmat = rh.conj().T
+        g_next = update_right_env(g, q, q, mpo[i])
+        c = evolve_bond(f_all[i], g_next, lmat, -half)
+        a_prev = jnp.einsum("slr,rm->slm", tensors[i - 1], c)
+        return tensors.at[i].set(q).at[i - 1].set(a_prev), g_next
+
+    def rtl_grow(tensors, g, i, back_evolve: bool):
+        theta = merge_two_site(tensors[i - 1], tensors[i])
+        theta = evolve_theta(f_all[i - 1], w12_all[i - 1], g, theta, half)
+        a_new, b_new, _, keep = _split_cfg(theta, chi, cfg, "left")
+        g_next = update_right_env(g, b_new, b_new, mpo[i])
+        if back_evolve:
+            a_new = evolve_site(f_all[i - 1], wm_all[i - 1], g_next, a_new, -half)
+        return tensors.at[i - 1].set(a_new).at[i].set(b_new), g_next, keep
+
+    def rtl_body(carry, i):
+        tensors, g, rank = carry
+        def sat(args):
+            t, gc, rk = args
+            t2, g2 = rtl_sat(t, gc, i)
+            return t2, g2, rk
+        def grow(args):
+            t, gc, rk = args
+            t2, g2, keep = rtl_grow(t, gc, i, back_evolve=True)
+            return t2, g2, rk.at[i - 1].set(jnp.minimum(keep, cap).astype(rk.dtype))
+        tensors, g, rank = jax.lax.cond(rank[i - 1] >= cap, sat, grow, (tensors, g, rank))
+        return (tensors, g, rank), None
+
+    if length > 2:
+        (tensors, g, rank), _ = jax.lax.scan(
+            rtl_body, (tensors, g0, rank), jnp.arange(length - 1, 1, -1)
+        )
+    else:
+        g = g0
+
+    # final R→L bond (i = 1): the 2-site branch skips back-evolution
+    def rtl1_sat(t):
+        t2, _ = rtl_sat(t, g, 1)
+        return t2
+    def rtl1_grow(t):
+        t2, _, _ = rtl_grow(t, g, 1, back_evolve=False)
+        return t2
+    tensors = jax.lax.cond(rank[0] >= cap, rtl1_sat, rtl1_grow, tensors)
+    return tensors
+
+
 def tdvp_step(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> jnp.ndarray:
     """One full evolution step ``exp(-i H dt)`` with the configured mode/substeps.
 
     Reference entry semantics (tdvp.py:69-142): ``sweeps`` equal substeps of
-    ``dt/sweeps``; 2-site falls back to 1-site for single-site chains.
+    ``dt/sweeps``; 2-site falls back to 1-site for single-site chains;
+    ``dynamic`` grows bonds 2-site and switches to the 1-site projector
+    update at saturated bonds (integrators.py:294-511).
     """
     length = tensors.shape[0]
     mode = cfg.mode
-    if mode == "dynamic":
-        # the reference's dynamic sweep grows bonds 2-site until the cap and
-        # switches to 1-site at saturated bonds (integrators.py:294); at fixed
-        # padded chi the capped 2-site sweep realizes the same policy.
-        mode = "2site"
+    if mode == "dynamic" and length == 1:
+        mode = "1site"
     if mode == "2site" and length == 1:
         mode = "1site"
-    sweep = sweep_2site if mode == "2site" else sweep_1site
+    if mode == "dynamic":
+        sweep = sweep_dynamic
+    elif mode == "2site":
+        sweep = sweep_2site
+    else:
+        sweep = sweep_1site
     sub_dt = dt / cfg.sweeps
     for _ in range(cfg.sweeps):
         tensors = sweep(tensors, mpo, sub_dt, cfg)

@@ -28,9 +28,9 @@ from .analog.lindblad import (
 )
 from .analog.mcwf import (
     make_mcwf_context,
-    make_mcwf_krylov_context,
+    make_mcwf_local_context,
     mcwf_trajectory,
-    mcwf_trajectory_krylov,
+    mcwf_trajectory_local,
 )
 from .analog.tjm import TrajectoryPlan, sample_key, tjm_trajectory, trajectory_key
 from .methods.scheduled_jumps import compile_scheduled_jumps
@@ -190,29 +190,64 @@ class Simulator:
                 raise NotImplementedError(msg)
             elif len(sites) == 1:
                 out.append(_embed_one_site_sparse(obs.matrix, sites[0], length, d))
-            elif len(sites) == 2:
-                m = np.asarray(obs.matrix)
-                i, j = sites
-                if i > j:
-                    m = m.reshape(d, d, d, d).transpose(1, 0, 3, 2).reshape(d * d, d * d)
-                    i, j = j, i
-                t = m.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
-                u, sv, vh = np.linalg.svd(t)
+            else:
+                from .core.observables import product_terms
+
                 acc = None
-                for kk in range(len(sv)):
-                    if sv[kk] < 1e-14:
-                        break
-                    a = (u[:, kk] * sv[kk]).reshape(d, d)
-                    b = vh[kk].reshape(d, d)
-                    term = _embed_one_site_sparse(a, i, length, d) @ _embed_one_site_sparse(
-                        b, j, length, d
-                    )
+                for factors in product_terms(obs.matrix, sites, d):
+                    term = None
+                    for s, m in factors:
+                        emb = _embed_one_site_sparse(m, s, length, d)
+                        term = emb if term is None else term @ emb
                     acc = term if acc is None else acc + term
                 out.append(acc)
-            else:
-                msg = f"observables on {len(sites)} sites are not supported"
-                raise NotImplementedError(msg)
         return out
+
+    @staticmethod
+    def _local_jump_channels(noise_model):
+        """Jump channels as lists of local ``(site, matrix)`` factors with
+        ``sqrt(gamma)`` folded in (large-system MCWF path)."""
+        channels = []
+        if noise_model is None:
+            return channels
+        for proc in noise_model.processes:
+            gamma = float(proc["strength"])
+            if gamma == 0.0:
+                continue
+            sites = proc["sites"]
+            root = np.sqrt(gamma)
+            if len(sites) == 1:
+                channels.append([(sites[0], root * np.asarray(proc["matrix"]))])
+            elif "factors" in proc:
+                f0, f1 = proc["factors"]
+                channels.append(
+                    [(sites[0], root * np.asarray(f0)), (sites[1], np.asarray(f1))]
+                )
+            else:
+                msg = "two-site matrix processes need factored embedding"
+                raise NotImplementedError(msg)
+        return channels
+
+    @staticmethod
+    def _local_obs_rows(sim_params, d):
+        """Observables as sums of local-factor products (large-system MCWF):
+        ``("terms", [[(site, mat), ...], ...])`` rows or ``("pvm", index)``."""
+        rows = []
+        for obs in sim_params.sorted_observables:
+            sites = obs.site_list
+            if obs.name == "pvm":
+                idx = sum(int(b) * d**i for i, b in enumerate(obs.bitstring))
+                rows.append(("pvm", idx))
+            elif obs.name in {"entropy", "schmidt_spectrum"}:
+                msg = "entropy observables require the MPS representation"
+                raise NotImplementedError(msg)
+            elif len(sites) == 1:
+                rows.append(("terms", [[(sites[0], np.asarray(obs.matrix))]]))
+            else:
+                from .core.observables import product_terms
+
+                rows.append(("terms", product_terms(obs.matrix, sites, d)))
+        return rows
 
     @staticmethod
     def _dense_observables(sim_params, length, d):
@@ -234,28 +269,13 @@ class Simulator:
                 raise NotImplementedError(msg)
             elif len(sites) == 1:
                 out.append(embed_one_site(obs.matrix, sites[0], length, d))
-            elif len(sites) == 2:
-                m = np.asarray(obs.matrix)
-                i, j = sites
-                if i > j:
-                    m = (
-                        m.reshape(d, d, d, d).transpose(1, 0, 3, 2).reshape(d * d, d * d)
-                    )
-                    i, j = j, i
-                # operator-Schmidt into one-site factors, embed each term
-                t = m.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
-                u, sv, vh = np.linalg.svd(t)
-                dense = np.zeros((d**length, d**length), dtype=np.complex128)
-                for kk in range(len(sv)):
-                    if sv[kk] < 1e-14:
-                        break
-                    a = (u[:, kk] * sv[kk]).reshape(d, d)
-                    b = vh[kk].reshape(d, d)
-                    dense += embed_operator({i: a, j: b}, length, d)
-                out.append(dense)
             else:
-                msg = f"observables on {len(sites)} sites are not supported"
-                raise NotImplementedError(msg)
+                from .core.observables import product_terms
+
+                dense = np.zeros((d**length, d**length), dtype=np.complex128)
+                for factors in product_terms(obs.matrix, sites, d):
+                    dense += embed_operator(dict(factors), length, d)
+                out.append(dense)
         return out
 
     @staticmethod
@@ -389,30 +409,60 @@ class Simulator:
     def _run_analog_mcwf(self, initial_state, ham, sim_params, noise) -> Result:
         length = initial_state.length
         d = initial_state.d
-        h = ham.ensure_matrix()
+        dim = d**length
         psi0 = initial_state.to_vector()
-        obs_dense = self._dense_observables(sim_params, length, d)
-        # embedded operators already carry sqrt(gamma); unit rates then give
-        # the correct H_eff and jump weights
-        jumps = noise_model_jump_ops(noise, length, d)
-        ctx = make_mcwf_context(
-            h,
-            jumps,
-            [1.0] * len(jumps),
-            obs_dense if obs_dense else [np.eye(d**length)],
-            sim_params.dt,
-        )
-        num_traj = sim_params.num_traj if jumps else 1
+        if dim > _MCWF_MAX_PRECOMPUTE_DIM:
+            # dense exp(-i dt H_eff) no longer fits: per-step Arnoldi with the
+            # Hamiltonian applied as an MPO over the reshaped statevector and
+            # local jump/observable factors (reference cutoff analog/
+            # mcwf.py:49-51; sparse BCOO matvecs are UNIMPLEMENTED on the
+            # tunneled TPU, so the local-term path replaces the reference's
+            # scipy-sparse Krylov loop)
+            channels = self._local_jump_channels(noise)
+            obs_rows = self._local_obs_rows(sim_params, d)
+            have_obs = bool(obs_rows)
+            ctx = make_mcwf_local_context(
+                ham.ensure_mpo(),
+                channels,
+                obs_rows,
+                sim_params.dt,
+                krylov_dim=min(25, dim),
+            )
+            have_noise = bool(channels)
+
+            def traj_obs(tk, sk):
+                del sk
+                return mcwf_trajectory_local(
+                    tk, jnp.asarray(psi0), ctx, sim_params.num_steps
+                )
+        else:
+            h = ham.ensure_matrix()
+            obs_dense = self._dense_observables(sim_params, length, d)
+            have_obs = bool(obs_dense)
+            # embedded operators already carry sqrt(gamma); unit rates then
+            # give the correct H_eff and jump weights
+            jumps = noise_model_jump_ops(noise, length, d)
+            ctx = make_mcwf_context(
+                h,
+                jumps,
+                [1.0] * len(jumps),
+                obs_dense if have_obs else [np.eye(dim)],
+                sim_params.dt,
+            )
+            have_noise = bool(jumps)
+
+            def traj_obs(tk, sk):
+                del sk
+                return mcwf_trajectory(tk, jnp.asarray(psi0), ctx, sim_params.num_steps)
+
+        num_traj = sim_params.num_traj if have_noise else 1
         seed = sim_params.random_seed if sim_params.random_seed is not None else 0
         base_key = jax.random.PRNGKey(seed)
-        def traj_obs(tk, sk):
-            del sk
-            return mcwf_trajectory(tk, jnp.asarray(psi0), ctx, sim_params.num_steps)
 
         per_traj = run_ensemble(
             traj_obs, num_traj, base_key, (trajectory_key, sample_key), self._execution
         )
-        if not obs_dense:
+        if not have_obs:
             per_traj = per_traj[:, :0, :]
         mean_sorted = per_traj.mean(axis=0)
         if not sim_params.sample_timesteps:
@@ -427,28 +477,51 @@ class Simulator:
         )
 
     def _run_analog_lindblad(self, initial_state, ham, sim_params, noise) -> Result:
+        from .analog.lindblad import (
+            MAX_PROPAGATOR_VEC_DIM,
+            RECOMMENDED_MAX_QUBITS,
+            build_liouvillian,
+            build_liouvillian_sparse,
+            lindblad_rk4_expectations,
+        )
+
         length = initial_state.length
         d = initial_state.d
-        h = ham.ensure_matrix()
+        dim = d**length
         rho0 = initial_state.to_density_matrix()
-        obs_dense = self._dense_observables(sim_params, length, d)
-        jumps = noise_model_jump_ops(noise, length, d)
-        # evolve rho directly (pure-state helper generalized inline)
-        import scipy.linalg
+        if length > RECOMMENDED_MAX_QUBITS:
+            warnings.warn(
+                f"Density-matrix evolution is exponential in system size; "
+                f"N={length} exceeds the recommended maximum of "
+                f"{RECOMMENDED_MAX_QUBITS} (reference lindblad.py:96-99)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        if dim * dim > MAX_PROPAGATOR_VEC_DIM:
+            # vec(rho) too large for the dense expm(L dt) propagator: sparse
+            # fixed-grid RK4 ODE path (reference lindblad.py:343-375)
+            obs_sparse = self._sparse_observables(sim_params, length, d)
+            jumps_sp = noise_model_jump_ops_sparse(noise, length, d)
+            liou = build_liouvillian_sparse(ham.ensure_sparse(), jumps_sp)
+            vals = lindblad_rk4_expectations(
+                liou, rho0.reshape(-1), obs_sparse, sim_params.dt, sim_params.num_steps
+            )
+        else:
+            import scipy.linalg
 
-        from .analog.lindblad import build_liouvillian
-
-        dim = h.shape[0]
-        liou = build_liouvillian(h, jumps)
-        prop = scipy.linalg.expm(liou * sim_params.dt)
-        vec = rho0.reshape(-1)
-        cols = []
-        for j in range(sim_params.num_steps + 1):
-            if j > 0:
-                vec = prop @ vec
-            rho = vec.reshape(dim, dim)
-            cols.append([np.real(np.trace(o @ rho)) for o in obs_dense])
-        vals = np.asarray(cols).T  # (n_obs, T)
+            h = ham.ensure_matrix()
+            obs_dense = self._dense_observables(sim_params, length, d)
+            jumps = noise_model_jump_ops(noise, length, d)
+            liou = build_liouvillian(h, jumps)
+            prop = scipy.linalg.expm(liou * sim_params.dt)
+            vec = rho0.reshape(-1)
+            cols = []
+            for j in range(sim_params.num_steps + 1):
+                if j > 0:
+                    vec = prop @ vec
+                rho = vec.reshape(dim, dim)
+                cols.append([np.real(np.trace(o @ rho)) for o in obs_dense])
+            vals = np.asarray(cols).T  # (n_obs, T)
         if not sim_params.sample_timesteps:
             vals = vals[:, -1:]
         return Result(
