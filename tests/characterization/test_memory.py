@@ -55,9 +55,8 @@ def test_process_tensor_matches_exact_backend():
     rng = np.random.default_rng(1)
     for _ in range(4):
         seq = [sample_intervention(rng) for _ in range(k)]
-        meas = np.stack([iv.meas for iv in seq])[None]
-        prep = np.stack([iv.prep for iv in seq])[None]
-        direct = backend.evaluate_sequences(meas, prep)[0]
+        kraus = np.stack([iv.kraus for iv in seq])[None]
+        direct = backend.evaluate_kraus_sequences(kraus)[0]
         via_pt = pt.evaluate_probe(seq)
         np.testing.assert_allclose(via_pt, direct, atol=1e-10)
 
@@ -123,9 +122,8 @@ def test_noisy_backend_runs():
     backend = ExactBackend(ham, 0.3, nm)
     rng = np.random.default_rng(2)
     seq = [sample_intervention(rng) for _ in range(2)]
-    meas = np.stack([iv.meas for iv in seq])[None]
-    prep = np.stack([iv.prep for iv in seq])[None]
-    rho = backend.evaluate_sequences(meas, prep)[0]
+    kraus = np.stack([iv.kraus for iv in seq])[None]
+    rho = backend.evaluate_kraus_sequences(kraus)[0]
     w = np.real(np.trace(rho))
     assert 0 < w <= 1 + 1e-9
     np.testing.assert_allclose(rho, rho.conj().T, atol=1e-10)
@@ -175,9 +173,8 @@ def test_mpo_process_tensor_deep_and_truncated():
     rng = np.random.default_rng(5)
     for _ in range(3):
         seq = [sample_intervention(rng) for _ in range(k)]
-        meas = np.stack([iv.meas for iv in seq])[None]
-        prep = np.stack([iv.prep for iv in seq])[None]
-        direct = backend.evaluate_sequences(meas, prep)[0]
+        kraus = np.stack([iv.kraus for iv in seq])[None]
+        direct = backend.evaluate_kraus_sequences(kraus)[0]
         np.testing.assert_allclose(mpo.evaluate_probe(seq), direct, atol=1e-8)
 
 
@@ -229,7 +226,8 @@ def test_mps_backend_matches_exact_noiseless():
     prep = rng.normal(size=(batch, k, 2)) + 1j * rng.normal(size=(batch, k, 2))
     prep /= np.linalg.norm(prep, axis=-1, keepdims=True)
 
-    exact = ExactBackend(ham, tau).evaluate_sequences(meas, prep)
+    kraus = np.einsum("bks,bkt->bkst", prep, meas.conj())
+    exact = ExactBackend(ham, tau).evaluate_kraus_sequences(kraus)
     mps = MPSBackend(ham, tau, chi=16, dt=0.05, krylov_dim=20).evaluate_sequences(
         meas, prep
     )
@@ -250,10 +248,11 @@ def test_mps_backend_noisy_matches_lindblad():
     prep = rng.normal(size=(2, k, 2)) + 1j * rng.normal(size=(2, k, 2))
     prep /= np.linalg.norm(prep, axis=-1, keepdims=True)
 
-    exact = ExactBackend(ham, tau, nm).evaluate_sequences(meas, prep)
+    kraus = np.einsum("bks,bkt->bkst", prep, meas.conj())
+    exact = ExactBackend(ham, tau, nm).evaluate_kraus_sequences(kraus)
     mps = MPSBackend(
         ham, tau, nm, chi=8, dt=0.05, num_traj=300, seed=11
-    ).evaluate_sequences(meas, prep)
+    ).evaluate_kraus_sequences(kraus)
     np.testing.assert_allclose(mps, exact, atol=0.08)
 
 
@@ -269,5 +268,101 @@ def test_mps_backend_long_chain_via_characterizer():
         backend="mps",
         backend_options={"chi": 8, "dt": 0.1},
         seed=0,
+    )
+    assert np.isfinite(res.entropy)
+
+
+# ---------------------------------------------------------------------------
+# Intervention styles (haar / clifford unitaries, measure_prepare)
+# ---------------------------------------------------------------------------
+
+
+def test_clifford_group_enumeration():
+    """24 distinct phase-canonical elements, unitary, closed under product
+    (reference shared/interventions.py:182-240)."""
+    from yaqs_tpu.characterization.memory.interventions import (
+        enumerate_clifford_unitaries,
+    )
+
+    elems = enumerate_clifford_unitaries()
+    assert len(elems) == 24
+    eye = np.eye(2)
+    for u in elems:
+        np.testing.assert_allclose(u @ u.conj().T, eye, atol=1e-12)
+
+    def canon(u):
+        flat = u.reshape(-1)
+        ref = flat[int(np.flatnonzero(np.abs(flat) > 1e-9)[0])]
+        return u * np.exp(-1j * np.angle(ref))
+
+    # closure: every pairwise product is again in the group (mod phase)
+    for a in elems[:6]:
+        for b in elems[:6]:
+            c = canon(a @ b)
+            assert any(np.allclose(c, w, atol=1e-10) for w in elems)
+
+
+def test_intervention_styles_sample_expected_types():
+    from yaqs_tpu.characterization.memory.interventions import (
+        MPIntervention,
+        UnitaryIntervention,
+        enumerate_clifford_unitaries,
+        sample_intervention,
+    )
+
+    rng = np.random.default_rng(0)
+    cliffords = enumerate_clifford_unitaries()
+    for _ in range(8):
+        iv = sample_intervention(rng, "clifford")
+        assert isinstance(iv, UnitaryIntervention)
+        assert any(np.allclose(iv.u, c, atol=1e-12) for c in cliffords)
+    iv = sample_intervention(rng, "haar")
+    assert isinstance(iv, UnitaryIntervention)
+    np.testing.assert_allclose(iv.u @ iv.u.conj().T, np.eye(2), atol=1e-12)
+    iv = sample_intervention(rng, "measure_prepare")
+    assert isinstance(iv, MPIntervention)
+    # kraus of an MP pair is the rank-1 |p><m|
+    np.testing.assert_allclose(iv.kraus, np.outer(iv.prep, iv.meas.conj()), atol=1e-14)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown intervention style"):
+        sample_intervention(rng, "nope")
+
+
+def test_unitary_intervention_exact_backend_physics():
+    """A unitary intervention through the Kraus machinery must equal the
+    direct dense conjugation, and preserve the trace (weight 1)."""
+    from yaqs_tpu.characterization.memory.interventions import sample_intervention
+
+    L, tau, k = 3, 0.3, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.7)
+    rng = np.random.default_rng(4)
+    seq = [sample_intervention(rng, "clifford") for _ in range(k)]
+    kraus = np.stack([iv.kraus for iv in seq])[None]
+    rho = ExactBackend(ham, tau).evaluate_kraus_sequences(kraus)[0]
+    np.testing.assert_allclose(np.trace(rho).real, 1.0, atol=1e-10)  # TP map
+
+    # dense oracle: evolve |0..0>, conjugate site 0 by U at each step
+    import scipy.linalg
+
+    from yaqs_tpu.analog.embedding import embed_one_site
+
+    h = ham.ensure_matrix()
+    u_seg = scipy.linalg.expm(-1j * tau * h)
+    psi = np.zeros(2**L, dtype=complex)
+    psi[0] = 1.0
+    for iv in seq:
+        psi = u_seg @ psi
+        psi = embed_one_site(iv.u, 0, L) @ psi
+    psi = u_seg @ psi
+    full = np.outer(psi, psi.conj()).reshape(2 ** (L - 1), 2, 2 ** (L - 1), 2)
+    rho_sys = np.einsum("eset->st", full)
+    np.testing.assert_allclose(rho, rho_sys, atol=1e-10)
+
+
+def test_memory_characterizer_clifford_style():
+    mc = MemoryCharacterizer(preset="quick", intervention_style="clifford")
+    res = mc.characterize(
+        Hamiltonian.ising(2, 1.0, 0.5), num_interventions=2, tau=0.3, seed=3
     )
     assert np.isfinite(res.entropy)

@@ -32,9 +32,8 @@ def test_surrogate_learns_process():
     seqs = [[sample_intervention(rng) for _ in range(k)] for _ in range(32)]
     pred = surrogate.evaluate_probes(seqs)
     backend = ExactBackend(ham, tau)
-    meas = np.stack([[iv.meas for iv in s] for s in seqs])
-    prep = np.stack([[iv.prep for iv in s] for s in seqs])
-    exact = backend.evaluate_sequences(meas, prep)
+    kraus = np.stack([[iv.kraus for iv in s] for s in seqs])
+    exact = backend.evaluate_kraus_sequences(kraus)
     err = np.abs(pred - exact).max(axis=(1, 2))
     assert np.median(err) < 0.15, np.median(err)
 

@@ -12,6 +12,7 @@ Public API parity with the reference facade (mqt-yaqs __init__.py:37-55).
 
 from __future__ import annotations
 
+from . import simulator
 from .core.hamiltonian import Hamiltonian
 from .core.mpo import MPO
 from .core.mps import MPS
@@ -48,5 +49,6 @@ __all__ = [
     "Simulator",
     "State",
     "__version__",
+    "simulator",
     "version_info",
 ]

@@ -85,6 +85,9 @@ def _diagnostics(tensors, threshold):
     (MPS.record_diagnostics, mps.py:593-602) at fixed padded shape."""
     from ..core.mps_ops import bond_spectra
 
+    if tensors.shape[0] < 2:  # single site: no internal bonds
+        one = jnp.ones((), tensors.real.dtype)
+        return jnp.stack([one, one, one])
     spectra, _ = bond_spectra(tensors)  # (L-1, chi)
     smax = jnp.maximum(spectra[:, :1], 1e-300)
     eff = jnp.maximum(jnp.sum(spectra > threshold * smax, axis=1), 1)

@@ -30,14 +30,16 @@ from ...analog.lindblad import build_liouvillian, noise_model_jump_ops
 __all__ = ["ExactBackend"]
 
 
-def _apply_mp_general(rho, meas_l, meas_r, prep_l, prep_r, env_dim, d=2):
+def _apply_kraus_general(rho, k_l, k_r, env_dim, d=2):
     """General linear intervention on the system (site 0 = LSB):
-    ``rho -> <meas_l| rho |meas_r>_sys  (x)  |prep_l><prep_r|``.
+    ``rho -> (K_l (x) 1_env) rho (K_r (x) 1_env)^dag``.
+
+    A measure-prepare pair is the rank-1 special case
+    ``K = |prep><meas|``; a unitary intervention is ``K = U``.
     """
     dim = env_dim * d
     r = rho.reshape(env_dim, d, env_dim, d)
-    env = jnp.einsum("s,esft,t->ef", meas_l.conj(), r, meas_r)
-    out = jnp.einsum("ef,s,t->esft", env, prep_l, prep_r.conj())
+    out = jnp.einsum("sa,eafb,tb->esft", k_l, r, k_r.conj())
     return out.reshape(dim, dim)
 
 
@@ -45,19 +47,19 @@ def _apply_mp_general(rho, meas_l, meas_r, prep_l, prep_r, env_dim, d=2):
 def _simulate_batch(
     prop,
     rho0,
-    meas_l,
-    meas_r,
-    prep_l,
-    prep_r,
+    kraus_l,
+    kraus_r,
     env_dim: int,
     mode: str,
 ):
     """Simulate a batch of sequences.
 
-    ``meas_l/meas_r/prep_l/prep_r``: ``(batch, k, d)`` kets. Returns
-    ``(rho_sys (batch, d, d) unnormalized)``; the branch weight is its trace.
+    ``kraus_l/kraus_r``: ``(batch, k, d, d)`` per-step Kraus operators for
+    the row/column sides of rho (equal for physical probes; tomography uses
+    mismatched sides).  Returns ``(rho_sys (batch, d, d) unnormalized)``; the
+    branch weight is its trace.
     """
-    d = meas_l.shape[-1]
+    d = kraus_l.shape[-1]
     dim = env_dim * d
 
     def evolve(rho):
@@ -66,21 +68,19 @@ def _simulate_batch(
         vec = (prop @ rho.reshape(-1)).reshape(dim, dim)
         return vec
 
-    def one(m_l, m_r, p_l, p_r, rho_init):
-        def step(rho, kets):
-            ml, mr, pl, pr = kets
+    def one(k_l, k_r, rho_init):
+        def step(rho, ks):
+            kl, kr = ks
             rho = evolve(rho)
-            rho = _apply_mp_general(rho, ml, mr, pl, pr, env_dim, d)
+            rho = _apply_kraus_general(rho, kl, kr, env_dim, d)
             return rho, None
 
-        rho, _ = jax.lax.scan(step, rho_init, (m_l, m_r, p_l, p_r))
+        rho, _ = jax.lax.scan(step, rho_init, (k_l, k_r))
         rho = evolve(rho)
         r = rho.reshape(env_dim, d, env_dim, d)
         return jnp.einsum("eset->st", r)
 
-    return jax.vmap(lambda a, b, c, e: one(a, b, c, e, rho0))(
-        meas_l, meas_r, prep_l, prep_r
-    )
+    return jax.vmap(lambda a, b: one(a, b, rho0))(kraus_l, kraus_r)
 
 
 class ExactBackend:
@@ -112,20 +112,18 @@ class ExactBackend:
         psi0[0] = 1.0
         self.rho0 = np.outer(psi0, psi0.conj())
 
-    def evaluate_sequences(self, meas, prep) -> np.ndarray:
-        """Simulate MP sequences: ``meas/prep (batch, k, d)`` kets ->
+    def evaluate_kraus_sequences(self, kraus, kraus_r=None) -> np.ndarray:
+        """Simulate per-step Kraus sequences: ``kraus (batch, k, d, d)`` ->
         unnormalized final system density matrices ``(batch, d, d)``."""
-        meas = np.asarray(meas)
-        prep = np.asarray(prep)
+        kraus = np.asarray(kraus, dtype=np.complex128)
+        kraus_r = kraus if kraus_r is None else np.asarray(kraus_r, dtype=np.complex128)
         # numpy operands go straight into the jitted call: eager
         # jnp.asarray of complex128 is unsupported on the tunneled TPU
         out = _simulate_batch(
             to_device(self.prop),
             to_device(self.rho0),
-            to_device(meas),
-            to_device(meas),
-            to_device(prep),
-            to_device(prep),
+            to_device(kraus),
+            to_device(kraus_r),
             self.env_dim,
             self.mode,
         )
@@ -133,18 +131,24 @@ class ExactBackend:
         im = np.asarray(jnp.imag(out))
         return re + 1j * im
 
+    def evaluate_sequences(self, meas, prep) -> np.ndarray:
+        """MP-pair convenience wrapper: ``meas/prep (batch, k, d)`` kets."""
+        meas = np.asarray(meas, dtype=np.complex128)
+        prep = np.asarray(prep, dtype=np.complex128)
+        kraus = np.einsum("bks,bkt->bkst", prep, meas.conj())
+        return self.evaluate_kraus_sequences(kraus)
+
     def evaluate_general(self, meas_l, meas_r, prep_l, prep_r) -> np.ndarray:
-        """General linear-intervention batch (process-tensor tomography)."""
-        out = _simulate_batch(
-            to_device(self.prop),
-            to_device(self.rho0),
-            to_device(np.asarray(meas_l, dtype=np.complex128)),
-            to_device(np.asarray(meas_r, dtype=np.complex128)),
-            to_device(np.asarray(prep_l, dtype=np.complex128)),
-            to_device(np.asarray(prep_r, dtype=np.complex128)),
-            self.env_dim,
-            self.mode,
+        """General linear-intervention batch (process-tensor tomography):
+        mismatched row/column MP sides."""
+        kl = np.einsum(
+            "bks,bkt->bkst",
+            np.asarray(prep_l, dtype=np.complex128),
+            np.asarray(meas_l, dtype=np.complex128).conj(),
         )
-        re = np.asarray(jnp.real(out))
-        im = np.asarray(jnp.imag(out))
-        return re + 1j * im
+        kr = np.einsum(
+            "bks,bkt->bkst",
+            np.asarray(prep_r, dtype=np.complex128),
+            np.asarray(meas_r, dtype=np.complex128).conj(),
+        )
+        return self.evaluate_kraus_sequences(kl, kr)

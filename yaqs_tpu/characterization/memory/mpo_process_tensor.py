@@ -175,10 +175,12 @@ class MPOProcessTensor:
 
     # -- probing -----------------------------------------------------------
     @staticmethod
-    def _choi(iv: MPIntervention) -> np.ndarray:
-        p = np.outer(iv.prep, iv.prep.conj())
-        m = np.outer(iv.meas, iv.meas.conj())
-        return np.kron(p, m.T)
+    def _choi(iv) -> np.ndarray:
+        """Choi of the step map (MP pair or unitary): the rank-1 matrix
+        ``J[(c,a),(e,b)] = K[c,a] conj(K[e,b])``."""
+        kmat = np.asarray(iv.kraus, dtype=np.complex128)
+        d = kmat.shape[0]
+        return np.einsum("ca,eb->caeb", kmat, kmat.conj()).reshape(d * d, d * d)
 
     def evaluate_probe(self, interventions: list[MPIntervention]) -> np.ndarray:
         if len(interventions) != self.k:

@@ -39,20 +39,21 @@ def _site0_rho(tensors):
     return jnp.einsum("slr,tlr->st", a0, a0.conj())
 
 
-def _apply_mp(tensors, m, p):
-    """Measure-prepare at site 0: ``a0 -> |p> <m| a0`` (keeps gauge)."""
-    collapsed = jnp.einsum("t,tlr->lr", m.conj(), tensors[0])
-    new0 = jnp.einsum("s,lr->slr", p, collapsed)
+def _apply_kraus0(tensors, k):
+    """Apply a Kraus operator at site 0: ``a0 -> K a0`` (keeps gauge).
+    MP pairs are the rank-1 case ``K = |p><m|``; unitaries are ``K = U``."""
+    new0 = jnp.einsum("st,tlr->slr", k.astype(tensors.dtype), tensors[0])
     return tensors.at[0].set(new0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "noisy"))
 def _sequence_program(
-    tensors0, mpo, meas, prep, noise, key, dt, cfg: TDVPConfig, n_steps: int, noisy: bool
+    tensors0, mpo, kraus, noise, key, dt, cfg: TDVPConfig, n_steps: int, noisy: bool
 ):
-    """One probe sequence: k segments of evolution + MP, then a final segment.
+    """One probe sequence: k segments of evolution + intervention, then a
+    final segment.
 
-    ``meas/prep (k, d)``.  Returns the unnormalized site-0 density matrix.
+    ``kraus (k, d, d)``.  Returns the unnormalized site-0 density matrix.
     """
 
     def segment(carry, key):
@@ -73,19 +74,19 @@ def _sequence_program(
 
     def leg(carry, xs):
         tensors, w = carry
-        m, p, key = xs
+        kmat, key = xs
         tensors, w = segment((tensors, w), key)
-        tensors = _apply_mp(tensors, m, p)
+        tensors = _apply_kraus0(tensors, kmat)
         n2 = mps_ops.norm_squared_center0(tensors)
         safe = jnp.where(n2 > 0, jnp.sqrt(n2), 1.0)
         tensors = tensors.at[0].set(tensors[0] / safe.astype(tensors.dtype))
         return (tensors, w * n2), None
 
-    k = meas.shape[0]
+    k = kraus.shape[0]
     keys = jax.random.split(key, k + 1)
     (tensors, w), _ = jax.lax.scan(
         leg, (tensors0, jnp.asarray(1.0, mps_ops.norm_squared_center0(tensors0).dtype)),
-        (meas, prep, keys[:k]),
+        (kraus, keys[:k]),
     )
     tensors, w = segment((tensors, w), keys[k])
     return _site0_rho(tensors) * w.astype(tensors.dtype)
@@ -142,18 +143,16 @@ class MPSBackend:
         self.seed = int(seed)
         self.tensors0 = mps_ops.named_product_state("zeros", self.length, self.chi)
 
-    def evaluate_sequences(self, meas, prep) -> np.ndarray:
-        """``meas/prep (batch, k, d)`` kets -> unnormalized ``(batch, d, d)``."""
-        meas = np.asarray(meas, dtype=np.complex128)
-        prep = np.asarray(prep, dtype=np.complex128)
+    def evaluate_kraus_sequences(self, kraus) -> np.ndarray:
+        """``kraus (batch, k, d, d)`` -> unnormalized ``(batch, d, d)``."""
+        kraus = np.asarray(kraus, dtype=np.complex128)
         base = jax.random.PRNGKey(self.seed)
 
-        def one(m, p, key):
+        def one(kmats, key):
             return _sequence_program(
                 jnp.asarray(self.tensors0),
                 self.mpo,
-                m,
-                p,
+                kmats,
                 self.noise,
                 key,
                 self.dt,
@@ -162,29 +161,37 @@ class MPSBackend:
                 self.noisy,
             )
 
-        batch = meas.shape[0]
+        batch = kraus.shape[0]
         # the whole batch evaluation runs under ONE jit with numpy operands:
         # eager complex device ops (including jnp.asarray of complex128) are
         # unsupported on the tunneled TPU platform
         if self.noisy:
             run = jax.jit(
-                lambda m_b, p_b, ks_b: jax.vmap(
-                    lambda m, p, ks: jnp.mean(
-                        jax.vmap(lambda k: one(m, p, k))(ks), axis=0
+                lambda k_b, ks_b: jax.vmap(
+                    lambda km, ks: jnp.mean(
+                        jax.vmap(lambda k: one(km, k))(ks), axis=0
                     )
-                )(m_b, p_b, ks_b)
+                )(k_b, ks_b)
             )
             keys = jax.vmap(
                 lambda i: jax.vmap(lambda t: jax.random.fold_in(jax.random.fold_in(base, i), t))(
                     jnp.arange(self.num_traj)
                 )
             )(jnp.arange(batch))
-            out = run(to_device(meas), to_device(prep), keys)
+            out = run(to_device(kraus), keys)
         else:
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(batch))
-            out = jax.jit(lambda m_b, p_b, ks_b: jax.vmap(one)(m_b, p_b, ks_b))(
-                to_device(meas), to_device(prep), keys
+            out = jax.jit(lambda k_b, ks_b: jax.vmap(one)(k_b, ks_b))(
+                to_device(kraus), keys
             )
         re = np.asarray(jnp.real(out))
         im = np.asarray(jnp.imag(out))
         return re + 1j * im
+
+    def evaluate_sequences(self, meas, prep) -> np.ndarray:
+        """MP-pair convenience wrapper: ``meas/prep (batch, k, d)`` kets."""
+        meas = np.asarray(meas, dtype=np.complex128)
+        prep = np.asarray(prep, dtype=np.complex128)
+        return self.evaluate_kraus_sequences(
+            np.einsum("bks,bkt->bkst", prep, meas.conj())
+        )

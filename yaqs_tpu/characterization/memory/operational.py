@@ -13,7 +13,12 @@ import dataclasses
 
 import numpy as np
 
-from .interventions import CARDINAL_KETS, MPIntervention, sample_intervention, sample_ket
+from .interventions import (
+    CARDINAL_KETS,
+    MPIntervention,
+    sample_intervention,
+    sample_ket,
+)
 from .response import assemble_response_matrix, compute_spectrum, pauli_channels
 from .results import CharacterizationResult, CutResult
 
@@ -24,18 +29,19 @@ __all__ = ["ProbeSet", "sample_probes", "run_memory_characterization"]
 class ProbeSet:
     """Sampled probes at a fixed cut (reference samples.ProbeSet).
 
-    ``past_pairs[i]``: the ``cut - 1`` MP interventions before the cut;
+    ``past_pairs[i]``: the ``cut - 1`` interventions before the cut (MP pairs
+    or unitaries, per ``intervention_style``);
     ``past_cut_meas[i]``: the measurement ket at the cut;
     ``future_prep_cut[j]``: the preparation ket at the cut;
-    ``future_pairs[j]``: the ``k - cut`` MP interventions after the cut.
+    ``future_pairs[j]``: the ``k - cut`` interventions after the cut.
     """
 
     cut: int
     num_interventions: int
-    past_pairs: list[list[MPIntervention]]
+    past_pairs: list[list]
     past_cut_meas: list[np.ndarray]
     future_prep_cut: list[np.ndarray]
-    future_pairs: list[list[MPIntervention]]
+    future_pairs: list[list]
 
     @property
     def n_pasts(self) -> int:
@@ -75,35 +81,36 @@ def sample_probes(
 
 
 def probe_grid_sequences(probe_set: ProbeSet, delay: int = 0):
-    """Flatten the (past, future) grid into MP ket arrays
-    ``(n_p * n_f, k + delay, d)``; ``delay`` inserts (|0>, |0>) soft-reset
-    slots right after the cut step (reference run.py delay semantics)."""
+    """Flatten the (past, future) grid into a Kraus array
+    ``(n_p * n_f, k + delay, d, d)``: within-sequence interventions contribute
+    their Kraus operator (rank-1 MP or full unitary), the cut slot is the
+    rank-1 ``|prep_j><meas_i|`` pair, and ``delay`` inserts ``|0><0|``
+    soft-reset slots right after the cut step (reference run.py delay
+    semantics)."""
     k = probe_set.num_interventions
     d = probe_set.past_cut_meas[0].shape[0]
     zero = CARDINAL_KETS["0"][:d]
+    reset = np.outer(zero, zero.conj())
     n_p, n_f = probe_set.n_pasts, probe_set.n_futures
-    meas = np.zeros((n_p * n_f, k + delay, d), dtype=np.complex128)
-    prep = np.zeros_like(meas)
+    kraus = np.zeros((n_p * n_f, k + delay, d, d), dtype=np.complex128)
     for i in range(n_p):
         for j in range(n_f):
             row = i * n_f + j
             col = 0
             for iv in probe_set.past_pairs[i]:
-                meas[row, col] = iv.meas
-                prep[row, col] = iv.prep
+                kraus[row, col] = iv.kraus
                 col += 1
-            meas[row, col] = probe_set.past_cut_meas[i]
-            prep[row, col] = probe_set.future_prep_cut[j]
+            kraus[row, col] = np.outer(
+                probe_set.future_prep_cut[j], probe_set.past_cut_meas[i].conj()
+            )
             col += 1
             for _ in range(delay):
-                meas[row, col] = zero
-                prep[row, col] = zero
+                kraus[row, col] = reset
                 col += 1
             for iv in probe_set.future_pairs[j]:
-                meas[row, col] = iv.meas
-                prep[row, col] = iv.prep
+                kraus[row, col] = iv.kraus
                 col += 1
-    return meas, prep
+    return kraus
 
 
 def run_memory_characterization(
@@ -136,10 +143,10 @@ def run_memory_characterization(
         msg = "supplied probe_set was built for a different cut/num_interventions"
         raise ValueError(msg)
 
-    if hasattr(backend, "evaluate_sequences"):
-        meas, prep = probe_grid_sequences(probe_set, delay=delay)
-        rhos = backend.evaluate_sequences(meas, prep)
-    else:  # process tensor / surrogate style: list-of-MPIntervention probes
+    if hasattr(backend, "evaluate_kraus_sequences"):
+        kraus = probe_grid_sequences(probe_set, delay=delay)
+        rhos = backend.evaluate_kraus_sequences(kraus)
+    else:  # process tensor / surrogate style: list-of-intervention probes
         if delay:
             msg = "delay requires a sequence-capable (exact) backend"
             raise ValueError(msg)

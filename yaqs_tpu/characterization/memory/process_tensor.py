@@ -52,14 +52,16 @@ class DenseProcessTensor:
 
     # -- probing -----------------------------------------------------------
     def evaluate_probe(self, interventions: list[MPIntervention]) -> np.ndarray:
-        """Final unnormalized system rho for one MP intervention sequence."""
+        """Final unnormalized system rho for one intervention sequence
+        (MP pairs or unitaries — any object exposing a ``kraus`` matrix)."""
         if len(interventions) != self.k:
             msg = f"expected {self.k} interventions, got {len(interventions)}"
             raise ValueError(msg)
         t = self.tensor
         for iv in interventions:
-            m, p = iv.meas, iv.prep
-            coeff = np.einsum("a,b,c,e->abce", m.conj(), m, p, p.conj())
+            kmat = np.asarray(iv.kraus, dtype=np.complex128)
+            # rho_out[c,e] = K[c,a] rho[a,b] conj(K[e,b])
+            coeff = np.einsum("ca,eb->abce", kmat, kmat.conj())
             t = np.tensordot(coeff, t, axes=([0, 1, 2, 3], [0, 1, 2, 3]))
         return t  # (d, d)
 

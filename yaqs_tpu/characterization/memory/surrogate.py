@@ -62,10 +62,9 @@ def sample_dataset(
         [sample_intervention(rng, intervention_style) for _ in range(k)]
         for _ in range(num_sequences)
     ]
-    meas = np.stack([[iv.meas for iv in s] for s in seqs])
-    prep = np.stack([[iv.prep for iv in s] for s in seqs])
+    kraus = np.stack([[iv.kraus for iv in s] for s in seqs])
     backend = ExactBackend(hamiltonian, tau, noise_model)
-    rhos = backend.evaluate_sequences(meas, prep)
+    rhos = backend.evaluate_kraus_sequences(kraus)
     feats = np.stack([[iv.features() for iv in s] for s in seqs])
     targets = np.stack([pack_rho8(r) for r in rhos])
     return {"features": feats, "targets": targets, "num_interventions": k, "tau": tau}

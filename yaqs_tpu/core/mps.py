@@ -84,6 +84,8 @@ class MPS:
             if length is None:
                 msg = "MPS requires a length or explicit tensors"
                 raise ValueError(msg)
+            if basis_string is not None and state == "zeros":
+                state = "basis"  # a basis string implies the basis preset
             self.tensors = mps_ops.named_product_state(
                 state, length, chi, d, basis_string=basis_string
             )

@@ -82,6 +82,16 @@ class Observable:
                 self.name = "pvm"
                 self.bitstring = gate_kwargs.get("bitstring")
                 self.matrix = None
+            elif name == "position":
+                # grid-basis position operator diag(positions) (reference
+                # Observable("position", site, positions=...) for the
+                # trapped-ion grid Hamiltonians)
+                positions = gate_kwargs.get("positions")
+                if positions is None:
+                    msg = "Observable('position', ...) requires positions="
+                    raise ValueError(msg)
+                self.name = "position"
+                self.matrix = np.diag(np.asarray(positions, dtype=np.complex128))
             else:
                 msg = f"Unknown observable {gate!r}"
                 raise ValueError(msg)

@@ -66,6 +66,9 @@ class State:
             pass
 
         self.representation = representation
+        if basis_string is not None and state == "zeros":
+            # providing a basis string implies the computational-basis preset
+            state = "basis"
         self.state = state
         self.basis_string = basis_string
         self.tensors = tensors

@@ -41,9 +41,14 @@ class ExecutionConfig:
         devices: explicit device list; None = ``jax.devices()``.
         show_progress: print chunk progress (host-side).
         max_retries: re-dispatch a failed chunk up to this many times
-            (reference per-job retry, parallel_utils.py:361-389; transient
-            runtime faults only — deterministic compile errors re-raise
-            immediately on the second identical failure).
+            (reference per-job retry, parallel_utils.py:361-389). Scope: this
+            is an IN-PROCESS retry, useful for transient host-side faults
+            (e.g. tunnel hiccups surfacing as runtime errors). It cannot
+            recover the tunneled TPU's wedge failure mode, where one failed
+            dispatch poisons every subsequent dispatch in the process
+            (docs/tpu_numerics.md) — recovering that requires restarting the
+            process, which is the caller's job. A repeat of the identical
+            exception fast-fails instead of burning the retry budget.
     """
 
     parallel: bool = True
@@ -96,15 +101,20 @@ def run_ensemble(
         tks = jax.device_put(tks, key_sharding)
         sks = jax.device_put(sks, key_sharding)
         attempt = 0
+        last_sig = None
         while True:
             try:
                 res = batched(tks, sks)
                 out_np = np.asarray(res)  # fetch = the real completion point
                 break
-            except Exception:
+            except Exception as exc:
                 attempt += 1
-                if attempt > config.max_retries:
+                sig = (type(exc), str(exc))
+                if attempt > config.max_retries or sig == last_sig:
+                    # identical repeat = deterministic failure (or the
+                    # platform's dispatch wedge): retrying cannot help
                     raise
+                last_sig = sig
         outs.append(out_np)
         if config.show_progress:
             done = min(start + chunk, num_traj)
