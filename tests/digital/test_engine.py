@@ -333,3 +333,89 @@ def test_noisy_digital_two_site_channel_vs_oracle():
     stderr = res.trajectories.std(axis=0)[:, -1] / np.sqrt(n)
     diff = np.abs(res.expectation_values[:, -1] - np.asarray(exact))
     assert np.all(diff < 5 * stderr + 0.03), (diff, stderr, exact)
+
+
+def test_half_layer_one_pass_jump_deviation_is_second_order():
+    """Quantify the engine's documented deviation from the reference: all of a
+    half-layer's per-gate jumps are drawn from ONE moment pass, while the
+    reference recomputes weights sequentially after each gate
+    (digital_tjm.py:521-522).  Comparing the same circuit scheduled as one
+    parallel half-layer vs gate-sequential half-layers (the engine's own
+    primitives implement the sequential reference rule exactly when each
+    half-layer holds one gate), the trajectory-mean deviation must fall
+    steeply with gamma and sit at the Monte-Carlo floor for realistic rates.
+    Measured (40k traj): max dev 0.028 at gamma=0.4, 0.004 at gamma=0.05.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yaqs_tpu.core import mps_ops
+    from yaqs_tpu.core.noise_model import NoiseModel, compile_noise
+    from yaqs_tpu.core.observables import compile_observables, evaluate_observables
+    from yaqs_tpu.core.sim_params import Observable
+    from yaqs_tpu.digital.compile import CompiledSegment
+    from yaqs_tpu.digital.engine import _channel_scope_masks, apply_segment
+    from yaqs_tpu.methods.tdvp import TDVPConfig
+
+    L, chi = 4, 4
+    CX = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex
+    )
+    eye2, eye4 = np.eye(2, dtype=complex), np.eye(4, dtype=complex)
+
+    def make_seg(parallel):
+        # entangle across the 01|23 cut first so the first gate's jump
+        # actually changes the second gate's recomputed weights
+        n_hl = 2 if parallel else 3
+        mats1q = np.tile(eye2, (n_hl, L, 1, 1))
+        bonds = np.tile(eye4, (n_hl, L - 1, 1, 1))
+        mask = np.zeros((n_hl, L))
+        bonds[0, 1] = CX
+        mask[0, [1, 2]] = 1.0
+        scopes = [[(1, 2)]]
+        if parallel:
+            bonds[1, 0] = CX
+            bonds[1, 2] = CX
+            mask[1, :] = 1.0
+            scopes.append([(0, 1), (2, 3)])
+        else:
+            bonds[1, 0] = CX
+            mask[1, [0, 1]] = 1.0
+            scopes.append([(0, 1)])
+            bonds[2, 2] = CX
+            mask[2, [2, 3]] = 1.0
+            scopes.append([(2, 3)])
+        return CompiledSegment(mats1q, bonds, mask, scopes)
+
+    obs = compile_observables([Observable("z", i) for i in range(L)], L, 2)
+    cfg = TDVPConfig(krylov_dim=8, threshold=1e-12, max_bond_dim=chi)
+    t0 = mps_ops.named_product_state("x+", L, chi)
+
+    def mean_obs(seg, gamma, n_traj, seed):
+        nm = NoiseModel(
+            [{"name": "lowering", "sites": [i], "strength": gamma} for i in range(L)]
+        )
+        cn = compile_noise(nm, L, 2)
+        scope, bondm = _channel_scope_masks(seg, cn)
+        base = jax.random.PRNGKey(seed)
+
+        def one(k):
+            t = apply_segment(
+                jnp.asarray(t0), seg.mats1q, seg.bond_mats, seg.noise_site_mask,
+                cn, scope, k, cfg, True, bondm,
+            )
+            return evaluate_observables(t, obs)
+
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(n_traj))
+        return np.asarray(jax.jit(jax.vmap(one))(keys)).mean(axis=0)
+
+    n_traj = 20000
+    devs = {}
+    for gamma in (0.4, 0.05):
+        m_par = mean_obs(make_seg(True), gamma, n_traj, 1)
+        m_seq = mean_obs(make_seg(False), gamma, n_traj, 2)
+        devs[gamma] = np.abs(m_par - m_seq).max()
+    # strong decrease with gamma (second-order mechanism + MC floor) and a
+    # realistic-rate deviation within the Monte-Carlo scale
+    assert devs[0.05] < devs[0.4] / 3, devs
+    assert devs[0.05] < 0.012, devs

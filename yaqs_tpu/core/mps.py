@@ -269,10 +269,17 @@ class MPS:
             if len(site) == 1:
                 site = site[0]
             elif len(site) == 2:
+                for s_ in site:
+                    if not 0 <= int(s_) < self.length:
+                        msg = f"site {s_} outside [0, {self.length})"
+                        raise ValueError(msg)
                 return self._apply_two_site(np.asarray(op, dtype=np.complex128), *site)
             else:
                 msg = "apply_local supports one- or two-site operators"
                 raise ValueError(msg)
+        if not 0 <= int(site) < self.length:
+            msg = f"site {site} outside [0, {self.length})"
+            raise ValueError(msg)
         self.tensors = fetch(
             _apply_one_j(self._j(), to_device(np.asarray(op, dtype=np.complex128)), site)
         )

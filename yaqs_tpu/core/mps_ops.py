@@ -295,6 +295,31 @@ def shift_center_right(tensors: jnp.ndarray, n: int) -> jnp.ndarray:
     return tensors
 
 
+def shift_center_right_dynamic(tensors: jnp.ndarray, n) -> jnp.ndarray:
+    """Like :func:`shift_center_right` but with a TRACED shift count ``n``:
+    a full-length masked QR sweep (bonds with ``i >= n`` pass through
+    unchanged).  Costs O(L) QRs regardless of ``n``, but lets one compiled
+    program serve every window position (the digital gate-stage cache)."""
+    length, d, chi, _ = tensors.shape
+    if length < 2:
+        return tensors
+    noise = _qr_rank_noise((d * chi, chi), tensors.dtype)
+
+    def body(t, i):
+        a = t[i].reshape(d * chi, chi)
+        if noise is not None:
+            scale = (_QR_EPS32 * jnp.linalg.norm(a) + 1e-16).astype(a.dtype)
+            a = a + scale * jnp.asarray(noise, dtype=a.dtype)
+        q, r = jnp.linalg.qr(a)
+        do = i < n
+        new_i = jnp.where(do, q.reshape(d, chi, chi), t[i])
+        new_ip1 = jnp.where(do, jnp.einsum("lm,smr->slr", r, t[i + 1]), t[i + 1])
+        return t.at[i].set(new_i).at[i + 1].set(new_ip1), None
+
+    tensors, _ = jax.lax.scan(body, tensors, jnp.arange(length - 1))
+    return tensors
+
+
 def normalize_canonical(
     tensors: jnp.ndarray, method: str = "qr"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

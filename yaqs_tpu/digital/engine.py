@@ -399,9 +399,7 @@ def make_gate_stage_steps(
     cfg: TDVPConfig,
     noisy: bool,
     kind: str,
-    w0: int,
     w: int,
-    win_mpo: np.ndarray,
 ):
     """Gate-stage pipeline as three bounded dispatches (TPU lowering limit).
 
@@ -410,17 +408,23 @@ def make_gate_stage_steps(
     recanonicalization in one program); split into (1) center shift +
     window extraction, (2) the window gate application, (3) write-back +
     renormalization + gate-scoped noise.  Identical operation order.
+
+    The returned ``run`` is SHAPE-KEYED REUSABLE across stages: the window
+    position ``w0`` is a traced operand (masked dynamic center shift +
+    dynamic slicing) and the window MPO arrives as a device-resident complex
+    argument (platform rule 3 allows those between dispatches), so one
+    compiled program serves every (kind, window-width) stage of a run — a
+    circuit with many long-range/multi-qubit gates compiles each shape once
+    instead of once per gate.
     """
     import dataclasses
 
-    # per-stage closure constant: complex operands cannot be jit arguments
-    # on this platform
-    win_mpo_c = np.asarray(win_mpo)
+    from ..core.mps_ops import shift_center_right_dynamic
 
     @jax.jit
-    def shift_extract(tensors_b):
+    def shift_extract(tensors_b, w0):
         def one(t):
-            t = shift_center_right(t, w0)
+            t = shift_center_right_dynamic(t, w0)
             return t, jax.lax.dynamic_slice_in_dim(t, w0, w, axis=0)
 
         return jax.vmap(one)(tensors_b)
@@ -430,10 +434,10 @@ def make_gate_stage_steps(
         sub = 1.0 / win_cfg.sweeps
 
         @jax.jit
-        def window_op(window_b):
+        def window_op(window_b, win_mpo):
             def one(win):
                 for _ in range(win_cfg.sweeps):
-                    win = sweep_2site(win, win_mpo_c, sub, win_cfg)
+                    win = sweep_2site(win, win_mpo, sub, win_cfg)
                 return win
 
             return jax.vmap(one)(window_b)
@@ -441,10 +445,10 @@ def make_gate_stage_steps(
     else:
 
         @jax.jit
-        def window_op(window_b):
+        def window_op(window_b, win_mpo):
             def one(win):
                 return mpo_apply_mps_zipup(
-                    win_mpo_c,
+                    win_mpo,
                     win,
                     mode=cfg.trunc_mode,
                     threshold=cfg.threshold,
@@ -457,7 +461,7 @@ def make_gate_stage_steps(
 
 
     @jax.jit
-    def finish(tensors_b, window_b, keys, site_mask, bond_mask, ch_mask):
+    def finish(tensors_b, window_b, w0, keys, site_mask, bond_mask, ch_mask):
         def one(t, win, key):
             t = jax.lax.dynamic_update_slice_in_dim(t, win, w0, axis=0)
             t, _ = normalize_canonical(t, method=cfg.canon_method)
@@ -469,10 +473,11 @@ def make_gate_stage_steps(
 
         return jax.vmap(one, in_axes=(0, 0, 0))(tensors_b, window_b, keys)
 
-    def run(tensors_b, keys, site_mask=None, bond_mask=None, ch_mask=None):
-        tensors_b, window_b = shift_extract(tensors_b)
-        window_b = window_op(window_b)
-        return finish(tensors_b, window_b, keys, site_mask, bond_mask, ch_mask)
+    def run(tensors_b, w0, win_mpo_dev, keys, site_mask=None, bond_mask=None, ch_mask=None):
+        w0 = jnp.asarray(w0, jnp.int32)
+        tensors_b, window_b = shift_extract(tensors_b, w0)
+        window_b = window_op(window_b, win_mpo_dev)
+        return finish(tensors_b, window_b, w0, keys, site_mask, bond_mask, ch_mask)
 
     return run
 
@@ -655,6 +660,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         mid_cols.append(np.real(np.asarray(eval_batch(tensors_b))))
 
     stage_idx = 0
+    gate_stage_cache: dict[tuple, object] = {}  # (kind, w) -> compiled pipeline
     for plan_idx, plan in enumerate(compiled_circ.segments):
         for stage in plan.stages:
             keys = jax.vmap(
@@ -665,11 +671,15 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
                     stage, length, noise
                 )
                 w = stage.mpo.shape[0]
-                run_stage = make_gate_stage_steps(
-                    noise, cfg, noisy, stage.kind, stage.w0, w, stage.mpo
-                )
+                cache_key = (stage.kind, w, stage.mpo.shape[-1])
+                if cache_key not in gate_stage_cache:
+                    gate_stage_cache[cache_key] = make_gate_stage_steps(
+                        noise, cfg, noisy, stage.kind, w
+                    )
+                run_stage = gate_stage_cache[cache_key]
                 tensors_b = run_stage(
-                    tensors_b, keys, site_mask, bond_mask, ch_mask
+                    tensors_b, stage.w0, to_device(stage.mpo), keys,
+                    site_mask, bond_mask, ch_mask,
                 )
             else:
                 scope, bond_masks = (

@@ -65,7 +65,7 @@ def right_gram_environments(tensors: jnp.ndarray) -> jnp.ndarray:
 
 
 def site_moment_matrices(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-site moments ``T_i[b,k] = <psi| (|k><b|)_i |psi>`` (gauge-free).
+    """Per-site moments ``T_i[b,k] = <psi| (|b><k|)_i |psi>`` (gauge-free).
 
     Returns ``(T (L, d, d), norm2)`` from one left and one right transfer scan.
     """
