@@ -19,7 +19,7 @@ import jax
 import numpy as np
 import scipy.linalg
 
-from .embedding import embed_one_site, embed_operator
+from .embedding import embed_one_site, embed_operator, operator_schmidt_factors
 
 __all__ = [
     "build_liouvillian",
@@ -69,8 +69,13 @@ def noise_model_jump_ops_sparse(noise_model, length: int, d: int = 2) -> list:
                 f1, sites[1], length, d
             )
         else:
-            msg = "two-site matrix processes need adjacent embedding"
-            raise NotImplementedError(msg)
+            # adjacent two-site matrix: operator-Schmidt sum of products
+            full = None
+            for a_k, b_k in operator_schmidt_factors(proc["matrix"], d):
+                term = _embed_one_site_sparse(a_k, sites[0], length, d) @ _embed_one_site_sparse(
+                    b_k, sites[1], length, d
+                )
+                full = term if full is None else full + term
         ops.append(np.sqrt(gamma) * full)
     return ops
 
@@ -106,9 +111,11 @@ def noise_model_jump_ops(noise_model, length: int, d: int = 2) -> list[np.ndarra
             f0, f1 = proc["factors"]
             full = embed_operator({sites[0]: f0, sites[1]: f1}, length, d)
         else:
-            full = NotImplemented
-            msg = "two-site matrix processes need adjacent embedding"
-            raise NotImplementedError(msg)
+            # adjacent two-site matrix: operator-Schmidt sum of products
+            full = sum(
+                embed_operator({sites[0]: a_k, sites[1]: b_k}, length, d)
+                for a_k, b_k in operator_schmidt_factors(proc["matrix"], d)
+            )
         ops.append(np.sqrt(gamma) * full)
     return ops
 

@@ -1,10 +1,19 @@
 """Noise model: user-facing process spec + compiled device representation.
 
 The user-facing :class:`NoiseModel` mirrors the reference contract
-(mqt-yaqs core/data_structures/noise_model.py:227-): a list of process dicts
+(mqt-yaqs core/data_structures/noise_model.py): a list of process dicts
 ``{name, sites, strength, matrix|factors}`` with library lookup (including
-``crosstalk_[xyz]{2}`` names), strengths as floats or distribution dicts
-(sampled once per run for static disorder), and scheduled deterministic jumps.
+``crosstalk_[xyz]{2}`` / ``longrange_crosstalk_[xyz]{2}`` names), strengths
+as floats or distribution dicts (sampled once per run for static disorder),
+and scheduled deterministic jumps.  Normalization and validation follow the
+reference's rules (noise_model.py:93-523):
+
+- one-site and *adjacent* two-site processes carry a full ``matrix``;
+- *non-adjacent* two-site processes carry per-site ``factors``;
+- descending site order is normalized (factors swapped; full matrices
+  require ascending order);
+- strengths, site lists, names, and distribution dicts are type- and
+  value-checked at construction.
 
 For the TPU kernels the model is *compiled* into :class:`CompiledNoise`, a
 pytree of fixed-shape arrays:
@@ -20,90 +29,270 @@ pytree of fixed-shape arrays:
 
 from __future__ import annotations
 
+import copy
 import dataclasses
+import logging
+import math
 import re
 from typing import Any
 
 import jax
 import numpy as np
 
-from ..models.operators import PAULI, is_pauli_matrix, noise_operator
+from ..models.operators import (
+    PAULI,
+    is_pauli_matrix,
+    lowering,
+    pauli_x,
+    pauli_y,
+    pauli_z,
+    raising,
+)
 
-__all__ = ["NoiseModel", "CompiledNoise", "compile_noise", "validate_noise_model_for_run"]
+__all__ = [
+    "NoiseModel",
+    "CompiledNoise",
+    "compile_noise",
+    "is_pauli",
+    "validate_noise_model_for_run",
+]
 
-_CROSSTALK_RE = re.compile(r"^(longrange_)?crosstalk_([xyz])([xyz])$")
+logger = logging.getLogger(__name__)
+
+_CROSSTALK_RE = re.compile(r"^crosstalk_[xyz]{2}$")
+_LONGRANGE_CROSSTALK_RE = re.compile(r"^longrange_crosstalk_[xyz]{2}$")
+_SUPPORTED_DISTRIBUTIONS = frozenset({"normal", "lognormal", "truncated_normal"})
+_DISTRIBUTION_KEYS = frozenset({"distribution", "mean", "std"})
+
+_PAULI_MAP = {"x": pauli_x, "y": pauli_y, "z": pauli_z}
+
+# Literal fixed library names (reference noise_model.py:44-64).
+_FIXED_OPERATORS: dict[str, np.ndarray] = {
+    "raising": raising,
+    "lowering": lowering,
+    "excitation": raising,
+    "relaxation": lowering,
+    "bitflip": pauli_x,
+    "dephasing": pauli_z,
+    "pauli_x": pauli_x,
+    "pauli_y": pauli_y,
+    "pauli_z": pauli_z,
+    "x": pauli_x,
+    "y": pauli_y,
+    "z": pauli_z,
+    "raising_two": np.kron(raising, raising),
+    "lowering_two": np.kron(lowering, lowering),
+}
 
 
-def _resolve_process(proc: dict[str, Any]) -> dict[str, Any]:
-    """Normalize one process dict: resolve operators, sort sites, flag Pauli."""
-    for key in ("name", "sites", "strength"):
-        if key not in proc:
-            msg = f"Each noise process must have a '{key}' key."
-            raise ValueError(msg)
-    out = dict(proc)
-    name = str(out["name"])
-    sites = out["sites"]
-    if isinstance(sites, (int, np.integer)):
-        sites = [int(sites)]
-    sites = [int(s) for s in sites]
-    if len(sites) not in (1, 2):
-        msg = f"Noise processes act on 1 or 2 sites, got {sites}."
+# ---------------------------------------------------------------------------
+# Validation helpers (reference noise_model.py:93-230 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _is_bool(value: object) -> bool:
+    return isinstance(value, bool)
+
+
+def _require_mapping(entry: object, kind: str) -> dict[str, Any]:
+    if not isinstance(entry, dict):
+        msg = f"Each {kind} must be a dictionary."
+        raise TypeError(msg)
+    return entry
+
+
+def _validate_name(name: object, kind: str) -> str:
+    if not isinstance(name, str):
+        msg = f"{kind} 'name' must be a string."
+        raise TypeError(msg)
+    if not name:
+        msg = f"{kind} 'name' must be a nonempty string."
         raise ValueError(msg)
+    return name
 
-    if len(sites) == 2:
-        sorted_sites = sorted(sites)
-        swapped = sorted_sites != sites
-        out["sites"] = sorted_sites
-        if "factors" in out:
-            f0, f1 = out["factors"]
-            if swapped:
-                f0, f1 = f1, f0
-            out["factors"] = (
-                np.asarray(f0, dtype=np.complex128),
-                np.asarray(f1, dtype=np.complex128),
+
+def _normalize_sites(sites: object, kind: str) -> list[int]:
+    if not isinstance(sites, (list, tuple)):
+        msg = f"{kind} 'sites' must be a list or tuple of integers."
+        raise TypeError(msg)
+    if len(sites) not in {1, 2}:
+        msg = f"{kind} must have exactly 1 or 2 sites, got {len(sites)}."
+        raise ValueError(msg)
+    normalized: list[int] = []
+    for site in sites:
+        if _is_bool(site) or not isinstance(site, (int, np.integer)):
+            msg = f"{kind} site indices must be integers (booleans are not allowed)."
+            raise TypeError(msg)
+        site_int = int(site)
+        if site_int < 0:
+            msg = f"{kind} site indices must be nonnegative, got {site_int}."
+            raise ValueError(msg)
+        normalized.append(site_int)
+    if len(normalized) == 2 and normalized[0] == normalized[1]:
+        msg = f"{kind} two-site indices must be distinct, got {normalized}."
+        raise ValueError(msg)
+    return normalized
+
+
+def _validate_finite_real(value: object, label: str) -> float:
+    if _is_bool(value) or not isinstance(value, (int, float, np.floating, np.integer)):
+        msg = f"{label} must be a real number (booleans are not allowed)."
+        raise TypeError(msg)
+    number = float(value)
+    if not math.isfinite(number):
+        msg = f"{label} must be finite, got {number}."
+        raise ValueError(msg)
+    return number
+
+
+def _validate_finite_nonnegative_real(value: object, label: str) -> float:
+    number = _validate_finite_real(value, label)
+    if number < 0:
+        msg = (
+            f"{label} must be nonnegative (got {number}). Standard TJM/MCWF "
+            "jump probabilities require nonnegative rates."
+        )
+        raise ValueError(msg)
+    return number
+
+
+def _validate_strength(strength: object) -> float | dict[str, Any]:
+    if isinstance(strength, dict):
+        unknown = set(strength) - _DISTRIBUTION_KEYS
+        if unknown:
+            msg = (
+                f"Unknown distribution keys: {sorted(unknown)}. "
+                f"Supported keys: {sorted(_DISTRIBUTION_KEYS)}."
             )
-        elif "matrix" in out:
-            if swapped:
-                msg = f"Custom two-site matrices require ascending site order; got {sites}."
-                raise ValueError(msg)
-            out["matrix"] = np.asarray(out["matrix"], dtype=np.complex128)
-        else:
-            m = _CROSSTALK_RE.match(name.lower())
-            if m is None:
-                msg = f"Unknown two-site noise process name: {name!r}"
-                raise ValueError(msg)
-            a, b = m.group(2).upper(), m.group(3).upper()
-            if swapped:
-                a, b = b, a
-            out["factors"] = (PAULI[a].copy(), PAULI[b].copy())
-    else:
-        out["sites"] = sites
-        if "matrix" in out:
-            out["matrix"] = np.asarray(out["matrix"], dtype=np.complex128)
-        else:
-            try:
-                out["matrix"] = noise_operator(name).copy()
-            except KeyError as exc:
-                msg = f"Unknown noise process name: {name!r}"
-                raise ValueError(msg) from exc
-    return out
+            raise ValueError(msg)
+        if "distribution" not in strength:
+            msg = "Noise strength dict must contain 'distribution' key."
+            raise ValueError(msg)
+        dist_type = strength["distribution"]
+        if dist_type not in _SUPPORTED_DISTRIBUTIONS:
+            msg = (
+                f"Unsupported distribution type: {dist_type}. "
+                f"Supported: {sorted(_SUPPORTED_DISTRIBUTIONS)}."
+            )
+            raise ValueError(msg)
+        mean = _validate_finite_real(strength.get("mean", 0.0), "distribution mean")
+        std = _validate_finite_real(strength.get("std", 0.0), "distribution std")
+        if std < 0:
+            msg = f"distribution std must be nonnegative, got {std}."
+            raise ValueError(msg)
+        return {"distribution": dist_type, "mean": mean, "std": std}
+    return _validate_finite_nonnegative_real(strength, "process strength")
+
+
+def _as_square_matrix(value: object, label: str) -> np.ndarray:
+    try:
+        array = np.array(value, dtype=np.complex128, copy=True)
+    except (TypeError, ValueError) as exc:
+        msg = f"{label} must be a numeric array."
+        raise TypeError(msg) from exc
+    if array.ndim != 2 or array.shape[0] != array.shape[1]:
+        msg = f"{label} must be a square 2-D array, got shape {array.shape}."
+        raise ValueError(msg)
+    if not np.all(np.isfinite(array)):
+        msg = f"{label} entries must be finite."
+        raise ValueError(msg)
+    return array
+
+
+def _crosstalk_suffix(name: str) -> str | None:
+    if _CROSSTALK_RE.fullmatch(name) or _LONGRANGE_CROSSTALK_RE.fullmatch(name):
+        return name.rsplit("_", 1)[-1]
+    return None
+
+
+def _supported_operator_message() -> str:
+    fixed = ", ".join(sorted(_FIXED_OPERATORS))
+    return (
+        f"Supported fixed names: {fixed}. Also accepted: names matching "
+        "crosstalk_[xyz]{2} or longrange_crosstalk_[xyz]{2}."
+    )
+
+
+def _crosstalk_pauli_letters(suffix: str, *, swapped: bool) -> tuple[str, str]:
+    a, b = suffix[0], suffix[1]
+    return (b, a) if swapped else (a, b)
+
+
+def _validate_factors(factors: object) -> tuple[np.ndarray, np.ndarray]:
+    if not isinstance(factors, (list, tuple)) or len(factors) != 2:
+        msg = "Process 'factors' must be a sequence of exactly two square matrices."
+        raise ValueError(msg)
+    left = _as_square_matrix(factors[0], "Process factor[0]")
+    right = _as_square_matrix(factors[1], "Process factor[1]")
+    return left, right
+
+
+# ---------------------------------------------------------------------------
+# is_pauli (reference noise_model.py:620-666: unit-phase Pauli structure)
+# ---------------------------------------------------------------------------
+
+_PAULI_1 = (pauli_x, pauli_y, pauli_z)
+_PAULI_2 = tuple(np.kron(a, b) for a in _PAULI_1 for b in _PAULI_1)
+
+
+def _matches_up_to_unit_phase(mat: np.ndarray, reference: np.ndarray) -> bool:
+    if mat.shape != reference.shape:
+        return False
+    idx = np.unravel_index(int(np.argmax(np.abs(reference))), reference.shape)
+    ref_val = reference[idx]
+    mat_val = mat[idx]
+    if abs(ref_val) < 1e-14 or abs(mat_val) < 1e-14:
+        return bool(np.allclose(mat, reference, atol=1e-10, rtol=0.0))
+    phase = mat_val / ref_val
+    if not np.isclose(abs(phase), 1.0, atol=1e-10, rtol=0.0):
+        return False
+    return bool(np.allclose(mat, phase * reference, atol=1e-10, rtol=0.0))
 
 
 def is_pauli(proc: dict[str, Any]) -> bool:
-    """True when the process operator is Pauli up to unit phase (reference
-    noise_model.is_pauli semantics: enables the scalar-dissipator shortcut)."""
-    if "factors" in proc:
-        return all(is_pauli_matrix(f) for f in proc["factors"])
-    return is_pauli_matrix(proc["matrix"])
+    """True when the process operators match Pauli structure up to unit phase.
+
+    Recognizes one-site X/Y/Z, adjacent Kronecker products of Paulis, and
+    long-range factor pairs that are each Pauli. Scaled operators such as
+    ``2 X`` are NOT Pauli — TJM's scalar dissipator shortcut assumes
+    ``L^dag L = I`` with the *unscaled* rate (reference noise_model.py:644).
+    """
+    sites = proc["sites"]
+    if len(sites) == 1:
+        if "matrix" not in proc:
+            return False
+        m = np.asarray(proc["matrix"], dtype=np.complex128)
+        return any(_matches_up_to_unit_phase(m, p) for p in _PAULI_1)
+    if len(sites) != 2:
+        return False
+    if abs(sites[1] - sites[0]) == 1 and "matrix" in proc:
+        m = np.asarray(proc["matrix"], dtype=np.complex128)
+        return any(_matches_up_to_unit_phase(m, p) for p in _PAULI_2)
+    if abs(sites[1] - sites[0]) > 1 and "factors" in proc:
+        return all(
+            any(
+                _matches_up_to_unit_phase(np.asarray(f, dtype=np.complex128), p)
+                for p in _PAULI_1
+            )
+            for f in proc["factors"]
+        )
+    return False
+
+
+# ---------------------------------------------------------------------------
+# NoiseModel
+# ---------------------------------------------------------------------------
 
 
 class NoiseModel:
     """List of Lindblad jump processes with optional static disorder.
 
-    Strengths may be plain nonnegative floats or distribution dicts
-    ``{"distribution": "normal"|"lognormal"|"truncated_normal", ...}``; call
-    :meth:`sample` once per run to realize concrete rates (static disorder,
-    reference noise_model.py:492-559).
+    Each process dict carries ``name``, ``sites`` (1 or 2), ``strength``
+    (nonnegative float or a distribution dict ``{"distribution": "normal" |
+    "lognormal" | "truncated_normal", "mean": ..., "std": ...}``), and either
+    ``matrix`` (1-site and adjacent 2-site) or ``factors`` (long-range
+    2-site).  Call :meth:`sample` once per run to realize distribution
+    strengths (static disorder, reference noise_model.py:503-560).
     """
 
     def __init__(
@@ -111,13 +300,184 @@ class NoiseModel:
         processes: list[dict[str, Any]] | None = None,
         scheduled_jumps: list[dict[str, Any]] | None = None,
     ) -> None:
-        self.processes = [_resolve_process(p) for p in (processes or [])]
-        self.scheduled_jumps = list(scheduled_jumps or [])
-        for jump in self.scheduled_jumps:
-            for key in ("time", "sites", "name"):
-                if key not in jump:
-                    msg = f"Each scheduled jump must have a '{key}' key."
+        self.processes: list[dict[str, Any]] = []
+        self.scheduled_jumps: list[dict[str, Any]] = []
+
+        if scheduled_jumps is not None:
+            if not isinstance(scheduled_jumps, (list, tuple)):
+                msg = "scheduled_jumps must be a list or tuple of dictionaries."
+                raise TypeError(msg)
+            self.scheduled_jumps = [
+                self._normalize_scheduled_jump(j) for j in scheduled_jumps
+            ]
+
+        if processes is None:
+            return
+        if not isinstance(processes, (list, tuple)):
+            msg = "processes must be a list or tuple of dictionaries."
+            raise TypeError(msg)
+        self.processes = [self._normalize_process(p) for p in processes]
+
+    # -- normalization -----------------------------------------------------
+
+    @staticmethod
+    def _normalize_scheduled_jump(jump: object) -> dict[str, Any]:
+        original = _require_mapping(jump, "scheduled jump")
+        for key in ("time", "sites", "name"):
+            if key not in original:
+                msg = f"Each scheduled jump must have a '{key}' key."
+                raise ValueError(msg)
+        jump_dict = dict(original)
+        if "factors" in jump_dict:
+            msg = "Scheduled jumps do not accept 'factors'; use 'matrix' for custom operators."
+            raise ValueError(msg)
+        jump_dict["name"] = _validate_name(jump_dict["name"], "Scheduled jump")
+        jump_dict["time"] = _validate_finite_real(jump_dict["time"], "Scheduled jump time")
+        sites = _normalize_sites(jump_dict["sites"], "Scheduled jump")
+        user_matrix = "matrix" in jump_dict
+        swapped = False
+        if len(sites) == 2:
+            sorted_sites = sorted(sites)
+            swapped = sorted_sites != sites
+            if sorted_sites[1] - sorted_sites[0] != 1:
+                msg = (
+                    f"Scheduled jump acts on non-adjacent sites {sites}. "
+                    "Only nearest-neighbor scheduled jumps are supported."
+                )
+                raise ValueError(msg)
+            if swapped and user_matrix:
+                msg = (
+                    "Custom full scheduled-jump matrices require ascending "
+                    f"site order; got sites {sites}."
+                )
+                raise ValueError(msg)
+            jump_dict["sites"] = sorted_sites
+        else:
+            jump_dict["sites"] = sites
+
+        if user_matrix:
+            jump_dict["matrix"] = _as_square_matrix(
+                jump_dict["matrix"], "Scheduled jump matrix"
+            )
+        else:
+            suffix = _crosstalk_suffix(jump_dict["name"])
+            if suffix is not None:
+                a, b = _crosstalk_pauli_letters(suffix, swapped=swapped)
+                jump_dict["matrix"] = np.kron(_PAULI_MAP[a], _PAULI_MAP[b]).astype(
+                    np.complex128
+                )
+            else:
+                jump_dict["matrix"] = NoiseModel.get_operator(jump_dict["name"])
+        return jump_dict
+
+    @staticmethod
+    def _normalize_process(original: object) -> dict[str, Any]:
+        source = _require_mapping(original, "noise process")
+        for key in ("name", "sites", "strength"):
+            if key not in source:
+                msg = f"Each process must have a '{key}' key."
+                raise ValueError(msg)
+        proc = dict(source)
+        name = _validate_name(proc["name"], "Process")
+        proc["name"] = name
+        proc["strength"] = _validate_strength(proc["strength"])
+        sites = _normalize_sites(proc["sites"], "Process")
+        user_matrix = "matrix" in source
+        factors_provided = "factors" in source
+        user_factors = source.get("factors")
+        if factors_provided and user_factors is None:
+            msg = "Process 'factors' must be a sequence of exactly two square matrices, not None."
+            raise ValueError(msg)
+        if user_matrix and factors_provided:
+            msg = "Process cannot specify both 'matrix' and 'factors'."
+            raise ValueError(msg)
+
+        if len(sites) == 1:
+            proc["sites"] = sites
+            if factors_provided:
+                msg = "One-site processes do not accept 'factors'."
+                raise ValueError(msg)
+            if user_matrix:
+                proc["matrix"] = _as_square_matrix(proc["matrix"], "Process matrix")
+            else:
+                proc["matrix"] = NoiseModel.get_operator(name)
+            return proc
+
+        sorted_sites = sorted(sites)
+        swapped = sorted_sites != sites
+        if swapped and user_matrix:
+            msg = (
+                "Custom full two-site matrices require ascending site order; "
+                f"got sites {sites}. Use ascending sites or supply 'factors'."
+            )
+            raise ValueError(msg)
+        proc["sites"] = sorted_sites
+        i, j = sorted_sites
+
+        if j - i != 1:  # non-adjacent: factors only
+            if user_matrix:
+                msg = (
+                    "Non-adjacent two-site processes require 'factors' "
+                    "(a full 'matrix' embedding is not accepted here)."
+                )
+                raise ValueError(msg)
+            suffix = _crosstalk_suffix(name)
+            if user_factors is None:
+                if suffix is None:
+                    msg = (
+                        "Non-adjacent 2-site processes must specify 'factors' "
+                        "unless named crosstalk_[xyz]{2} or "
+                        "longrange_crosstalk_[xyz]{2}."
+                    )
                     raise ValueError(msg)
+                a, b = _crosstalk_pauli_letters(suffix, swapped=swapped)
+                proc["factors"] = (
+                    _PAULI_MAP[a].astype(np.complex128).copy(),
+                    _PAULI_MAP[b].astype(np.complex128).copy(),
+                )
+            else:
+                left, right = _validate_factors(user_factors)
+                proc["factors"] = (right, left) if swapped else (left, right)
+            proc.pop("matrix", None)
+            return proc
+
+        # adjacent: full matrix only
+        if factors_provided:
+            msg = "Adjacent two-site processes use 'matrix', not 'factors'."
+            raise ValueError(msg)
+        suffix = _crosstalk_suffix(name)
+        if user_matrix:
+            proc["matrix"] = _as_square_matrix(proc["matrix"], "Process matrix")
+        elif suffix is not None:
+            a, b = _crosstalk_pauli_letters(suffix, swapped=swapped)
+            proc["matrix"] = np.kron(_PAULI_MAP[a], _PAULI_MAP[b]).astype(np.complex128)
+        else:
+            proc["matrix"] = NoiseModel.get_operator(name)
+        proc.pop("factors", None)
+        return proc
+
+    # -- library lookup ----------------------------------------------------
+
+    @staticmethod
+    def get_operator(name: str) -> np.ndarray:
+        """Operator matrix (a fresh copy) for a supported library name.
+
+        Accepts fixed library names (``raising``, ``lowering``, ``pauli_x``,
+        ..., ``raising_two``, ``lowering_two``), short Pauli names ``x/y/z``,
+        and exact ``crosstalk_[xyz]{2}`` labels (reference
+        noise_model.py:560-586).
+        """
+        if name in _FIXED_OPERATORS:
+            return np.array(_FIXED_OPERATORS[name], dtype=np.complex128, copy=True)
+        suffix = _crosstalk_suffix(name)
+        if suffix is not None:
+            return np.kron(_PAULI_MAP[suffix[0]], _PAULI_MAP[suffix[1]]).astype(
+                np.complex128
+            )
+        msg = f"Unknown noise operator '{name}'. {_supported_operator_message()}"
+        raise ValueError(msg)
+
+    # -- container protocol ------------------------------------------------
 
     def __len__(self) -> int:
         return len(self.processes)
@@ -126,53 +486,67 @@ class NoiseModel:
     def has_distributions(self) -> bool:
         return any(isinstance(p["strength"], dict) for p in self.processes)
 
-    def sample(self, rng: np.random.Generator | None = None) -> NoiseModel:
-        """Realize distribution strengths into floats (one draw per process)."""
-        if not self.has_distributions:
-            return self
-        rng = rng or np.random.default_rng()
-        sampled = []
-        for p in self.processes:
-            q = dict(p)
-            s = p["strength"]
-            if isinstance(s, dict):
-                kind = s.get("distribution")
-                if kind == "normal":
-                    val = rng.normal(s.get("mean", 0.0), s.get("std", 1.0))
-                    if val < 0:
-                        import logging
+    def sample(self, rng: np.random.Generator | int | None = None) -> NoiseModel:
+        """Realize distribution strengths into floats (one draw per process).
 
-                        logging.getLogger(__name__).warning(
-                            "Sampled noise strength %f ('normal', mean=%f, "
-                            "std=%f) was negative and clamped to 0.0.",
+        ``rng`` may be a Generator, an integer seed, or None (fresh
+        generator). Negative ``normal`` draws are clamped to 0 with a
+        warning; ``truncated_normal`` samples the normal truncated to
+        ``[0, inf)`` (``max(0, mean)`` when std is ~0) — reference
+        noise_model.py:503-560.
+        """
+        generator = rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
+        new_processes: list[dict[str, Any]] = []
+        for proc in self.processes:
+            new_proc = copy.deepcopy(proc)
+            s = proc["strength"]
+            if isinstance(s, dict):
+                dist_type = s["distribution"]
+                mean = s.get("mean", 0.0)
+                std = s.get("std", 0.0)
+                if dist_type == "normal":
+                    val = float(generator.normal(loc=mean, scale=std))
+                    if val < 0:
+                        logger.warning(
+                            "Sampled noise strength %f using 'normal' distribution "
+                            "(mean=%f, std=%f) was negative and clamped to 0.0.",
                             val,
-                            s.get("mean", 0.0),
-                            s.get("std", 1.0),
+                            mean,
+                            std,
                         )
-                elif kind == "lognormal":
-                    val = rng.lognormal(s.get("mean", 0.0), s.get("sigma", s.get("std", 1.0)))
-                elif kind == "truncated_normal":
-                    lo = s.get("lower", 0.0)
-                    hi = s.get("upper", np.inf)
-                    for _ in range(1000):
-                        val = rng.normal(s.get("mean", 0.0), s.get("std", 1.0))
-                        if lo <= val <= hi:
-                            break
+                    val = max(0.0, val)
+                elif dist_type == "lognormal":
+                    val = float(generator.lognormal(mean=mean, sigma=std))
+                elif dist_type == "truncated_normal":
+                    if math.isclose(std, 0.0, abs_tol=1e-8):
+                        val = max(0.0, float(mean))
                     else:
-                        val = np.clip(rng.normal(s.get("mean", 0.0), s.get("std", 1.0)), lo, hi)
-                else:
-                    msg = f"Unknown strength distribution: {kind!r}"
+                        # rejection-sample the normal truncated to [0, inf);
+                        # equivalent to scipy truncnorm.rvs(a=-mean/std, b=inf)
+                        while True:
+                            val = float(generator.normal(loc=mean, scale=std))
+                            if val >= 0.0:
+                                break
+                else:  # pragma: no cover - blocked at construction
+                    msg = f"Unsupported distribution type: {dist_type}"
                     raise ValueError(msg)
-                q["strength"] = float(max(val, 0.0))
-            sampled.append(q)
+                new_proc["strength"] = _validate_finite_nonnegative_real(
+                    val, "sampled process strength"
+                )
+            else:
+                new_proc["strength"] = _validate_finite_nonnegative_real(
+                    s, "process strength"
+                )
+            new_processes.append(new_proc)
         out = NoiseModel.__new__(NoiseModel)
-        out.processes = sampled
-        out.scheduled_jumps = list(self.scheduled_jumps)
+        out.processes = new_processes
+        out.scheduled_jumps = copy.deepcopy(self.scheduled_jumps)
         return out
 
     def all_zero(self) -> bool:
         return all(
-            not isinstance(p["strength"], dict) and p["strength"] == 0 for p in self.processes
+            not isinstance(p["strength"], dict) and p["strength"] == 0
+            for p in self.processes
         )
 
 
@@ -279,10 +653,12 @@ def compile_noise(
     reference's site-sweep order (site-major, matching
     create_probability_distribution, stochastic_process.py:87-188).
 
-    Currently supported process classes (reference parity): one-site processes
-    with arbitrary jump operators, and two-site *Pauli* processes (adjacent or
-    long-range) via factored application. Adjacent non-Pauli two-site
-    processes raise NotImplementedError for now.
+    Supported process classes (reference parity): one-site processes with
+    arbitrary jump operators; long-range two-site factored processes with
+    unitary-per-factor structure (``f^dag f = I``, which covers all Pauli
+    crosstalk); adjacent two-site processes with arbitrary matrices (Pauli
+    krons take the factored fast path, everything else the merged-pair
+    machinery).
     """
     if model is None or not model.processes or model.all_zero():
         return None
@@ -318,42 +694,43 @@ def compile_noise(
                 emit(site, site, m, eye, m.conj().T @ m, gamma)
             elif len(sites) == 2 and sites[0] == site:
                 s0, s1 = sites
-                if is_pauli(proc):
-                    # L^dag L = I x I: dissipator is a scalar on the right
-                    # site; jump applies both factors.
-                    gens[s1] += gamma * eye
-                    if "factors" in proc:
-                        f0, f1 = proc["factors"]
-                    else:
+                if s1 - s0 > 1:
+                    # long-range factored process: the factored jump path
+                    # assumes the *pair* satisfies L^dag L = I (scalar
+                    # dissipator on one site); reference supports Pauli
+                    # crosstalk here, and any unitary factors qualify.
+                    f0, f1 = proc["factors"]
+                    if not (
+                        np.allclose(f0.conj().T @ f0, eye, atol=1e-10)
+                        and np.allclose(f1.conj().T @ f1, eye, atol=1e-10)
+                    ):
                         msg = (
-                            "Adjacent two-site Pauli processes given as a full "
-                            "matrix are not factored yet; provide 'factors'."
+                            "Non-unitary long-range two-site noise factors are "
+                            "not supported (reference parity: Pauli crosstalk)."
                         )
-                        m = proc.get("matrix")
-                        f0f1 = _try_factor_pauli_kron(m, d)
-                        if f0f1 is None:
-                            raise NotImplementedError(msg)
-                        f0, f1 = f0f1
+                        raise NotImplementedError(msg)
+                    gens[s1] += gamma * eye
                     emit(s0, s1, f0, f1, eye, gamma)
-                elif s1 - s0 == 1:
-                    # adjacent non-Pauli process: merged-pair dissipator +
-                    # merged-split jump application (reference
-                    # dissipation.py:142-172, stochastic_process.py jumps)
+                else:
                     m = proc["matrix"]
                     if m.shape != (d * d, d * d):
                         msg = f"adjacent two-site matrix must be ({d*d},{d*d})"
                         raise ValueError(msg)
-                    gens2[s0] += gamma * (m.conj().T @ m)
-                    ch2_bond.append(s0)
-                    ch2_op.append(np.asarray(m, dtype=dtype))
-                    ch2_wop.append(np.asarray(m.conj().T @ m, dtype=dtype))
-                    ch2_gamma.append(gamma)
-                else:
-                    msg = (
-                        "Non-Pauli long-range two-site noise processes are "
-                        "not supported (reference parity)."
-                    )
-                    raise NotImplementedError(msg)
+                    f0f1 = _try_factor_pauli_kron(m, d)
+                    if f0f1 is not None:
+                        # Pauli kron: L^dag L = I x I — scalar dissipator on
+                        # the right site; jump applies both factors.
+                        gens[s1] += gamma * eye
+                        emit(s0, s1, f0f1[0], f0f1[1], eye, gamma)
+                    else:
+                        # general adjacent process: merged-pair dissipator +
+                        # merged-split jump application (reference
+                        # dissipation.py:142-172, stochastic_process.py jumps)
+                        gens2[s0] += gamma * (m.conj().T @ m)
+                        ch2_bond.append(s0)
+                        ch2_op.append(np.asarray(m, dtype=dtype))
+                        ch2_wop.append(np.asarray(m.conj().T @ m, dtype=dtype))
+                        ch2_gamma.append(gamma)
 
     if not gammas and not ch2_gamma:
         return None
@@ -401,8 +778,8 @@ def _try_factor_pauli_kron(m: np.ndarray | None, d: int):
     """Factor a d^2 x d^2 Pauli-kron matrix into its two Pauli factors."""
     if m is None or d != 2 or m.shape != (4, 4):
         return None
-    for a_name, a in PAULI.items():
-        for b_name, b in PAULI.items():
+    for a in PAULI.values():
+        for b in PAULI.values():
             k = np.kron(a, b)
             c = np.trace(m @ k.conj().T) / 4
             if abs(abs(c) - 1.0) < 1e-12 and np.allclose(m, c * k, atol=1e-12):

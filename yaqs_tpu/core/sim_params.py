@@ -65,9 +65,21 @@ class Observable:
 
     def __init__(self, gate, sites: int | list[int] | None = None, **gate_kwargs) -> None:
         self.kwargs = dict(gate_kwargs)
+        if not isinstance(gate, str) and gate_kwargs:
+            msg = (
+                "Matrix observables do not accept named parameters "
+                f"(got {sorted(gate_kwargs)})."
+            )
+            raise ValueError(msg)
         if isinstance(gate, str):
             name = gate.lower()
             if name in _NAMED_OBSERVABLES:
+                if gate_kwargs:
+                    msg = (
+                        f"Observable {gate!r} does not accept parameters "
+                        f"(got {sorted(gate_kwargs)})."
+                    )
+                    raise ValueError(msg)
                 self.name = name
                 self.matrix = _NAMED_OBSERVABLES[name].copy()
             elif name in {"entropy", "schmidt_spectrum"}:
@@ -90,8 +102,14 @@ class Observable:
                 if positions is None:
                     msg = "Observable('position', ...) requires positions="
                     raise ValueError(msg)
+                positions = np.asarray(positions)
+                if positions.ndim != 1 or positions.size == 0 or not np.all(
+                    np.isfinite(positions)
+                ):
+                    msg = "Observable positions must be a nonempty finite 1-D array"
+                    raise ValueError(msg)
                 self.name = "position"
-                self.matrix = np.diag(np.asarray(positions, dtype=np.complex128))
+                self.matrix = np.diag(positions.astype(np.complex128))
             else:
                 msg = f"Unknown observable {gate!r}"
                 raise ValueError(msg)
@@ -100,6 +118,9 @@ class Observable:
             self.matrix = np.asarray(gate, dtype=np.complex128)
             if self.matrix.ndim != 2 or self.matrix.shape[0] != self.matrix.shape[1]:
                 msg = "local observable must be a square matrix"
+                raise ValueError(msg)
+            if not np.all(np.isfinite(self.matrix)):
+                msg = "local observable entries must be finite"
                 raise ValueError(msg)
         if self.name != "pvm" and sites is None:
             msg = "Observable requires sites"
@@ -218,6 +239,20 @@ class _BaseSimParams:
         self.svd_threshold = p["svd_threshold"] if svd_threshold is None else float(svd_threshold)
         self.krylov_dim = p["krylov_dim"] if krylov_dim is None else int(krylov_dim)
 
+    @staticmethod
+    def _validate_random_seed(random_seed) -> int | None:
+        """Reference semantics (simulation_parameters.py random_seed guards):
+        None or a nonnegative int; booleans and other types rejected."""
+        if random_seed is None:
+            return None
+        if isinstance(random_seed, bool) or not isinstance(random_seed, (int, np.integer)):
+            msg = f"random_seed must be None or an int, got {random_seed!r}"
+            raise TypeError(msg)
+        if random_seed < 0:
+            msg = f"random_seed must be nonnegative, got {random_seed}"
+            raise ValueError(msg)
+        return int(random_seed)
+
     @property
     def sorted_observables(self) -> list[Observable]:
         return _sorted_observables(self.observables)[0]
@@ -263,6 +298,10 @@ class AnalogSimParams(_BaseSimParams):
         self.observables = list(observables or [])
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
         self._store_fast_path(svd_method, subspace_iters, lanczos_reorth, subspace_qr, canon_method)
+        for label, value in (("dt", dt), ("elapsed_time", elapsed_time)):
+            if isinstance(value, bool) or not isinstance(value, (int, float, np.floating, np.integer)):
+                msg = f"{label} must be a real number, got {value!r}"
+                raise TypeError(msg)
         if dt <= 0 or not np.isfinite(dt):
             msg = "dt must be positive and finite"
             raise ValueError(msg)
@@ -279,12 +318,24 @@ class AnalogSimParams(_BaseSimParams):
         self.times = np.arange(n_steps + 1) * dt
         self.sample_timesteps = bool(sample_timesteps)
         self.trunc_mode = trunc_mode
+        if order not in (1, 2):
+            msg = f"order must be 1 or 2, got {order!r}"
+            raise ValueError(msg)
         self.order = int(order)
+        if evolution_mode not in (EvolutionMode.TDVP, EvolutionMode.BUG):
+            msg = f"evolution_mode must be 'tdvp' or 'bug', got {evolution_mode!r}"
+            raise ValueError(msg)
         self.evolution_mode = evolution_mode
         self.get_state = bool(get_state)
-        self.random_seed = random_seed
+        self.random_seed = self._validate_random_seed(random_seed)
         self.multi_time_observables = multi_time_observables
-        self.tdvp_sweeps = int(tdvp_sweeps)
+        if not isinstance(tdvp_sweeps, int) or isinstance(tdvp_sweeps, bool) or tdvp_sweeps < 1:
+            msg = f"tdvp_sweeps must be an int >= 1, got {tdvp_sweeps!r}"
+            raise ValueError(msg)
+        self.tdvp_sweeps = tdvp_sweeps
+        if tdvp_mode not in {"1site", "2site", "dynamic"}:
+            msg = f"tdvp_mode must be 1site/2site/dynamic, got {tdvp_mode!r}"
+            raise ValueError(msg)
         self.tdvp_mode = tdvp_mode
 
 
@@ -321,19 +372,43 @@ class DigitalSimParams(_BaseSimParams):
         self.observables = list(observables or [])
         self._apply_preset(preset, num_traj, max_bond_dim, svd_threshold, krylov_dim)
         self._store_fast_path(svd_method, subspace_iters, lanczos_reorth, subspace_qr, canon_method)
+        if isinstance(shots, bool) or not isinstance(shots, (int, np.integer)) or shots < 0:
+            msg = f"shots must be a nonnegative int, got {shots!r}"
+            raise ValueError(msg)
         self.shots = int(shots)
+        if not self.observables and self.shots == 0 and not get_state:
+            msg = (
+                "DigitalSimParams requires some output: observables, "
+                "shots > 0, or get_state=True."
+            )
+            raise ValueError(msg)
+        # PVM projector sampling shares the shot machinery; mixing it with
+        # expectation-value observables would need two incompatible result
+        # layouts per run (reference simulation_parameters.py pvm guard).
+        pvm_flags = [o.name == "pvm" for o in self.observables]
+        if any(pvm_flags) and not all(pvm_flags):
+            msg = "Cannot mix 'pvm' observables with non-pvm observables."
+            raise ValueError(msg)
         self.trunc_mode = trunc_mode
         if gate_mode not in {"swaps", "tdvp", "full-tdvp", "mpo"}:
             msg = f"gate_mode must be swaps/tdvp/full-tdvp/mpo, got {gate_mode!r}"
             raise ValueError(msg)
         self.gate_mode = gate_mode
-        if not isinstance(tdvp_sweeps, int) or tdvp_sweeps < 1:
+        if not isinstance(tdvp_sweeps, int) or isinstance(tdvp_sweeps, bool) or tdvp_sweeps < 1:
             msg = f"tdvp_sweeps must be an int >= 1, got {tdvp_sweeps!r}"
             raise ValueError(msg)
         self.tdvp_sweeps = tdvp_sweeps
+        if sample_layers and not self.observables:
+            msg = "sample_layers=True requires observables to sample."
+            raise ValueError(msg)
         self.sample_layers = bool(sample_layers)
+        # mid-circuit measurement columns are derived from circuit barriers
+        # (reference auto-count); the count is validated for API parity.
+        if isinstance(num_mid_measurements, bool) or int(num_mid_measurements) < 0:
+            msg = f"num_mid_measurements must be a nonnegative int, got {num_mid_measurements!r}"
+            raise ValueError(msg)
         self.num_mid_measurements = int(num_mid_measurements)
         self.get_state = bool(get_state)
-        self.random_seed = random_seed
+        self.random_seed = self._validate_random_seed(random_seed)
         self.sample_timesteps = False
         self.dt = 1.0
