@@ -1,11 +1,15 @@
-"""User-facing Hamiltonian specification with MPO / dense encodings.
+"""User-facing Hamiltonian specification with MPO / dense / sparse encodings.
 
 Reference parity: mqt-yaqs core/data_structures/hamiltonian.py — factories
 delegate to the MPO builders; dense/sparse forms are cached for the
-small-system backends; the backend is chosen by the *State's* representation.
+small-system backends; dense/sparse sources are factorized into an MPO on
+demand (``ensure_mpo``) so every representation can drive every engine; the
+backend is chosen by the *State's* representation.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 
@@ -21,24 +25,60 @@ from .mpo_builders import (
 
 __all__ = ["Hamiltonian"]
 
+# warn before densifying/factorizing operators above this Hilbert dimension
+# (reference hamiltonian.py large-conversion warnings)
+_LARGE_DENSE_DIM = 4096
+
+
+def _is_sparse(m: object) -> bool:
+    return hasattr(m, "tocsr") and hasattr(m, "toarray")
+
 
 class Hamiltonian:
-    """Operator spec holding a padded MPO array and/or a dense matrix."""
+    """Operator spec holding a padded MPO array, a dense matrix, and/or a
+    scipy-sparse matrix; encodings are derived and cached on demand."""
 
-    def __init__(self, mpo: np.ndarray | None = None, matrix: np.ndarray | None = None, length: int | None = None, d: int = 2):
+    def __init__(
+        self,
+        mpo: np.ndarray | None = None,
+        matrix=None,
+        length: int | None = None,
+        d: int = 2,
+    ):
         if mpo is None and matrix is None:
-            msg = "Hamiltonian requires an MPO or a dense matrix."
+            msg = "Hamiltonian requires an MPO or a (dense or sparse) matrix."
+            raise ValueError(msg)
+        if d <= 0:
+            msg = f"physical dimension must be positive, got {d}"
             raise ValueError(msg)
         self._mpo = None if mpo is None else np.asarray(mpo)
-        self._matrix = None if matrix is None else np.asarray(matrix, dtype=np.complex128)
+        self._sparse = None
+        self._matrix = None
+        if matrix is not None:
+            if _is_sparse(matrix):
+                self._sparse = matrix.tocsr()
+                shape = self._sparse.shape
+            else:
+                self._matrix = np.asarray(matrix, dtype=np.complex128)
+                shape = self._matrix.shape
+            if len(shape) != 2 or shape[0] != shape[1]:
+                msg = f"Hamiltonian matrix must be square, got shape {shape}"
+                raise ValueError(msg)
         if self._mpo is not None:
-            self.length = self._mpo.shape[0]
-            self.d = self._mpo.shape[1]
+            self.length = int(self._mpo.shape[0])
+            self.d = int(self._mpo.shape[1])
         else:
+            dim = shape[0]
             if length is None:
-                length = int(round(np.log(self._matrix.shape[0]) / np.log(d)))
-            self.length = length
-            self.d = d
+                length = int(round(np.log(dim) / np.log(d)))
+            if d**length != dim:
+                msg = (
+                    f"matrix dimension {dim} is not d**length "
+                    f"(d={d}, length={length})"
+                )
+                raise ValueError(msg)
+            self.length = int(length)
+            self.d = int(d)
 
     # -- factories (reference hamiltonian.py:176-315) ----------------------
 
@@ -62,6 +102,12 @@ class Hamiltonian:
     ) -> Hamiltonian:
         """Generic nearest-neighbor two-body + one-body Pauli Hamiltonian
         (reference mpo.pauli, mpo.py:249)."""
+        if length <= 0:
+            msg = f"length must be positive, got {length}"
+            raise ValueError(msg)
+        if bc not in {"open", "periodic"}:
+            msg = f"bc must be 'open' or 'periodic', got {bc!r}"
+            raise ValueError(msg)
         terms: list[tuple[complex, list[tuple[int, object]]]] = []
         bonds = range(length) if bc == "periodic" else range(length - 1)
         for c, a, b in two_body or []:
@@ -84,7 +130,8 @@ class Hamiltonian:
         return cls(mpo=np.asarray(mpo))
 
     @classmethod
-    def from_matrix(cls, matrix: np.ndarray, length: int | None = None, d: int = 2) -> Hamiltonian:
+    def from_matrix(cls, matrix, length: int | None = None, d: int = 2) -> Hamiltonian:
+        """Dense or scipy-sparse square matrix."""
         return cls(matrix=matrix, length=length, d=d)
 
     @classmethod
@@ -136,23 +183,47 @@ class Hamiltonian:
     # -- encodings ---------------------------------------------------------
 
     def ensure_mpo(self) -> np.ndarray:
+        """MPO encoding; dense/sparse sources are SVD-factorized on demand
+        (reference hamiltonian ensure_mpo conversion path) with a warning
+        above the large-system threshold."""
         if self._mpo is None:
-            msg = (
-                "Dense-matrix Hamiltonians have no MPO encoding yet; "
-                "construct via a factory or from_mpo."
-            )
-            raise ValueError(msg)
+            from .mpo import MPO
+
+            dim = self.d**self.length
+            if dim > _LARGE_DENSE_DIM:
+                warnings.warn(
+                    f"Factorizing a dense {dim}x{dim} operator into an MPO; "
+                    "this is exponential in system size — prefer an MPO "
+                    "factory for large systems.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            self._mpo = MPO.from_matrix(
+                self.ensure_matrix(), self.length, self.d
+            ).tensors
         return self._mpo
 
     def ensure_matrix(self) -> np.ndarray:
         if self._matrix is None:
-            self._matrix = mpo_to_matrix(self._mpo)
+            if self._sparse is not None:
+                dim = self._sparse.shape[0]
+                if dim > _LARGE_DENSE_DIM:
+                    warnings.warn(
+                        f"Densifying a sparse {dim}x{dim} operator.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                self._matrix = np.asarray(
+                    self._sparse.toarray(), dtype=np.complex128
+                )
+            else:
+                self._matrix = mpo_to_matrix(self._mpo)
         return self._matrix
 
     def ensure_sparse(self):
         """CSR form (reference hamiltonian.ensure_sparse, hamiltonian.py:364);
         built from the MPO channels without a dense intermediate."""
-        if getattr(self, "_sparse", None) is None:
+        if self._sparse is None:
             if self._mpo is not None:
                 self._sparse = mpo_to_sparse_matrix(self._mpo)
             else:

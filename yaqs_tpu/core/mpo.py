@@ -192,10 +192,34 @@ class MPO:
         return self.tensors.shape[-1]
 
     # -- operations ---------------------------------------------------------
-    def multiply(self, other, chi_out: int | None = None, threshold: float = 0.0):
-        """Apply to an MPS (returns MPS) or compose with an MPO (returns MPO)."""
+    def multiply(self, other, chi_out: int | None = None, threshold: float = 0.0,
+                 start_site: int = 0):
+        """Apply to an MPS (returns MPS) or compose with an MPO (returns MPO).
+
+        A shorter MPO ``other`` is embedded at ``start_site`` (identities
+        elsewhere) before composing (reference MPO.multiply start_site,
+        mpo.py:1517-1577).
+        """
         from .mps import MPS
 
+        if not isinstance(other, (MPS, MPO)):
+            msg = f"cannot multiply MPO with {type(other).__name__}"
+            raise TypeError(msg)
+        other_len = other.length
+        if start_site < 0 or start_site + other_len > self.length:
+            msg = (
+                f"cannot embed length-{other_len} operand at start_site="
+                f"{start_site} in MPO of length {self.length}"
+            )
+            raise ValueError(msg)
+        if other_len != self.length:
+            if isinstance(other, MPS):
+                msg = "MPS operand must match the MPO length"
+                raise ValueError(msg)
+            eye = identity_mpo(self.length, self.physical_dimension,
+                               dw=other.bond_dimension)
+            eye[start_site : start_site + other_len] = other.tensors
+            other = MPO(eye)
         if isinstance(other, MPS):
             # jit: eager complex device compute is unsupported on the
             # tunneled TPU platform (same below)
@@ -223,6 +247,10 @@ class MPO:
         length, d, _, da, _ = a.shape
         db = b.shape[-1]
         out = np.zeros((length, d, d, da + db, da + db), dtype=np.complex128)
+        if length == 1:
+            # single site: both boundary legs are index 0 — plain tensor sum
+            out[0, :, :, 0, 0] = a[0, :, :, 0, 0] + b[0, :, :, 0, 0]
+            return MPO(out)
         out[:, :, :, :da, :da] = a
         out[:, :, :, da:, da:] = b
         # boundary: both summands' boundary index 0 must merge on the edges
@@ -322,14 +350,19 @@ class MPO:
         overlap_abs = float(np.asarray(run(to_device(ident), canon)))
         return float(overlap_abs * np.asarray(nrm) / (d ** (length / 2)))
 
-    def operator_schmidt_spectrum(self, bond: int) -> np.ndarray:
+    def _check_bond(self, bond: int) -> None:
+        if not 0 <= bond < self.length - 1:
+            msg = f"bond {bond} out of range for MPO of length {self.length}"
+            raise ValueError(msg)
 
+    def operator_schmidt_spectrum(self, bond: int) -> np.ndarray:
+        self._check_bond(bond)
         canon, _ = self._normalized_doubled()
         spectra, _ = jax.jit(mps_ops.bond_spectra)(canon)
         return np.asarray(spectra)[bond]
 
     def operator_entanglement_entropy(self, bond: int) -> float:
-
+        self._check_bond(bond)
         canon, _ = self._normalized_doubled()
         _, ents = jax.jit(mps_ops.bond_spectra)(canon)
         return float(np.asarray(ents)[bond])

@@ -37,7 +37,11 @@ __all__ = [
 
 def _op_matrix(op, d: int) -> np.ndarray:
     if isinstance(op, str):
-        m = PAULI[op.upper()]
+        label = op.upper()
+        if label not in PAULI:
+            msg = f"invalid local operator label {op!r} (expected one of {sorted(PAULI)})"
+            raise ValueError(msg)
+        m = PAULI[label]
     else:
         m = np.asarray(op, dtype=np.complex128)
     if m.shape[0] < d:
@@ -211,9 +215,12 @@ def mpo_from_pauli_sum(
     parsed = []
     for coeff, s in terms:
         ops = []
-        for tok in s.split():
-            p, idx = tok[0], int(tok[1:])
-            ops.append((idx, p))
+        for tok in s.replace(",", " ").split():
+            p, rest = tok[0], tok[1:]
+            if not rest or not rest.isdigit():
+                msg = f"invalid Pauli-string token {tok!r} (expected e.g. 'X0')"
+                raise ValueError(msg)
+            ops.append((int(rest), p))
         parsed.append((coeff, ops))
     return mpo_from_terms(parsed, length, d=d)
 

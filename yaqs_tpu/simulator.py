@@ -105,6 +105,13 @@ class Simulator:
                 if not isinstance(sim_params, AnalogSimParams):
                     msg = "ensemble (list-of-State) runs require AnalogSimParams"
                     raise TypeError(msg)
+                if noise_model is not None:
+                    msg = (
+                        "unitary ensemble (list-of-State) runs are noiseless; "
+                        "pass noise_model=None (reference simulator.py list-"
+                        "initial-state contract)"
+                    )
+                    raise ValueError(msg)
                 result = self._run_ensemble(list(initial_state), operator, sim_params)
             elif isinstance(sim_params, AnalogSimParams):
                 result = self._run_analog(
@@ -224,8 +231,24 @@ class Simulator:
                     [(sites[0], root * np.asarray(f0)), (sites[1], np.asarray(f1))]
                 )
             else:
-                msg = "two-site matrix processes need factored embedding"
-                raise NotImplementedError(msg)
+                # adjacent matrix process: product-form (operator-Schmidt
+                # rank 1, e.g. any crosstalk kron) maps onto local factors;
+                # genuine sum-of-products jump operators are out of scope for
+                # the local-factor MCWF path.
+                from .analog.embedding import operator_schmidt_factors
+
+                terms = operator_schmidt_factors(proc["matrix"])
+                if len(terms) != 1:
+                    msg = (
+                        "adjacent two-site matrix processes with operator-"
+                        "Schmidt rank > 1 are not supported on the large-"
+                        "system MCWF path (use the mps representation)"
+                    )
+                    raise NotImplementedError(msg)
+                a_k, b_k = terms[0]
+                channels.append(
+                    [(sites[0], root * a_k), (sites[1], b_k)]
+                )
         return channels
 
     @staticmethod
@@ -541,6 +564,22 @@ class Simulator:
 
         if not states:
             msg = "ensemble run requires at least one State"
+            raise ValueError(msg)
+        for s in states:
+            if getattr(s, "representation", "mps") != "mps":
+                msg = (
+                    f"ensemble members must use the 'mps' representation, got "
+                    f"{s.representation!r}"
+                )
+                raise ValueError(msg)
+            if s.length != states[0].length:
+                msg = (
+                    f"ensemble members must share one length; got "
+                    f"{s.length} vs {states[0].length}"
+                )
+                raise ValueError(msg)
+        if sim_params.get_state:
+            msg = "get_state is not supported for ensemble (list-of-State) runs"
             raise ValueError(msg)
         ham = operator if isinstance(operator, Hamiltonian) else Hamiltonian.from_mpo(operator)
         length = states[0].length
