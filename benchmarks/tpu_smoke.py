@@ -251,6 +251,23 @@ def main() -> None:
         )
         assert np.all(np.isfinite(np.asarray(res.expectation_values)))
 
+    def lindblad_rk4():
+        # large-system Lindblad ODE fallback: force the propagator cutoff
+        # down so the sparse RK4 path dispatches (real-split BCOO matvecs —
+        # complex BCOO does not lower on this platform, rule 6b)
+        import yaqs_tpu.analog.lindblad as lb
+
+        lb.MAX_PROPAGATOR_VEC_DIM = 2
+        res = Simulator().run(
+            State(3, state="x+", representation="density_matrix"),
+            Hamiltonian.ising(3, 1.0, 0.5),
+            AnalogSimParams(observables=[Observable("z", i) for i in range(3)],
+                            elapsed_time=0.2, dt=0.1, num_traj=1),
+            NoiseModel([{"name": "lowering", "sites": [i], "strength": 0.1} for i in range(3)]),
+        )
+        vals = np.asarray(res.expectation_values)
+        assert np.all(np.isfinite(vals)) and np.all(np.abs(vals) <= 1 + 1e-6)
+
     def characterize_memory():
         from yaqs_tpu import MemoryCharacterizer
 
@@ -274,6 +291,7 @@ def main() -> None:
     check("memory characterization (operational)", characterize_memory)
     check("chunked order-2 dispatch", chunked_analog)
     check("MCWF large-system (MPO H_eff + Arnoldi)", mcwf_krylov)
+    check("Lindblad large-system (sparse RK4 ODE)", lindblad_rk4)
     if _ONE is not None:
         return
     if FAIL:

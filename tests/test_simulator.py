@@ -141,7 +141,7 @@ def test_static_disorder_sampling():
             {
                 "name": "lowering",
                 "sites": [i],
-                "strength": {"distribution": "truncated_normal", "mean": 0.1, "std": 0.02, "lower": 0.0},
+                "strength": {"distribution": "truncated_normal", "mean": 0.1, "std": 0.02},
             }
             for i in range(3)
         ]

@@ -156,7 +156,10 @@ def lindblad_rk4_expectations(
     chosen from the Liouvillian one-norm so the whole propagation is one
     jit-compiled ``lax.scan`` (no data-dependent step control), with the
     sparse operator as a BCOO matvec on device.  All complex operands ride as
-    trace-time closures per the tunneled-TPU platform rules.
+    trace-time closures per the tunneled-TPU platform rules; the Liouvillian
+    is split into REAL BCOO parts (``L v = (Lr vr - Li vi) + i(Li vr + Lr vi)``,
+    four real matvecs) because complex BCOO matvecs do not lower on the
+    tunneled TPU while real ones do (platform rule 6b, docs/tpu_numerics.md).
 
     Returns ``(n_obs, num_steps + 1)`` real expectation trajectories.
     """
@@ -171,7 +174,12 @@ def lindblad_rk4_expectations(
         substeps = max(1, int(np.ceil(dt * onenorm / 0.5)))
     h = dt / substeps
 
-    liou_b = jsparse.BCOO.from_scipy_sparse(liou_csr.tocoo())
+    liou_re = jsparse.BCOO.from_scipy_sparse(np.real(liou_csr).tocoo())
+    liou_im = jsparse.BCOO.from_scipy_sparse(np.imag(liou_csr).tocoo())
+
+    def liou_matvec(vec):
+        vr, vi = jnp.real(vec), jnp.imag(vec)
+        return (liou_re @ vr - liou_im @ vi) + 1j * (liou_im @ vr + liou_re @ vi)
     # trace(O rho) = sum over nonzeros O[r,c] * rho[c,r]
     obs_idx = []
     for o in observables_sparse:
@@ -199,10 +207,10 @@ def lindblad_rk4_expectations(
             )
 
         def substep(vec, _):
-            k1 = liou_b @ vec
-            k2 = liou_b @ (vec + 0.5 * h * k1)
-            k3 = liou_b @ (vec + 0.5 * h * k2)
-            k4 = liou_b @ (vec + h * k3)
+            k1 = liou_matvec(vec)
+            k2 = liou_matvec(vec + 0.5 * h * k1)
+            k3 = liou_matvec(vec + 0.5 * h * k2)
+            k4 = liou_matvec(vec + h * k3)
             return vec + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
         def step(vec, _):
