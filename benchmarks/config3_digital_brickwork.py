@@ -39,7 +39,7 @@ def brickwork_qasm(n: int, layers: int) -> str:
 def main() -> None:
     n = int(os.environ.get("N_QUBITS", 20))
     layers = 8
-    num_traj = int(os.environ.get("N_TRAJ", 64))
+    num_traj = int(os.environ.get("N_TRAJ", 512))  # measured optimum, see docs/tpu_numerics.md
     shots = int(os.environ.get("SHOTS", 256))
     qasm = brickwork_qasm(n, layers)
     from yaqs_tpu.digital.circuit import GateOp, load_circuit

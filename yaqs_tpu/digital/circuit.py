@@ -89,7 +89,18 @@ class Circuit:
         return self.barrier("SAMPLE_OBSERVABLES")
 
     def measure(self, qubits=None) -> Circuit:
-        qs = list(range(self.num_qubits)) if qubits is None else list(qubits)
+        """Terminal measurement of ``qubits`` (int or iterable; default all).
+
+        Measurements are terminal-only in the digital TJM (shots sample the
+        final state); mid-circuit *observable* sampling uses
+        :meth:`sample_observables` barriers instead.
+        """
+        if qubits is None:
+            qs = list(range(self.num_qubits))
+        elif isinstance(qubits, (int, np.integer)):
+            qs = [int(qubits)]
+        else:
+            qs = list(qubits)
         self.measured_qubits.extend(int(q) for q in qs)
         return self
 

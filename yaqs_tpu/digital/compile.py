@@ -207,7 +207,11 @@ def compile_circuit(circuit: Circuit, gate_mode: str = "swaps") -> CompiledCircu
         flush()
         stages.append(stage)
 
-    for op in circuit.ops:
+    last_gate_idx = max(
+        (i for i, o in enumerate(circuit.ops) if o.name not in {"barrier", "measure"}),
+        default=-1,
+    )
+    for op_idx, op in enumerate(circuit.ops):
         if op.name == "barrier":
             if op.label is not None and str(op.label).upper() == "SAMPLE_OBSERVABLES":
                 flush()
@@ -217,6 +221,20 @@ def compile_circuit(circuit: Circuit, gate_mode: str = "swaps") -> CompiledCircu
                 stages = []
             continue
         if op.name == "measure":
+            # measurement is terminal-only in the digital TJM: shots sample
+            # the final state (reference digital_tjm rejects mid-circuit
+            # measure in the DAG walk; mid-circuit *observable* sampling is
+            # the SAMPLE_OBSERVABLES barrier instead)
+            if op_idx < last_gate_idx:
+                msg = (
+                    "mid-circuit measurement ops are not supported; use a "
+                    "SAMPLE_OBSERVABLES barrier for mid-circuit observable "
+                    "sampling or move measurements to the end"
+                )
+                raise ValueError(msg)
+            for q in op.qubits:
+                if int(q) not in circuit.measured_qubits:
+                    circuit.measured_qubits.append(int(q))
             continue
         qubits = op.qubits
         if len(qubits) == 1:

@@ -138,6 +138,20 @@ class EquivalenceChecker:
         if c1.num_qubits != c2.num_qubits:
             msg = "circuits must have the same width"
             raise ValueError(msg)
+        for c in (c1, c2):
+            # final measurements are stripped (the checker compares the
+            # unitary parts); mid-circuit measurements make the circuit a
+            # channel, which the fidelity verdict cannot represent
+            # (reference equivalence_checker mid-circuit rejection)
+            gates = [op for op in c.ops if op.name != "barrier"]
+            tail = 0
+            for op in reversed(gates):
+                if op.name != "measure":
+                    break
+                tail += 1
+            if any(op.name == "measure" for op in gates[: len(gates) - tail]):
+                msg = "mid-circuit measurements are not supported by the equivalence checker"
+                raise ValueError(msg)
         if method == "auto":
             method = "matrix" if c1.num_qubits <= self.matrix_max_qubits else "mpo"
         if method == "matrix":

@@ -120,6 +120,14 @@ GATES: dict[str, tuple[int, int, object]] = {
     "ryy": (2, 1, _ryy),
     "rzz": (2, 1, _rzz),
     "rzx": (2, 1, _rzx),
+    # echoed cross-resonance (qiskit ECRGate), reindexed to the first-listed-
+    # site-most-significant convention: ECR = (X_q0 - Y_q0 X_q1)/sqrt(2)
+    "ecr": (
+        2,
+        0,
+        lambda: (np.kron(pauli_x, np.eye(2)) - np.kron(pauli_y, pauli_x))
+        / np.sqrt(2),
+    ),
     "xx": (2, 0, lambda: np.kron(pauli_x, pauli_x)),
     "yy": (2, 0, lambda: np.kron(pauli_y, pauli_y)),
     "zz": (2, 0, lambda: np.kron(pauli_z, pauli_z)),
