@@ -71,6 +71,59 @@ REPS = int(os.environ.get("BENCH_REPS", 2))
 TARGET_TRAJ_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # BASELINE: 1000/min on v5p-8
 
 
+def digital_bench() -> dict:
+    """BASELINE config 3: noisy QASM2 brickwork TEBD throughput.
+
+    Same workload as benchmarks/config3_digital_brickwork.py (n=20, 8
+    layers, chi=32, amplitude damping 0.02, 256 shots, mid-circuit
+    observable column, gate_mode=swaps) at the measured-optimum batch of
+    512 trajectories (docs/tpu_numerics.md throughput table).  Returns the
+    extra JSON fields; any failure is reported without breaking the
+    analog headline.
+    """
+    from yaqs_tpu import DigitalSimParams, NoiseModel as NM, Simulator, State
+    from yaqs_tpu.core.sim_params import Observable as Obs
+    from yaqs_tpu.digital.circuit import GateOp, load_circuit
+
+    cpu = os.environ.get("BENCH_CPU") == "1"
+    n = int(os.environ.get("BENCH_DIGITAL_QUBITS", 8 if cpu else 20))
+    layers = 8
+    num_traj = int(os.environ.get("BENCH_DIGITAL_TRAJ", 16 if cpu else 512))
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{n}];", f"creg c[{n}];"]
+    for layer in range(layers):
+        for q in range(n):
+            lines.append(f"rx({0.3 + 0.01 * q}) q[{q}];")
+        for q in range(layer % 2, n - 1, 2):
+            lines.append(f"cx q[{q}],q[{q + 1}];")
+    lines.append("measure q -> c;")
+    circ = load_circuit("\n".join(lines))
+    circ.ops.insert(len(circ.ops) // 2, GateOp("barrier", (), label="SAMPLE_OBSERVABLES"))
+    noise = NM([{"name": "lowering", "sites": [i], "strength": 0.02} for i in range(n)])
+    params = DigitalSimParams(
+        observables=[Obs("z", i) for i in range(n)],
+        num_traj=num_traj,
+        shots=256,
+        max_bond_dim=32,
+        sample_layers=True,
+        random_seed=3,
+        gate_mode="swaps",
+    )
+    sim = Simulator()
+    sim.run(State(n), circ, params, noise)  # warmup: populate jit caches
+    t0 = time.perf_counter()
+    res = sim.run(State(n), circ, params, noise)
+    wall = time.perf_counter() - t0
+    assert res.counts, "digital bench produced no shot counts"
+    return {
+        "digital_metric": (
+            f"TEBD trajectories/sec/chip (noisy QASM2 brickwork n={n}, "
+            f"{layers} layers, chi=32, 256 shots, mid-circuit sampling)"
+        ),
+        "digital_value": round(num_traj / wall, 4),
+        "digital_unit": "traj/sec/chip",
+    }
+
+
 def main() -> None:
     dev = jax.devices()[0]
     use_x64 = dev.platform == "cpu" and jax.config.read("jax_enable_x64")
@@ -142,17 +195,19 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     traj_per_sec = BATCH * REPS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"TJM trajectories/sec/chip ({MODEL.upper()} L={L}, "
-                f"chi={CHI}, {STEPS} steps dt={DT}, order 2, noisy)",
-                "value": round(traj_per_sec, 4),
-                "unit": "traj/sec/chip",
-                "vs_baseline": round(traj_per_sec / TARGET_TRAJ_PER_SEC_PER_CHIP, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"TJM trajectories/sec/chip ({MODEL.upper()} L={L}, "
+        f"chi={CHI}, {STEPS} steps dt={DT}, order 2, noisy)",
+        "value": round(traj_per_sec, 4),
+        "unit": "traj/sec/chip",
+        "vs_baseline": round(traj_per_sec / TARGET_TRAJ_PER_SEC_PER_CHIP, 4),
+    }
+    if os.environ.get("BENCH_DIGITAL", "1") == "1":
+        try:
+            record.update(digital_bench())
+        except Exception as exc:  # noqa: BLE001 - never break the headline
+            record["digital_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
