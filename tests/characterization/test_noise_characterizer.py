@@ -94,3 +94,65 @@ def test_requires_exactly_one_reference():
             x_low=np.zeros(1),
             x_up=np.ones(1),
         )
+
+
+def test_with_strengths_clamps_and_preserves_fields():
+    from yaqs_tpu.characterization.noise.optimization import _with_strengths
+
+    base = NoiseModel([
+        {"name": "z", "sites": [0], "strength": 0.1},
+        {"name": "lowering", "sites": [1], "strength": 0.2},
+    ])
+    out = _with_strengths(base, np.array([-0.5, 0.7]))
+    assert [p["strength"] for p in out.processes] == [0.0, 0.7]
+    assert [p["name"] for p in out.processes] == ["z", "lowering"]
+    assert [p["sites"] for p in out.processes] == [[0], [1]]
+    # The input model is untouched.
+    assert [p["strength"] for p in base.processes] == [0.1, 0.2]
+
+
+def test_representation_cutover_custom_cutoffs():
+    assert resolve_noise_representation(6, lindblad_max_qubits=4) == "vector"
+    assert (
+        resolve_noise_representation(6, lindblad_max_qubits=4, vector_max_qubits=5)
+        == "mps"
+    )
+    assert resolve_noise_representation(3, representation="mps") == "mps"
+
+
+def test_fit_against_experimental_expectations():
+    """The ref_expectations= path (experimental data, no reference model) must
+    recover the generating rate: generate the 'experiment' with one forward
+    Lindblad run, then fit from a wrong initial guess."""
+    L = 2
+    gamma_true = 0.15
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    obs = [Observable("x", i) for i in range(L)] + [Observable("z", 0)]
+    params = AnalogSimParams(
+        observables=obs, elapsed_time=0.8, dt=0.2, max_bond_dim=4, random_seed=0
+    )
+    from yaqs_tpu import Simulator
+
+    truth = NoiseModel([{"name": "z", "sites": [i], "strength": gamma_true} for i in range(L)])
+    ref = Simulator().run(
+        State(L, state="x+", representation="density_matrix"), ham, params, truth
+    ).expectation_values
+
+    nc = NoiseCharacterizer()
+    res = nc.characterize(
+        ham,
+        params,
+        init_state=State(L, state="x+"),
+        init_guess=NoiseModel(
+            [{"name": "z", "sites": [i], "strength": 0.4} for i in range(L)]
+        ),
+        observables=obs,
+        x_low=np.zeros(2),
+        x_up=np.ones(2),
+        ref_expectations=np.asarray(ref),
+        max_iter=80,
+        seed=11,
+    )
+    np.testing.assert_allclose(res.strengths, gamma_true, atol=5e-3)
+    assert res.loss < 1e-8
+    np.testing.assert_allclose(res.ref_expectations, np.asarray(ref, dtype=float))
