@@ -143,7 +143,12 @@ def main() -> None:
     noise = jax.tree.map(
         lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, noise
     )
-    observables = compile_observables([Observable("z", i) for i in range(L)], L, 2)
+    obs_list = [Observable("z", i) for i in range(L)]
+    if os.environ.get("BENCH_OBS2") == "1":
+        # appending any two-site row disables the gauge-free measurement fast
+        # path (analog/tjm.py) — A/B knob for measuring that path's value
+        obs_list.append(Observable("zz", [0, 1]))
+    observables = compile_observables(obs_list, L, 2)
     observables = jax.tree.map(
         lambda x: x.astype(np_cdtype) if np.iscomplexobj(x) else x, observables
     )

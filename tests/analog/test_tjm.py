@@ -273,3 +273,51 @@ def test_chunked_dispatch_matches_monolithic():
         np.asarray(mono), np.transpose(np.asarray(cols), (0, 2, 1))
     )
     np.testing.assert_array_equal(np.asarray(final_mono), np.asarray(carry[1]))
+
+
+def test_order2_gauge_free_fast_path_consistency():
+    """One-site-only observables engage the gauge-free measurement fast path
+    (the measure branch skips canonicalization; analog/tjm.py). Adding a
+    two-site observable disables it. Jump decisions and channel draws never
+    depend on the evaluation path, so the shared one-site rows must agree to
+    evaluation-numerics tolerance, and the fast path's returned final state
+    must still honor the canonical-at-0 + normalized contract."""
+    from yaqs_tpu.core.observables import compile_observables
+    from yaqs_tpu.core.sim_params import Observable
+
+    L, chi, steps = 5, 8, 6
+    w = jnp.asarray(ising_mpo(L, 1.0, 0.5))
+    t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": 0.25} for i in range(L)]
+    )
+    cn = compile_noise(nm, L, 2)
+    obs_fast = make_obs_z(L)
+    assert obs_fast.only_one_site
+    obs_slow = compile_observables(
+        [Observable("z", i) for i in range(L)] + [Observable("zz", [0, 1])], L, 2
+    )
+    assert not obs_slow.only_one_site
+    plan = TrajectoryPlan(
+        dt=0.1, num_steps=steps, order=2, sample_timesteps=True,
+        evolution=TDVPConfig(krylov_dim=10, threshold=1e-10, max_bond_dim=chi),
+    )
+    base = jax.random.PRNGKey(21)
+    for i in range(3):  # several trajectories: cover jump and no-jump paths
+        tk, sk = trajectory_key(base, i), sample_key(base, i)
+        fast, _, psi_fast = tjm_trajectory(tk, sk, t0, w, cn, obs_fast, plan)
+        slow, _, psi_slow = tjm_trajectory(tk, sk, t0, w, cn, obs_slow, plan)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(slow)[:L], atol=1e-8
+        )
+        # the final states are the same physical state in the same gauge
+        np.testing.assert_allclose(
+            np.asarray(psi_fast), np.asarray(psi_slow), atol=1e-7
+        )
+        # canonical-at-0 + normalized contract on the fast path's state
+        np.testing.assert_allclose(
+            float(mps_ops.norm_squared(psi_fast)), 1.0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(mps_ops.norm_squared_center0(psi_fast)), 1.0, atol=1e-9
+        )

@@ -179,3 +179,62 @@ def test_three_site_observable_mcwf_and_lindblad():
         want = np.real(np.vdot(psi_t, o @ psi_t))
         np.testing.assert_allclose(res_v.expectation_values[0, j], want, atol=1e-8)
         np.testing.assert_allclose(res_r.expectation_values[0, j], want, atol=1e-8)
+
+
+def test_gauge_free_one_site_evaluation_matches_canonical():
+    """evaluate_observables_gauge_free must reproduce the canonical-path
+    values on a state in ARBITRARY gauge and scale: the order-2 measurement
+    branch relies on this to skip its full-chain canonicalization
+    (analog/tjm.py fast path)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from yaqs_tpu.core import mps_ops
+    from yaqs_tpu.core.observables import (
+        compile_observables,
+        evaluate_observables,
+        evaluate_observables_gauge_free,
+    )
+    from yaqs_tpu.models.operators import pauli_y
+
+    L, chi = 5, 8
+    rng = np.random.default_rng(7)
+    t = mps_ops.haar_random_mps(L, chi, rng=rng)
+    obs = [Observable("z", i) for i in range(L)]
+    obs += [Observable("x", 2), Observable("y", 3), Observable(pauli_y, 0)]
+    co = compile_observables(obs, L, 2)
+
+    canon, _ = mps_ops.normalize_canonical(jnp.asarray(t))
+    base = np.asarray(evaluate_observables(canon, co))
+
+    # dense oracle from the canonical state
+    psi = np.asarray(mps_ops.to_statevector(canon))
+    mats = [embed_operator({i: pauli_z}, L) for i in range(L)]
+    mats += [
+        embed_operator({2: pauli_x}, L),
+        embed_operator({3: pauli_y}, L),
+        embed_operator({0: pauli_y}, L),
+    ]
+    dense = [np.real(np.vdot(psi, m @ psi)) for m in mats]
+    np.testing.assert_allclose(base, dense, atol=1e-10)
+
+    # scramble: invertible bond transforms G, G^{-1} (state unchanged) plus a
+    # global scale (gauge-free path normalizes by <psi|psi>)
+    t2 = np.asarray(t).copy()
+    for bond in (1, 3):
+        g = (
+            np.eye(chi)
+            + 0.3 * rng.standard_normal((chi, chi))
+            + 0.2j * rng.standard_normal((chi, chi))
+        )
+        t2[bond] = np.einsum("slr,rm->slm", t2[bond], g)
+        t2[bond + 1] = np.einsum("ml,slr->smr", np.linalg.inv(g), t2[bond + 1])
+    t2[0] *= 1.7 - 0.4j
+
+    got = np.asarray(evaluate_observables_gauge_free(jnp.asarray(t2), co))
+    np.testing.assert_allclose(got, base, atol=1e-9)
+
+    # contract: refuses anything beyond one-site rows
+    co2 = compile_observables([Observable("zz", [0, 1])], L, 2)
+    with pytest.raises(ValueError, match="one-site"):
+        evaluate_observables_gauge_free(jnp.asarray(t2), co2)

@@ -53,6 +53,30 @@ def test_mesh_respects_parallel_flag():
     assert make_trajectory_mesh(ExecutionConfig(parallel=True)).devices.size >= 1
 
 
+def test_on_device_mean_reduction_matches_host_mean():
+    """reduce="mean" sums over the SHARDED traj axis inside jit (lowers to an
+    XLA all-reduce over the mesh) and must agree with the host-side mean of
+    the per-trajectory path, including masked padding (7 traj on 8 devices)
+    and across chunk sizes."""
+    base = jax.random.PRNGKey(3)
+    kf = (_keys, lambda b, i: _keys(jax.random.fold_in(b, 11), i))
+    full = run_ensemble(_traj_fn, 7, base, kf, ExecutionConfig())
+    want = np.asarray(full).mean(axis=0)
+    for bs in (None, 2, 16):
+        got = run_ensemble(
+            _traj_fn, 7, base, kf, ExecutionConfig(batch_size=bs), reduce="mean"
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_reduce_rejects_unknown_mode():
+    base = jax.random.PRNGKey(4)
+    kf = (_keys, _keys)
+    with pytest.raises(ValueError, match="reduce"):
+        run_ensemble(_traj_fn, 2, base, kf, None, reduce="sum")
+
+
 def test_retry_recovers_transient_failure():
     calls = {"n": 0}
 

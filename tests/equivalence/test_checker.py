@@ -210,18 +210,6 @@ def test_near_equivalent_truncation_inconclusive_flag():
     assert res_full.equivalent, res_full.fidelity
 
 
-def test_global_phase_equivalence():
-    """Circuits equal up to a global phase are physically equivalent."""
-    c1 = Circuit(2).h(0).cx(0, 1)
-    c2 = Circuit(2).h(0).cx(0, 1)
-    # rz on both arms implements exp(-i phi) global phase on the |0>,|1> mix?
-    # simplest global phase: u1-style phase on every basis state via
-    # rz(a) x(q) rz(a) x(q) = e^{... } identity-like; instead append nothing
-    # and scale check: matrix method must use phase-insensitive fidelity
-    res = EquivalenceChecker().check(c1, c2)
-    assert res.equivalent
-
-
 def test_mpo_backend_rejects_three_qubit_gates():
     c = Circuit(8)
     c.ccx(0, 4, 7)

@@ -255,6 +255,57 @@ def test_dynamic_sweep_saturated_uses_projector_update():
     np.testing.assert_allclose(np.vdot(psi_dyn, psi_dyn).real, 1.0, atol=1e-8)
 
 
+def test_1site_newton_shifts_match_qr():
+    """canon_method="newton" replaces the 1-site sweep's Householder QR/LQ
+    center shifts with Newton-Schulz polar shifts (the TPU fast path); both
+    must produce the same evolved state to the polar iteration's accuracy
+    budget (~1e-6 in x64, same as canonicalize_right's newton mode)."""
+    L, chi, dt, steps = 6, 8, 0.05, 3
+    w = ising_mpo(L, 1.0, 0.7)
+    wj = jnp.asarray(w)
+    t0 = jnp.asarray(mps_ops.named_product_state("x+", L, chi))
+    # grow entanglement first so the 1-site shifts see generic tensors
+    grow = TDVPConfig(krylov_dim=20, threshold=1e-14, max_bond_dim=chi)
+    for _ in range(2):
+        t0 = sweep_2site(t0, wj, dt, grow)
+    t_qr = t_nw = t0
+    for _ in range(steps):
+        t_qr = sweep_1site(t_qr, wj, dt, TDVPConfig(krylov_dim=20, mode="1site"))
+        t_nw = sweep_1site(
+            t_nw, wj, dt, TDVPConfig(krylov_dim=20, mode="1site", canon_method="newton")
+        )
+    p_qr = np.asarray(mps_ops.to_statevector(t_qr))
+    p_nw = np.asarray(mps_ops.to_statevector(t_nw))
+    # ~600 polar shifts at ~1e-5 subspace error each accumulate to ~1e-7
+    # infidelity (same budget as canonicalize_right's newton mode)
+    assert fidelity(p_qr, p_nw) > 1 - 1e-6
+    # and both still track the dense oracle from the common start
+    h = mpo_to_matrix(w)
+    expected = dense_evolve(h, np.asarray(mps_ops.to_statevector(t0)), dt * steps)
+    assert fidelity(p_nw, expected) > 1 - 1e-6
+
+
+def test_dynamic_newton_shifts_match_qr():
+    """Same guard for the dynamic sweep's saturated-bond branch."""
+    from yaqs_tpu.methods.tdvp import sweep_dynamic
+
+    L, chi, dt, steps = 6, 4, 0.05, 5  # cap saturates -> 1-site branch runs
+    w = heisenberg_mpo(L, 0.4, 0.6, 1.0, h=0.3)
+    wj = jnp.asarray(w)
+    t_qr = t_nw = jnp.asarray(mps_ops.named_product_state("Neel", L, chi))
+    cfg_qr = TDVPConfig(krylov_dim=20, threshold=1e-10, max_bond_dim=chi, mode="dynamic")
+    cfg_nw = TDVPConfig(
+        krylov_dim=20, threshold=1e-10, max_bond_dim=chi, mode="dynamic",
+        canon_method="newton",
+    )
+    for _ in range(steps):
+        t_qr, _ = mps_ops.normalize_canonical(sweep_dynamic(t_qr, wj, dt, cfg_qr))
+        t_nw, _ = mps_ops.normalize_canonical(sweep_dynamic(t_nw, wj, dt, cfg_nw))
+    p_qr = np.asarray(mps_ops.to_statevector(t_qr))
+    p_nw = np.asarray(mps_ops.to_statevector(t_nw))
+    assert fidelity(p_qr, p_nw) > 1 - 1e-5
+
+
 def test_dynamic_mode_via_tdvp_step_and_simulator_params():
     """mode='dynamic' must thread through tdvp_step (reference tdvp_mode
     semantics) and produce finite physical observables."""

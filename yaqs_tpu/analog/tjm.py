@@ -27,7 +27,11 @@ import jax.numpy as jnp
 
 from ..core.mps_ops import normalize_canonical
 from ..core.noise_model import CompiledNoise
-from ..core.observables import CompiledObservables, evaluate_observables
+from ..core.observables import (
+    CompiledObservables,
+    evaluate_observables,
+    evaluate_observables_gauge_free,
+)
 from ..methods.dissipation import apply_dissipation
 from ..methods.stochastic import stochastic_process
 from ..methods.bug import bug_step
@@ -182,16 +186,34 @@ def _order2_branches(smpl_key, traj_key, noise, observables, plan, evolve):
     ONCE per step and both branches fork from the evolved state — exact
     same results at half the TDVP cost (the reference recomputes it on the
     sampling deep-copy).
+
+    Gauge-free measurement fast path: when every observable is one-site and
+    diagnostics are off, the measurement branch's post-jump canonicalization
+    — the step's dominant cost on TPU (~45 of 55 ms at L=100 chi=64 B=32,
+    docs/tpu_numerics.md) — is skipped, and observables are evaluated from
+    two-sided Gram moments normalized by <psi|psi>
+    (core/observables.evaluate_observables_gauge_free).  That branch's state
+    is discarded after evaluation (the trajectory continues from the
+    TRAJECTORY branch), so the gauge restoration buys nothing.  In fast mode
+    the psi returned by ``measure_branch`` is therefore RAW (arbitrary gauge,
+    unnormalized); callers that expose a final state canonicalize it once at
+    the very end (``_run_order2`` / the last ``make_order2_chunked`` chunk —
+    same point in the op sequence, keeping chunked == monolithic bitwise).
     """
     dt = plan.dt
     cfg = plan.evolution
+    fast = observables.only_one_site and not plan.record_diagnostics
 
     def measure_branch(evolved, j):
         """Dissipate dt/2 + jump (indep. RNG) + measure on the evolved state."""
         psi = apply_dissipation(evolved, noise, dt / 2, cfg)
         psi, _ = stochastic_process(
-            psi, noise, dt, jax.random.fold_in(smpl_key, j), cfg
+            psi, noise, dt, jax.random.fold_in(smpl_key, j), cfg,
+            canonicalize=not fast,
         )
+        if fast:
+            zero_diag = jnp.zeros((3,), psi.real.dtype)
+            return evaluate_observables_gauge_free(psi, observables), zero_diag, psi
         diag = (
             _diagnostics(psi, cfg.threshold)
             if plan.record_diagnostics
@@ -214,7 +236,7 @@ def _order2_branches(smpl_key, traj_key, noise, observables, plan, evolve):
         obs_j, diag_j, psi_j = measure_branch(evolved_j, j)
         return (evolved_j, psi_j), (obs_j, diag_j)
 
-    return measure_branch, body
+    return measure_branch, body, fast
 
 
 def make_order2_chunked(tensors0, mpo, noise, observables, plan: TrajectoryPlan):
@@ -245,9 +267,18 @@ def make_order2_chunked(tensors0, mpo, noise, observables, plan: TrajectoryPlan)
     dt = plan.dt
     evolve = _make_evolve(mpo, plan)
 
+    def _restore(psi, fast):
+        """Gauge-free fast mode leaves the measurement psi raw; restore the
+        canonical contract exactly where the monolithic scan does (after the
+        FINAL column) so chunked == monolithic stays bitwise."""
+        if not fast:
+            return psi
+        out, _ = normalize_canonical(psi, method=cfg.canon_method)
+        return out
+
     def _start_one(traj_key, smpl_key):
         t0 = jnp.asarray(tensors0)  # host-numpy closure -> trace-time constant
-        measure_branch, _ = _order2_branches(
+        measure_branch, _, fast = _order2_branches(
             smpl_key, traj_key, noise, observables, plan, evolve
         )
         obs0 = _evaluate(t0, observables)
@@ -262,6 +293,8 @@ def make_order2_chunked(tensors0, mpo, noise, observables, plan: TrajectoryPlan)
         )
         evolved = _renorm_center0(evolve(phi, dt))
         obs1, diag1, psi1 = measure_branch(evolved, 1)
+        if plan.num_times <= 2:  # no chunks will follow: column 1 is final
+            psi1 = _restore(psi1, fast)
         return (
             (evolved, psi1),
             jnp.stack([obs0, obs1], axis=0),
@@ -271,10 +304,12 @@ def make_order2_chunked(tensors0, mpo, noise, observables, plan: TrajectoryPlan)
     start = jax.jit(jax.vmap(_start_one))
 
     def _chunk_one(traj_key, smpl_key, carry, j0, j1):
-        _, body = _order2_branches(
+        _, body, fast = _order2_branches(
             smpl_key, traj_key, noise, observables, plan, evolve
         )
         carry, (obs, diags) = jax.lax.scan(body, carry, jnp.arange(j0, j1))
+        if j1 >= plan.num_times:  # final chunk: restore the sampling state
+            carry = (carry[0], _restore(carry[1], fast))
         return carry, obs, diags
 
     @partial(jax.jit, static_argnames=("j0", "j1"))
@@ -297,10 +332,18 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
     t_total = plan.num_times
     cfg = plan.evolution
 
-    measure_branch, body = _order2_branches(
+    measure_branch, body, fast = _order2_branches(
         smpl_key, traj_key, noise, observables, plan, evolve
     )
     dt = plan.dt
+
+    def restore(psi):
+        """Fast mode leaves the measurement state raw; the returned final
+        state must honor the canonical-at-0 + normalized contract."""
+        if not fast:
+            return psi
+        out, _ = normalize_canonical(psi, method=cfg.canon_method)
+        return out
 
     obs0 = _evaluate(tensors0, observables)
     diag0 = (
@@ -331,7 +374,7 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
         if plan.num_steps >= 2:
             evolved, _ = jax.lax.scan(body_traj, evolved, jnp.arange(2, t_total))
         obs_f, diag_f, final_psi = measure_branch(evolved, t_total - 1)
-        return obs_f[:, None], diag_f[:, None], final_psi
+        return obs_f[:, None], diag_f[:, None], restore(final_psi)
 
     obs1, diag1, psi1 = measure_branch(evolved, 1)
 
@@ -347,8 +390,8 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
         diags = jnp.stack([diag0, diag1], axis=0)
 
     if plan.sample_timesteps:
-        return cols.T, diags.T, final_psi  # (n_obs, T), (3, T)
-    return cols[-1][:, None], diags[-1][:, None], final_psi
+        return cols.T, diags.T, restore(final_psi)  # (n_obs, T), (3, T)
+    return cols[-1][:, None], diags[-1][:, None], restore(final_psi)
 
 
 def _run_order1(

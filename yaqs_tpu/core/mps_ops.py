@@ -37,6 +37,8 @@ __all__ = [
     "shift_center_right",
     "normalize_canonical",
     "left_gram_environments",
+    "right_gram_environments",
+    "site_moment_matrices",
     "site_expectation",
     "site_expectations",
     "all_site_expectations",
@@ -350,6 +352,42 @@ def left_gram_environments(tensors: jnp.ndarray) -> jnp.ndarray:
 
     _, envs = jax.lax.scan(step, env0, tensors)
     return envs
+
+
+def right_gram_environments(tensors: jnp.ndarray) -> jnp.ndarray:
+    """``rhoR[i]`` = Gram of sites > i contracted from the right, ``(L, chi, chi)``
+    (``rhoR[i]`` applies to the right leg of site ``i``). Gauge-free."""
+    chi = tensors.shape[-1]
+    env0 = jnp.eye(chi, dtype=tensors.dtype)
+
+    def step(env, a):
+        tmp = jnp.einsum("slt,rt->slr", a, env)
+        new = jnp.einsum("slr,smr->lm", a.conj(), tmp)
+        return new, env
+
+    _, envs_rev = jax.lax.scan(step, env0, jnp.flip(tensors, 0))
+    return jnp.flip(envs_rev, 0)
+
+
+def site_moment_matrices(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-site moments ``T_i[b,k] = <psi| (|b><k|)_i |psi>`` (GAUGE-FREE).
+
+    Returns ``(T (L, d, d), norm2)`` from one left and one right transfer
+    scan. Any one-site expectation follows as ``sum O[b,k] T[b,k] / norm2``
+    without requiring canonical form — the basis of both the jump sampler's
+    channel weights (methods/stochastic.py) and the gauge-free observable
+    fast path (core/observables.py)."""
+    left_envs = left_gram_environments(tensors)
+    full = transfer_right(left_envs[-1], tensors[-1], tensors[-1])
+    right_envs = right_gram_environments(tensors)
+
+    def one(a, rho_l, rho_r):
+        tmp = jnp.einsum("lm,kms->kls", rho_l, a)
+        tmp = jnp.einsum("kls,rs->klr", tmp, rho_r)
+        return jnp.einsum("blr,klr->bk", a.conj(), tmp)
+
+    t = jax.vmap(one)(tensors, left_envs, right_envs)
+    return t, jnp.real(jnp.trace(full))
 
 
 def site_expectation(

@@ -27,7 +27,12 @@ import numpy as np
 
 from . import mps_ops
 
-__all__ = ["CompiledObservables", "compile_observables", "evaluate_observables"]
+__all__ = [
+    "CompiledObservables",
+    "compile_observables",
+    "evaluate_observables",
+    "evaluate_observables_gauge_free",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -226,6 +231,32 @@ def _pvm_values(tensors, co: CompiledObservables):
         return jnp.real(jnp.trace(env))
 
     return jax.vmap(one)(co.pvm_bits)
+
+
+def evaluate_observables_gauge_free(
+    tensors: jnp.ndarray, co: CompiledObservables
+) -> jnp.ndarray:
+    """One-site observable rows WITHOUT gauge or normalization assumptions.
+
+    Uses the two-sided Gram moments ``T_i[b,k] = <psi|(|b><k|)_i|psi>``
+    (mps_ops.site_moment_matrices) and divides by ``<psi|psi>``, so the state
+    may be in any gauge and unnormalized — the order-2 measurement branch
+    uses this to skip its full-chain canonicalization (the branch's state is
+    discarded after evaluation). Requires ``co.only_one_site``."""
+    if not co.only_one_site:
+        msg = "gauge-free evaluation supports one-site observables only"
+        raise ValueError(msg)
+    rdtype = tensors.real.dtype
+    out = jnp.zeros((co.num_rows,), dtype=rdtype)
+    if not co.ops1.shape[0]:
+        return out
+    moments, n2 = mps_ops.site_moment_matrices(tensors)
+    t_at = moments[jnp.asarray(co.sites1)]  # (n1, d, d)
+    ops = jnp.asarray(co.ops1, dtype=tensors.dtype)
+    vals = jnp.real(jnp.einsum("nbk,nbk->n", ops, t_at)) / jnp.maximum(
+        n2, jnp.finfo(rdtype).tiny
+    )
+    return out.at[jnp.asarray(co.rows1)].set(vals.astype(rdtype))
 
 
 def evaluate_observables(tensors: jnp.ndarray, co: CompiledObservables) -> jnp.ndarray:

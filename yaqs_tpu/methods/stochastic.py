@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from ..core.mps_ops import (
     apply_one_site_operator,
     normalize_canonical,
+    right_gram_environments,
+    site_moment_matrices,
     transfer_right,
 )
 from ..core.noise_model import CompiledNoise
@@ -47,38 +49,6 @@ def _left_envs(tensors):
 
     last, envs = jax.lax.scan(step, env0, tensors)
     return envs, last  # envs[i] = before site i; last = full Gram (norm^2)
-
-
-def right_gram_environments(tensors: jnp.ndarray) -> jnp.ndarray:
-    """``rhoR[i]`` = Gram of sites > i contracted from the right, ``(L, chi, chi)``
-    (``rhoR[i]`` applies to the right leg of site ``i``)."""
-    chi = tensors.shape[-1]
-    env0 = jnp.eye(chi, dtype=tensors.dtype)
-
-    def step(env, a):
-        tmp = jnp.einsum("slt,rt->slr", a, env)
-        new = jnp.einsum("slr,smr->lm", a.conj(), tmp)
-        return new, env
-
-    _, envs_rev = jax.lax.scan(step, env0, jnp.flip(tensors, 0))
-    return jnp.flip(envs_rev, 0)
-
-
-def site_moment_matrices(tensors: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-site moments ``T_i[b,k] = <psi| (|b><k|)_i |psi>`` (gauge-free).
-
-    Returns ``(T (L, d, d), norm2)`` from one left and one right transfer scan.
-    """
-    left_envs, full = _left_envs(tensors)
-    right_envs = right_gram_environments(tensors)
-
-    def one(a, rho_l, rho_r):
-        tmp = jnp.einsum("lm,kms->kls", rho_l, a)
-        tmp = jnp.einsum("kls,rs->klr", tmp, rho_r)
-        return jnp.einsum("blr,klr->bk", a.conj(), tmp)
-
-    t = jax.vmap(one)(tensors, left_envs, right_envs)
-    return t, jnp.real(jnp.trace(full))
 
 
 def channel_weights(
@@ -168,15 +138,25 @@ def _apply_channel2(tensors: jnp.ndarray, noise: CompiledNoise, idx, trunc) -> j
 
 
 def stochastic_process(
-    tensors: jnp.ndarray, noise: CompiledNoise | None, dt, key, trunc=None
+    tensors: jnp.ndarray, noise: CompiledNoise | None, dt, key, trunc=None,
+    canonicalize: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One jump-or-not step. Returns ``(tensors, jumped)``.
 
     Input: any gauge (typically canonical-at-0 modified by per-site
-    dissipators), norm <= 1. Output: canonical at site 0, normalized.
+    dissipators), norm <= 1. Output: canonical at site 0 and normalized —
+    unless ``canonicalize=False``, which skips the final restoration and
+    returns the raw post-decision state (arbitrary gauge, unnormalized).
+    The skip exists for consumers that evaluate gauge-free and discard the
+    state (the order-2 measurement branch): the full-chain polar
+    canonicalization is the step's dominant cost on TPU (~45 of 55 ms at
+    L=100, chi=64, B=32; docs/tpu_numerics.md), and the jump DECISION and
+    channel selection never depend on it.
     """
     canon = getattr(trunc, "canon_method", "qr")
     if noise is None:
+        if not canonicalize:
+            return tensors, jnp.asarray(False)
         out, _ = normalize_canonical(tensors, method=canon)
         return out, jnp.asarray(False)
 
@@ -211,5 +191,6 @@ def stochastic_process(
         )
 
     tensors = jax.lax.cond(jumped, do_jump, lambda t: t, tensors)
-    tensors, _ = normalize_canonical(tensors, method=canon)
+    if canonicalize:
+        tensors, _ = normalize_canonical(tensors, method=canon)
     return tensors, jumped

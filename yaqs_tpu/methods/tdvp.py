@@ -28,7 +28,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.decomp import merge_two_site, split_two_site_subspace, split_two_site_truncated
+from ..ops.decomp import (
+    merge_two_site,
+    newton_schulz_orthogonalize,
+    split_two_site_subspace,
+    split_two_site_truncated,
+)
 from ..ops.krylov import lanczos_expm_apply
 
 __all__ = [
@@ -202,6 +207,30 @@ def heff_bond(f, g, c):
 # ---------------------------------------------------------------------------
 
 
+def _qr_shift(m, method: str):
+    """Center shift ``m (n, k) -> (q, r)`` with ``m ≈ q r``, ``q`` an isometry.
+
+    ``method="newton"`` uses the Newton-Schulz polar factor with
+    ``r = q^H m`` (exact on the column space; same approximation and accuracy
+    budget as ``canonicalize_right(method="newton")``, core/mps_ops.py) —
+    matmuls only, which avoids both the TPU Householder-QR cost and its
+    rank-deficiency NaN hazard on padded states (docs/tpu_numerics.md)."""
+    if method == "newton":
+        q = newton_schulz_orthogonalize(m)
+        return q, q.conj().T @ m
+    return jnp.linalg.qr(m)
+
+
+def _lq_shift(m, method: str):
+    """Center shift ``m (l, n) -> (lmat, q)`` with ``m ≈ lmat q``, the rows of
+    ``q`` orthonormal (mirror of :func:`_qr_shift`)."""
+    if method == "newton":
+        x = newton_schulz_orthogonalize(m.conj().T)
+        return m @ x, x.conj().T
+    qh, rh = jnp.linalg.qr(m.conj().T)
+    return rh.conj().T, qh.conj().T
+
+
 def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
     if cfg.svd_method == "subspace":
         return split_two_site_subspace(
@@ -337,7 +366,7 @@ def sweep_1site(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> 
         w = mpo[i]
         g = r_envs[i + 1]
         a = evolve_site(f, i, g, tensors[i], half)
-        q, r = jnp.linalg.qr(a.reshape(d * chi, chi))
+        q, r = _qr_shift(a.reshape(d * chi, chi), cfg.canon_method)
         q = q.reshape(d, chi, chi)
         f_next = update_left_env(f, q, q, w)
         r = evolve_bond(f_next, g, r, -half)
@@ -363,9 +392,8 @@ def sweep_1site(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> 
         # LQ split of site i: a = l . q with q right-orthonormal
         a = tensors[i]
         m = jnp.transpose(a, (1, 0, 2)).reshape(chi, d * chi)
-        qh, rh = jnp.linalg.qr(m.conj().T)
-        q = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
-        lmat = rh.conj().T
+        lmat, qm = _lq_shift(m, cfg.canon_method)
+        q = qm.reshape(chi, d, chi).transpose(1, 0, 2)
         g_next = update_right_env(g, q, q, w)
         c = evolve_bond(f_all[i], g_next, lmat, -half)
         a_prev = jnp.einsum("slr,rm->slm", tensors[i - 1], c)
@@ -429,7 +457,7 @@ def sweep_dynamic(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -
     def ltr_sat(tensors, f, i):
         """Saturated bond (i, i+1): 1-site +dt/2, QR shift, bond -dt/2."""
         a = evolve_site(f, wm_all[i], r_envs[i + 1], tensors[i], half)
-        q, r = jnp.linalg.qr(a.reshape(d * chi, chi))
+        q, r = _qr_shift(a.reshape(d * chi, chi), cfg.canon_method)
         q = q.reshape(d, chi, chi)
         f_next = update_left_env(f, q, q, mpo[i])
         r = evolve_bond(f_next, r_envs[i + 1], r, -half)
@@ -490,9 +518,8 @@ def sweep_dynamic(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -
         """Saturated bond (i-1, i): 1-site +dt/2, LQ shift, bond -dt/2."""
         a = evolve_site(f_all[i], wm_all[i], g, tensors[i], half)
         m = jnp.transpose(a, (1, 0, 2)).reshape(chi, d * chi)
-        qh, rh = jnp.linalg.qr(m.conj().T)
-        q = qh.conj().T.reshape(chi, d, chi).transpose(1, 0, 2)
-        lmat = rh.conj().T
+        lmat, qm = _lq_shift(m, cfg.canon_method)
+        q = qm.reshape(chi, d, chi).transpose(1, 0, 2)
         g_next = update_right_env(g, q, q, mpo[i])
         c = evolve_bond(f_all[i], g_next, lmat, -half)
         a_prev = jnp.einsum("slr,rm->slm", tensors[i - 1], c)

@@ -71,19 +71,44 @@ def run_ensemble(
     base_key: jax.Array,
     key_fns: tuple[Callable, Callable],
     config: ExecutionConfig | None = None,
+    reduce: str | None = None,
 ) -> np.ndarray:
     """Run ``traj_fn(traj_key, smpl_key) -> (n_obs, T)`` for ``num_traj``
     trajectories and return the stacked ``(num_traj, n_obs, T)`` host array.
 
     The batch axis is padded up to a multiple of the device count per chunk,
     sharded over the ``traj`` mesh axis, and chunked by ``batch_size``.
+
+    With ``reduce="mean"`` the cross-trajectory mean is taken ON DEVICE
+    inside the jitted program: the sum over the sharded ``traj`` axis lowers
+    to an XLA all-reduce over ICI, and only the small ``(n_obs, T)`` buffer
+    ever crosses the host boundary (vs the full per-trajectory stack).  This
+    is the mesh-native analogue of the reference's host-side aggregation
+    loop (parallel_utils.py:331-391).  Padded trajectories (batch rounding
+    past ``num_traj``) are masked out of the sum.  Note the summation order
+    differs between chunkings, so reduced results agree across
+    ``batch_size`` choices only to floating-point tolerance (the
+    per-trajectory path stays bit-identical).
     """
+    if reduce not in (None, "mean"):
+        msg = f"reduce must be None or 'mean', got {reduce!r}"
+        raise ValueError(msg)
     config = config or ExecutionConfig()
     mesh = make_trajectory_mesh(config)
     n_dev = mesh.devices.size
 
     traj_key_fn, sample_key_fn = key_fns
-    batched = jax.jit(jax.vmap(traj_fn))
+    if reduce == "mean":
+
+        @jax.jit
+        def batched(tks, sks, valid):
+            res = jax.vmap(traj_fn)(tks, sks)
+            w = valid.reshape((-1,) + (1,) * (res.ndim - 1)).astype(res.dtype)
+            # sum over the sharded axis -> XLA all-reduce over the traj mesh
+            return jnp.sum(res * w, axis=0)
+
+    else:
+        batched = jax.jit(jax.vmap(traj_fn))
 
     chunk = config.batch_size or num_traj
     chunk = max(1, min(chunk, num_traj))
@@ -104,7 +129,13 @@ def run_ensemble(
         last_sig = None
         while True:
             try:
-                res = batched(tks, sks)
+                if reduce == "mean":
+                    valid = jax.device_put(
+                        jnp.asarray(idx < num_traj), key_sharding
+                    )
+                    res = batched(tks, sks, valid)
+                else:
+                    res = batched(tks, sks)
                 out_np = np.asarray(res)  # fetch = the real completion point
                 break
             except Exception as exc:
@@ -120,4 +151,6 @@ def run_ensemble(
             done = min(start + chunk, num_traj)
             print(f"[yaqs_tpu] trajectories {done}/{num_traj}", flush=True)
         start += chunk
+    if reduce == "mean":
+        return np.sum(np.stack(outs, axis=0), axis=0) / num_traj
     return np.concatenate(outs, axis=0)[:num_traj]
