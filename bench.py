@@ -110,9 +110,14 @@ def digital_bench() -> dict:
     )
     sim = Simulator()
     sim.run(State(n), circ, params, noise)  # warmup: populate jit caches
-    t0 = time.perf_counter()
-    res = sim.run(State(n), circ, params, noise)
-    wall = time.perf_counter() - t0
+    # two timed reps, best-of: the digital engine is dispatch-intensive
+    # (one jit call per half-layer — platform lowering rule 8), so a single
+    # rep is sensitive to host/tunnel latency jitter (measured 2x run-to-run)
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = sim.run(State(n), circ, params, noise)
+        wall = min(wall, time.perf_counter() - t0)
     assert res.counts, "digital bench produced no shot counts"
     return {
         "digital_metric": (

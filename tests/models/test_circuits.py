@@ -136,3 +136,110 @@ def test_transpiled_qft_equivalent():
     c_bad.append("p", (0,), params=(0.3,))
     res_bad = EquivalenceChecker().check(create_qft_circuit(n), c_bad)
     assert not res_bad.equivalent
+
+
+def test_long_range_interaction_matches_pauli_string_expm():
+    """add_long_range_interaction / add_hopping_term implement
+    exp(-i alpha/2 P_i Z...Z P_j) exactly (JW parity-ladder decomposition,
+    reference circuit_library.py:441-517)."""
+    import pathlib
+    import sys
+
+    import scipy.linalg
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "digital"))
+    from test_engine import run_dense
+
+    from yaqs_tpu.analog.embedding import embed_operator
+    from yaqs_tpu.digital.circuit import Circuit
+    from yaqs_tpu.models.circuits import add_hopping_term, add_long_range_interaction
+    from yaqs_tpu.models.operators import pauli_x, pauli_y, pauli_z
+
+    def string_op(p, i, j, n):
+        ops = {i: p, j: p}
+        for k in range(i + 1, j):
+            ops[k] = pauli_z
+        return embed_operator(ops, n)
+
+    rng = np.random.default_rng(0)
+    n, i, j, alpha = 4, 0, 3, 0.37
+    psi0 = rng.standard_normal(2**n) + 1j * rng.standard_normal(2**n)
+    psi0 /= np.linalg.norm(psi0)
+    for p, name in ((pauli_x, "X"), (pauli_y, "Y")):
+        c = Circuit(n)
+        add_long_range_interaction(c, i, j, name, alpha)
+        got = run_dense(c, psi0)
+        want = scipy.linalg.expm(-0.5j * alpha * string_op(p, i, j, n)) @ psi0
+        np.testing.assert_allclose(got, want, atol=1e-12)
+    c = Circuit(n)
+    add_hopping_term(c, i, j, alpha)
+    h = string_op(pauli_x, i, j, n) + string_op(pauli_y, i, j, n)
+    want = scipy.linalg.expm(-0.5j * alpha * h) @ psi0
+    np.testing.assert_allclose(run_dense(c, psi0), want, atol=1e-12)
+
+    import pytest
+
+    with pytest.raises(IndexError):
+        add_long_range_interaction(Circuit(3), 2, 1, "X", 0.1)
+    with pytest.raises(ValueError, match="outer_op"):
+        add_long_range_interaction(Circuit(3), 0, 1, "Z", 0.1)
+
+
+def test_2d_fermi_hubbard_trotter_converges_to_dense():
+    """One substep of create_2d_fermi_hubbard_circuit approximates
+    exp(-i dt H) for H = mu*sum(n) + u*sum(n_up n_down) +
+    (t/2)*sum(XZ..ZX + YZ..ZY) in the interleaved q=2*site+spin layout,
+    with second-order Trotter error (reference circuit_library.py:520-634)."""
+    import pathlib
+    import sys
+
+    import scipy.linalg
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "digital"))
+    from test_engine import run_dense
+
+    from yaqs_tpu.analog.embedding import embed_operator
+    from yaqs_tpu.models.circuits import create_2d_fermi_hubbard_circuit
+    from yaqs_tpu.models.operators import pauli_x, pauli_y, pauli_z
+
+    cols, rows = 2, 2
+    nsites = cols * rows
+    nq = 2 * nsites
+    mu, u, t = 0.7, 1.3, 0.9
+    nocc = np.diag([0.0, 1.0])
+
+    def string_op(p, i, j):
+        ops = {i: p, j: p}
+        for k in range(i + 1, j):
+            ops[k] = pauli_z
+        return embed_operator(ops, nq)
+
+    h = np.zeros((2**nq, 2**nq), dtype=complex)
+    for s in range(nsites):
+        h += mu * (embed_operator({2 * s: nocc}, nq) + embed_operator({2 * s + 1: nocc}, nq))
+        h += u * embed_operator({2 * s: nocc, 2 * s + 1: nocc}, nq)
+    bonds = []
+    for y in range(rows):
+        for x in range(cols - 1):
+            bonds.append((y * cols + x, y * cols + x + 1))
+    for y in range(rows - 1):
+        for x in range(cols):
+            bonds.append((y * cols + x, (y + 1) * cols + x))
+    for p1, p2 in bonds:
+        for spin in (0, 1):
+            a, b = 2 * p1 + spin, 2 * p2 + spin
+            h += (t / 2) * (string_op(pauli_x, a, b) + string_op(pauli_y, a, b))
+
+    rng = np.random.default_rng(3)
+    psi0 = rng.standard_normal(2**nq) + 1j * rng.standard_normal(2**nq)
+    psi0 /= np.linalg.norm(psi0)
+
+    errs = []
+    for dt in (0.1, 0.05):
+        circ = create_2d_fermi_hubbard_circuit(cols, rows, u, t, mu, 1, dt, 1)
+        got = run_dense(circ, psi0)
+        want = scipy.linalg.expm(-1j * dt * h) @ psi0
+        errs.append(np.linalg.norm(got - want))
+    # second-order splitting: halving dt cuts the one-step error ~8x
+    assert errs[0] < 5e-3, errs
+    assert errs[1] < errs[0] / 6, errs

@@ -18,6 +18,9 @@ __all__ = [
     "create_heisenberg_circuit",
     "create_2d_heisenberg_circuit",
     "create_1d_fermi_hubbard_circuit",
+    "create_2d_fermi_hubbard_circuit",
+    "add_long_range_interaction",
+    "add_hopping_term",
     "nearest_neighbour_random_circuit",
     "create_qft_circuit",
     "create_transpiled_qft_circuit",
@@ -173,6 +176,114 @@ def create_1d_fermi_hubbard_circuit(
         hopping()
         onsite()
         chemical()
+    return circ
+
+
+def add_long_range_interaction(
+    circ: Circuit, i: int, j: int, outer_op: str, alpha: float
+) -> None:
+    """Append ``exp(-i alpha/2 * P_i Z_{i+1}...Z_{j-1} P_j)`` with ``P`` = X or Y.
+
+    The Jordan-Wigner string rotation: an Rz(alpha) on qubit ``j`` conjugated
+    by a CX parity ladder (Z_j -> Z_i...Z_j) and single-qubit basis changes
+    (Z -> X via Ry, Z -> Y via Rx), matching the reference decomposition
+    (circuit_library.py:441-496) gate for gate in time order."""
+    if i >= j:
+        msg = "add_long_range_interaction requires i < j"
+        raise IndexError(msg)
+    if outer_op not in {"x", "X", "y", "Y"}:
+        msg = "outer_op must be 'X' or 'Y'"
+        raise ValueError(msg)
+    theta = np.pi / 2
+    basis = "ry" if outer_op in {"x", "X"} else "rx"
+    circ.append(basis, (i,), params=(theta,))
+    circ.append(basis, (j,), params=(theta,))
+    for k in range(j - 1, i - 1, -1):
+        circ.cx(k, j)
+    circ.rz(j, params=(alpha,))
+    for k in range(i, j):
+        circ.cx(k, j)
+    circ.append(basis, (i,), params=(-theta,))
+    circ.append(basis, (j,), params=(-theta,))
+
+
+def add_hopping_term(circ: Circuit, i: int, j: int, alpha: float) -> None:
+    """Append the JW hopping evolution
+    ``exp(-i alpha/2 (X Z..Z X + Y Z..Z Y))`` between qubits ``i < j``
+    (the two strings commute, so sequential application is exact;
+    reference circuit_library.py:499-517)."""
+    add_long_range_interaction(circ, i, j, "X", alpha)
+    add_long_range_interaction(circ, i, j, "Y", alpha)
+
+
+def create_2d_fermi_hubbard_circuit(
+    num_cols: int,
+    num_rows: int,
+    u: float,
+    t: float,
+    mu: float,
+    num_trotter_steps: int,
+    dt: float,
+    timesteps: int,
+) -> Circuit:
+    """2D Fermi-Hubbard Trotter circuit on an ``num_cols x num_rows`` grid.
+
+    Qubit layout interleaves spin: ``q = 2*site + spin`` (0 = up, 1 = down),
+    sites in row-major grid order — the reference's qiskit ordering
+    (circuit_library.py:414-438).  Second-order splitting
+    mu/U/hopping/U/mu per Trotter substep; hopping terms are long-range in
+    the interleaved layout and decompose through :func:`add_hopping_term`
+    (reference create_2d_fermi_hubbard_circuit, circuit_library.py:520-634).
+    """
+    n = num_trotter_steps
+    num_sites = num_cols * num_rows
+    circ = Circuit(2 * num_sites)
+
+    def q_up(site: int) -> int:
+        return 2 * site
+
+    def q_down(site: int) -> int:
+        return 2 * site + 1
+
+    def chemical() -> None:
+        theta = -mu * dt / (2 * n)
+        for s in range(num_sites):
+            circ.p(q_up(s), params=(theta,))
+            circ.p(q_down(s), params=(theta,))
+
+    def onsite() -> None:
+        theta = -u * dt / (2 * n)
+        for s in range(num_sites):
+            circ.cp(q_up(s), q_down(s), params=(theta,))
+
+    def hop_pair(p1: int, p2: int, alpha: float) -> None:
+        add_hopping_term(circ, q_up(p1), q_up(p2), alpha)
+        add_hopping_term(circ, q_down(p1), q_down(p2), alpha)
+
+    def kinetic() -> None:
+        alpha = t * dt / n
+        # horizontal odd / even columns, then vertical odd / even rows —
+        # the reference's four disjoint brickwork groups
+        for parity in (0, 1):
+            for y in range(num_rows):
+                for x in range(num_cols - 1):
+                    if x % 2 == parity:
+                        p1 = y * num_cols + x
+                        hop_pair(p1, p1 + 1, alpha)
+        for parity in (0, 1):
+            for y in range(num_rows - 1):
+                if y % 2 == parity:
+                    for x in range(num_cols):
+                        p1 = y * num_cols + x
+                        hop_pair(p1, p1 + num_cols, alpha)
+
+    for _ in range(timesteps):
+        for _ in range(n):
+            chemical()
+            onsite()
+            kinetic()
+            onsite()
+            chemical()
     return circ
 
 
