@@ -70,3 +70,90 @@ def test_scheduled_off_grid_time_rejected():
         compile_scheduled_jumps(
             [{"time": 0.15, "sites": [0], "name": "x"}], np.arange(5) * 0.1, 2
         )
+
+
+def test_scheduled_two_site_nonfactorizable_vs_dense():
+    """A non-factorizable adjacent two-site scheduled jump (CX: operator-
+    Schmidt rank 2) applies via merge -> matrix -> truncated split, matching
+    the dense oracle (reference scheduled_jumps.py:96-108 merged-SVD path)."""
+    import scipy.linalg
+
+    from yaqs_tpu.analog.embedding import embed_operator
+    from yaqs_tpu.models.operators import pauli_x, pauli_z
+
+    L = 3
+    cx = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex
+    )
+    ham = Hamiltonian.ising(L, J=0.3, g=0.6)
+    h = ham.ensure_matrix()
+    nm = NoiseModel(
+        processes=[],
+        scheduled_jumps=[
+            {"time": 0.2, "sites": [1], "name": "x"},  # flips control qubit 1
+            {"time": 0.3, "sites": [1, 2], "name": "cx", "matrix": cx},
+        ],
+    )
+    params = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(L)],
+        elapsed_time=0.4,
+        dt=0.1,
+        order=1,
+        max_bond_dim=4,
+        sample_timesteps=True,
+        random_seed=0,
+    )
+    res = Simulator().run(State(L, state="zeros"), ham, params, nm)
+
+    # dense oracle: evolve, apply scheduled ops at their grid steps
+    psi = State(L, state="zeros").to_vector()
+    u_step = scipy.linalg.expm(-1j * 0.1 * h)
+    x1 = embed_operator({1: pauli_x}, L)
+    # CX(control=1, target=2) = P0_1 + P1_1 X_2 (embed_operator owns the
+    # to_vector bit-order convention)
+    p0 = np.diag([1.0, 0.0]).astype(complex)
+    p1 = np.diag([0.0, 1.0]).astype(complex)
+    cx12 = embed_operator({1: p0}, L) + embed_operator({1: p1, 2: pauli_x}, L)
+    expected = []
+    zs = [embed_operator({i: pauli_z}, L) for i in range(L)]
+    expected.append([np.vdot(psi, z @ psi).real for z in zs])
+    for step in range(1, 5):
+        psi = u_step @ psi
+        if step == 2:
+            psi = x1 @ psi
+        if step == 3:
+            psi = cx12 @ psi
+        psi = psi / np.linalg.norm(psi)
+        expected.append([np.vdot(psi, z @ psi).real for z in zs])
+    np.testing.assert_allclose(
+        res.expectation_values.T, np.asarray(expected), atol=1e-6
+    )
+
+
+def test_scheduled_two_site_factorizable_uses_product_path():
+    """An XX crosstalk jump (operator-Schmidt rank 1) compiles into the
+    one-site stack — no slot tables emitted."""
+    from yaqs_tpu.methods.scheduled_jumps import compile_scheduled_jumps
+
+    xx = np.kron(
+        np.array([[0, 1], [1, 0]], dtype=complex),
+        np.array([[0, 1], [1, 0]], dtype=complex),
+    )
+    flags, mats, two = compile_scheduled_jumps(
+        [{"time": 0.1, "sites": [0, 1], "name": "xx", "matrix": xx}], np.arange(3) * 0.1, 3
+    )
+    assert two is None
+    assert flags[0] and not flags[1]
+    np.testing.assert_allclose(mats[0, 2], np.eye(2))
+
+
+def test_scheduled_two_site_nonadjacent_rejected():
+    from yaqs_tpu.methods.scheduled_jumps import compile_scheduled_jumps
+
+    cx = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex
+    )
+    with pytest.raises(ValueError, match="nearest-neighbor"):
+        compile_scheduled_jumps(
+            [{"time": 0.1, "sites": [0, 2], "name": "cx", "matrix": cx}], np.arange(3) * 0.1, 3
+        )

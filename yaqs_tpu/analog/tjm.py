@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.mps_ops import normalize_canonical
+from ..ops.decomp import merge_two_site, split_two_site_truncated
 from ..core.noise_model import CompiledNoise
 from ..core.observables import (
     CompiledObservables,
@@ -62,6 +63,7 @@ class TrajectoryPlan:
     evolution: TDVPConfig = dataclasses.field(default_factory=TDVPConfig)
     evolution_mode: str = "tdvp"  # "tdvp" | "bug"
     has_scheduled: bool = False  # deterministic scheduled jumps (order 1 only)
+    has_scheduled2: bool = False  # non-factorizable two-site slot tables present
     record_diagnostics: bool = False  # effective-bond curves (extra sweep/step)
 
     @property
@@ -110,6 +112,7 @@ def tjm_trajectory(
     plan: TrajectoryPlan,
     sj_flags: jnp.ndarray | None = None,
     sj_mats: jnp.ndarray | None = None,
+    sj_two: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run one TJM trajectory.
 
@@ -120,6 +123,10 @@ def tjm_trajectory(
         noise: compiled noise model or None (noiseless).
         observables: compiled observable tables (one/two-site, entropy, PVM).
         plan: static schedule.
+        sj_flags / sj_mats / sj_two: compiled scheduled-jump tables
+            (methods/scheduled_jumps.compile_scheduled_jumps); ``sj_two`` is
+            the ``(bonds, mats2, active)`` slot triple for non-factorizable
+            adjacent two-site jumps, present iff ``plan.has_scheduled2``.
 
     Returns:
         ``(results, diagnostics, final_tensors)``: observable rows
@@ -156,7 +163,8 @@ def tjm_trajectory(
             traj_key, smpl_key, tensors0, noise, observables, plan, evolve
         )
     return _run_order1(
-        traj_key, tensors0, noise, observables, plan, evolve, sj_flags, sj_mats
+        traj_key, tensors0, noise, observables, plan, evolve, sj_flags, sj_mats,
+        sj_two,
     )
 
 
@@ -395,27 +403,70 @@ def _run_order2(traj_key, smpl_key, tensors0, noise, observables, plan, evolve):
 
 
 def _run_order1(
-    traj_key, tensors0, noise, observables, plan, evolve, sj_flags=None, sj_mats=None
+    traj_key, tensors0, noise, observables, plan, evolve, sj_flags=None,
+    sj_mats=None, sj_two=None,
 ):
     dt = plan.dt
     t_total = plan.num_times
+    cfg = plan.evolution
 
-    def apply_scheduled(state, mats):
+    def apply_two_site_slots(state, bonds, mats2, active):
+        """Sequential merge -> matrix -> truncated split per active slot
+        (reference merged-SVD two-site scheduled jump, scheduled_jumps.py:96)."""
+        length, d, chi, _ = state.shape
+
+        def slot_body(st, slot):
+            bond, m, on = slot
+
+            def do(st):
+                theta = merge_two_site(
+                    jax.lax.dynamic_index_in_dim(st, bond, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(st, bond + 1, 0, keepdims=False),
+                )
+                th = (m.astype(st.dtype) @ theta.reshape(d * d, chi * chi)).reshape(
+                    d, d, chi, chi
+                )
+                a, b, _, _ = split_two_site_truncated(
+                    th,
+                    chi,
+                    mode=cfg.trunc_mode,
+                    threshold=cfg.threshold,
+                    max_bond_dim=cfg.max_bond_dim,
+                    min_keep=1,
+                    svd_distribution="right",
+                )
+                st = jax.lax.dynamic_update_index_in_dim(st, a, bond, 0)
+                return jax.lax.dynamic_update_index_in_dim(st, b, bond + 1, 0)
+
+            return jax.lax.cond(on, do, lambda s: s, st), None
+
+        state, _ = jax.lax.scan(slot_body, state, (bonds, mats2, active))
+        return state
+
+    def apply_scheduled(state, mats, two):
         state = jnp.einsum("iab,iblr->ialr", mats.astype(state.dtype), state)
-        state, _ = normalize_canonical(state)
+        if plan.has_scheduled2:
+            state = apply_two_site_slots(state, *two)
+        state, _ = normalize_canonical(state, method=cfg.canon_method)
         return state
 
     def body(state, xs):
         j = xs[0] if plan.has_scheduled else xs
         state = evolve(state, dt)
+        if plan.has_scheduled:
+            if plan.has_scheduled2:
+                _, flag, mats, b2, m2, a2 = xs
+                two = (b2, m2, a2)
+            else:
+                _, flag, mats = xs
+                two = None
         if noise is not None:
             state = _renorm_center0(state)
             state = apply_dissipation(state, noise, dt, plan.evolution)
             if plan.has_scheduled:
-                _, flag, mats = xs
                 state = jax.lax.cond(
                     flag,
-                    lambda st: apply_scheduled(st, mats),
+                    lambda st: apply_scheduled(st, mats, two),
                     lambda st: stochastic_process(
                         st, noise, dt, jax.random.fold_in(traj_key, j), plan.evolution
                     )[0],
@@ -426,10 +477,9 @@ def _run_order1(
                     state, noise, dt, jax.random.fold_in(traj_key, j), plan.evolution
                 )
         elif plan.has_scheduled:
-            _, flag, mats = xs
             state = jax.lax.cond(
                 flag,
-                lambda st: apply_scheduled(st, mats),
+                lambda st: apply_scheduled(st, mats, two),
                 lambda st: normalize_canonical(st)[0],
                 state,
             )
@@ -448,11 +498,12 @@ def _run_order1(
         if plan.record_diagnostics
         else jnp.zeros((3,), tensors0.real.dtype)
     )
-    xs = (
-        (jnp.arange(1, t_total), sj_flags, sj_mats)
-        if plan.has_scheduled
-        else jnp.arange(1, t_total)
-    )
+    if plan.has_scheduled2:
+        xs = (jnp.arange(1, t_total), sj_flags, sj_mats, *sj_two)
+    elif plan.has_scheduled:
+        xs = (jnp.arange(1, t_total), sj_flags, sj_mats)
+    else:
+        xs = jnp.arange(1, t_total)
     state, (obs_rest, diag_rest) = jax.lax.scan(body, tensors0, xs)
     cols = jnp.concatenate([obs0[None], obs_rest], axis=0)
     diags = jnp.concatenate([diag0[None], diag_rest], axis=0)

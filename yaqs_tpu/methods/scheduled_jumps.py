@@ -8,9 +8,15 @@ TPU mapping: the schedule is compiled host-side into per-step one-site
 operator stacks ``(num_steps, L, d, d)`` (identity where no jump) plus a
 per-step flag; inside the trajectory scan a flagged step applies the stack in
 one einsum and renormalizes.  Adjacent two-site jump matrices are decomposed
-into per-site factors when they factorize; otherwise they are rejected (the
-reference's merged-SVD path for non-factorizable adjacent jumps is not
-implemented yet).
+into per-site factors when they factorize exactly (product application needs
+no SVD); non-factorizable ones compile into fixed-size per-step SLOT tables
+``(num_steps, S)`` of (bond, (d^2, d^2) matrix, active) triples — ``S`` = max
+two-site jumps at any one step — applied sequentially in user list order via
+merge -> matrix -> truncated split (the reference's merged-SVD path,
+scheduled_jumps.py:96-108).  Slots are fixed-shape so the tables ride the
+trajectory scan as xs (TPU platform rules: no zero-sized operands, no
+dynamic shapes); within a flagged step the one-site stack applies before the
+two-site slots.
 """
 
 from __future__ import annotations
@@ -45,10 +51,14 @@ def _factor_two_site(m: np.ndarray, d: int):
 def compile_scheduled_jumps(
     scheduled: list[dict], times: np.ndarray, length: int, d: int = 2
 ):
-    """Compile the schedule into ``(flags (T-1,), mats (T-1, L, d, d))``.
+    """Compile the schedule into ``(flags (T-1,), mats (T-1, L, d, d), two)``.
 
     Step ``j`` (applying between ``times[j-1]`` and ``times[j]``) carries the
     jumps scheduled at ``times[j]``. Returns ``None`` for an empty schedule.
+    ``two`` is ``None`` when every jump factorizes into per-site operators;
+    otherwise it is the fixed-shape slot-table triple
+    ``(bonds (T-1, S) int32, mats2 (T-1, S, d^2, d^2), active (T-1, S) bool)``
+    for the non-factorizable adjacent two-site jumps (see module docstring).
     """
     if not scheduled:
         return None
@@ -57,6 +67,7 @@ def compile_scheduled_jumps(
     atol = dt * _TIME_ATOL_FACTOR
     mats = np.tile(np.eye(d, dtype=np.complex128), (max(num_steps, 1), length, 1, 1))
     flags = np.zeros(max(num_steps, 1), dtype=bool)
+    two_site: list[list[tuple[int, np.ndarray]]] = [[] for _ in range(max(num_steps, 1))]
     for jump in scheduled:
         t_jump = float(jump["time"])
         hits = [j for j in range(1, num_steps + 1) if abs(times[j] - t_jump) <= atol]
@@ -74,18 +85,36 @@ def compile_scheduled_jumps(
                 msg = "scheduled two-site jumps must be nearest-neighbor"
                 raise ValueError(msg)
             m = _resolve_jump_matrix(jump)
+            if m.shape != (d * d, d * d):
+                msg = f"two-site scheduled jump matrix must be ({d * d}, {d * d})"
+                raise ValueError(msg)
             factors = _factor_two_site(m, d)
-            if factors is None:
-                msg = (
-                    "non-factorizable adjacent scheduled jumps are not "
-                    "supported yet; provide a product-form matrix"
-                )
-                raise NotImplementedError(msg)
             lo = min(sites)
-            mats[j, lo] = factors[0] @ mats[j, lo]
-            mats[j, lo + 1] = factors[1] @ mats[j, lo + 1]
+            if factors is not None:
+                # exact product application — no SVD split needed
+                mats[j, lo] = factors[0] @ mats[j, lo]
+                mats[j, lo + 1] = factors[1] @ mats[j, lo + 1]
+            else:
+                if sites[0] > sites[1]:
+                    # matrix rows are ordered (first-listed site most
+                    # significant) — reorder to ascending-bond convention
+                    perm = np.arange(d * d).reshape(d, d).T.reshape(-1)
+                    m = m[np.ix_(perm, perm)]
+                two_site[j].append((lo, m))
         else:
             msg = "scheduled jumps act on 1 or 2 sites"
             raise ValueError(msg)
         flags[j] = True
-    return flags, mats
+    slots = max((len(t) for t in two_site), default=0)
+    if slots == 0:
+        return flags, mats, None
+    t_rows = max(num_steps, 1)
+    bonds = np.zeros((t_rows, slots), dtype=np.int32)
+    mats2 = np.tile(np.eye(d * d, dtype=np.complex128), (t_rows, slots, 1, 1))
+    active = np.zeros((t_rows, slots), dtype=bool)
+    for j, entries in enumerate(two_site):
+        for s, (bond, m) in enumerate(entries):
+            bonds[j, s] = bond
+            mats2[j, s] = m
+            active[j, s] = True
+    return flags, mats, (bonds, mats2, active)

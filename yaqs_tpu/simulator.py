@@ -357,7 +357,9 @@ class Simulator:
             scheduled = compile_scheduled_jumps(
                 noise.scheduled_jumps, sim_params.times, length, d
             )
-        sj_flags, sj_mats = scheduled if scheduled is not None else (None, None)
+        sj_flags, sj_mats, sj_two = (
+            scheduled if scheduled is not None else (None, None, None)
+        )
 
         plan = TrajectoryPlan(
             dt=sim_params.dt,
@@ -366,6 +368,7 @@ class Simulator:
             sample_timesteps=sim_params.sample_timesteps,
             evolution_mode=getattr(sim_params, "evolution_mode", "tdvp"),
             has_scheduled=scheduled is not None,
+            has_scheduled2=sj_two is not None,
             record_diagnostics=True,
             evolution=TDVPConfig(
                 krylov_dim=sim_params.krylov_dim,
@@ -386,7 +389,7 @@ class Simulator:
         def traj_obs(tk, sk):
             res, diag, _ = tjm_trajectory(
                 tk, sk, tensors0, mpo, compiled, observables, plan,
-                sj_flags, sj_mats,
+                sj_flags, sj_mats, sj_two,
             )
             return jnp.concatenate([res, diag.astype(res.dtype)], axis=0)
 
@@ -414,6 +417,7 @@ class Simulator:
                 plan,
                 sj_flags,
                 sj_mats,
+                sj_two,
             )
             output_state = fetch(final)
 
