@@ -30,8 +30,6 @@ from ..utils.host import to_device
 
 from ..core import mps_ops
 from ..digital.circuit import Circuit, load_circuit
-from ..digital.compile import CompiledSegment, compile_circuit
-from ..digital.engine import bond_sweep_ltr
 from ..methods.tdvp import TDVPConfig
 
 __all__ = ["EquivalenceChecker", "EquivalenceCheckResult"]
@@ -84,24 +82,6 @@ def _double_2q(u4: np.ndarray, below: bool, d: int = 2) -> np.ndarray:
     t = big.reshape(d, d, d, d, d, d, d, d)  # o1 o2 i1 i2 | o1' o2' i1' i2'
     t = t.transpose(0, 2, 1, 3, 4, 6, 5, 7)
     return t.reshape(d * d * d * d, d * d * d * d)
-
-
-def _double_segment(seg: CompiledSegment, below: bool, d: int = 2) -> CompiledSegment:
-    n_hl, length = seg.mats1q.shape[:2]
-    mats1q = np.tile(np.eye(d * d, dtype=np.complex128), (n_hl, length, 1, 1))
-    bond_mats = np.tile(
-        np.eye((d * d) ** 2, dtype=np.complex128), (n_hl, max(length - 1, 1), 1, 1)
-    )
-    for h in range(n_hl):
-        for s in range(length):
-            m = seg.mats1q[h, s]
-            if not np.allclose(m, np.eye(d)):
-                mats1q[h, s] = _double_1q_below(m) if below else _double_1q_above(m)
-        for b in range(length - 1):
-            g = seg.bond_mats[h, b]
-            if not np.allclose(g, np.eye(d * d)):
-                bond_mats[h, b] = _double_2q(g, below, d)
-    return CompiledSegment(mats1q, bond_mats, np.zeros((n_hl, length)))
 
 
 def _identity_doubled_mps(length: int, chi: int, d: int = 2) -> np.ndarray:
@@ -221,51 +201,76 @@ class EquivalenceChecker:
             trunc_mode="discarded_weight", threshold=svd_threshold, max_bond_dim=chi
         )
 
-        # swaps mode keeps every gate inside half-layer segments (no MPO /
-        # window stages), which is what the doubled-layer contraction needs
-        segs1 = [s for plan in compile_circuit(c1, "swaps").segments for s in plan.stages]
-        segs2 = [s for plan in compile_circuit(c2, "swaps").segments for s in plan.stages]
-        halves1 = _split_half_layers(segs1)
-        halves2 = _split_half_layers(segs2)
+        # per-gate LOCAL op streams: one-site ops absorb in place, two-site
+        # gates update only their own bond (merge -> matrix -> truncated
+        # split), long-range gates walk via fused-index SWAPs.  This replaces
+        # the earlier full-chain half-layer sweeps, whose O(L) cost per gate
+        # made QFT-class circuits (O(n^2) long-range gates) scale as n^4 —
+        # measured 101 s at n=12 / 267 s at n=16, extrapolating to ~8 h at
+        # the BASELINE config-4 size n=50; the local engine runs n=50 in
+        # minutes (the reference's local checkerboard pair updates,
+        # contraction_utils.py:271-341, have the same per-gate locality).
+        units1 = _emit_doubled_ops(c1, below=True, d=d)
+        units2 = _emit_doubled_ops(c2, below=False, d=d)
 
-        doubled: list[CompiledSegment] = []
-        # interleave proportionally by applied two-qubit-gate weight so both
-        # circuits advance through the same circuit *fraction* together (the
-        # intermediate stays near identity when the circuits are equivalent);
-        # half-layer counts alone misalign when gate density differs
-        def _weight(seg: CompiledSegment) -> int:
-            eye = np.eye(seg.bond_mats.shape[-1])
-            w = sum(
-                0 if np.allclose(g, eye) else 1 for g in seg.bond_mats[0]
-            )
-            return max(w, 1)
-
-        w1 = [_weight(h) for h in halves1]
-        w2 = [_weight(h) for h in halves2]
-        tot1 = max(sum(w1), 1)
-        tot2 = max(sum(w2), 1)
-        n1, n2 = len(halves1), len(halves2)
-        i = j = 0
-        a1 = a2 = 0
+        # interleave proportionally by two-site-gate weight so both circuits
+        # advance through the same circuit *fraction* together (the
+        # intermediate stays near identity when the circuits are equivalent).
+        # Granularity is whole UNITS: below/above doubled operators commute
+        # gate-by-gate, but the fused routing SWAPs inside a long-range
+        # unit act on both layers, so a unit must never be split.
+        w1 = [w for w, _ in units1]
+        w2 = [w for w, _ in units2]
+        tot1, tot2 = max(sum(w1), 1), max(sum(w2), 1)
+        n1, n2 = len(units1), len(units2)
+        stream = []
+        i = j = a1 = a2 = 0
         while i < n1 or j < n2:
             if j >= n2 or (i < n1 and a1 * tot2 <= a2 * tot1):
-                doubled.append(_double_segment(halves1[i], below=True, d=d))
+                stream.extend(units1[i][1])
                 a1 += w1[i]
                 i += 1
             else:
-                doubled.append(_double_segment(halves2[j], below=False, d=d))
+                stream.extend(units2[j][1])
                 a2 += w2[j]
                 j += 1
+
+        # center-planning pass: faithful truncation requires the
+        # orthogonality center AT the split bond (local singular values in an
+        # arbitrary gauge reflect representation rank, not state rank — a
+        # chi cap then discards real weight even for product states), so the
+        # host plans explicit center walks: kind 2/3 = QR shift right/left,
+        # kind 1/4 = bond op splitting right/left (center follows the next
+        # bond op's direction).  The center starts at 0 (identity product
+        # state is canonical everywhere) and flows monotonically through
+        # each gate's SWAP walk, so shifts add O(1) amortized per op.
+        stream = _plan_center_walks(stream, d)
+
+        # fixed-size scan chunks, one compiled program; no normalization
+        # between chunks (it would move the center) — the single closing
+        # canonicalization captures all truncation loss, which is the only
+        # norm change (every doubled op is unitary, shifts are exact)
+        chunk = max(2 * length, 16)
+        pad = (-len(stream)) % chunk
+        stream = stream + [(0, 0, np.eye((d * d) ** 2, dtype=np.complex128))] * pad
+        kinds = np.asarray([k for k, _, _ in stream], dtype=np.int32)
+        idxs = np.asarray([i for _, i, _ in stream], dtype=np.int32)
+        mats = np.stack([m for _, _, m in stream]).astype(np.complex128)
 
         # numpy operands into jitted calls only: eager complex device ops
         # are unsupported on the tunneled TPU platform
         tensors = to_device(_identity_doubled_mps(length, chi, d))
-        log_norm = 0.0
-        for seg in doubled:
-            tensors, nrm = _apply_doubled_half_layer(
-                tensors, to_device(seg.mats1q[0]), to_device(seg.bond_mats[0]), cfg
+        for c0 in range(0, len(stream), chunk):
+            sl = slice(c0, c0 + chunk)
+            tensors = _apply_doubled_ops_chunk(
+                tensors,
+                to_device(kinds[sl]),
+                to_device(idxs[sl]),
+                to_device(mats[sl]),
+                cfg,
             )
-            log_norm += float(np.log(max(float(np.asarray(nrm)), 1e-300)))
+        tensors, nrm = jax.jit(mps_ops.normalize_canonical)(tensors)
+        log_norm = float(np.log(max(float(np.asarray(nrm)), 1e-300)))
 
         # overlap with the normalized identity state: |<vecI | O>| * prod(norms)
         ident = _identity_doubled_mps(length, chi, d)
@@ -280,35 +285,196 @@ class EquivalenceChecker:
         return fid, np.asarray(spectra), np.asarray(entropies), kept_weight
 
 
-def _split_half_layers(segments: list[CompiledSegment]) -> list[CompiledSegment]:
-    out = []
-    for seg in segments:
-        if not isinstance(seg, CompiledSegment):  # GateStage (>=3-qubit gate)
+_SWAP_2Q = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=complex
+)
+
+
+def _fused_swap(d: int = 2) -> np.ndarray:
+    """SWAP of two fused ``d^2``-dim sites (routes BOTH operator layers)."""
+    dd = d * d
+    return (
+        np.eye(dd * dd).reshape(dd, dd, dd, dd).transpose(1, 0, 2, 3).reshape(dd * dd, dd * dd)
+    )
+
+
+def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
+    """Host-side op-UNIT stream for one circuit layer.
+
+    Returns ``[(weight, [(kind, idx, mat), ...])]`` — one unit per circuit
+    gate.  kind 0: one-site doubled op at site ``idx`` (``(d^2, d^2)``
+    embedded in the top-left of a ``(d^4, d^4)`` buffer for uniform
+    stacking); kind 1: bond op at bond ``idx`` (full ``(d^4, d^4)``).
+    Long-range two-site gates route via fused-index SWAP walks
+    (2*(dist-1)+1 bond ops).  Units are ATOMIC for interleaving: the routing
+    SWAPs act on BOTH operator layers, so below/above streams only commute
+    at whole-unit granularity (each unit restores site positions).
+    """
+    dd2 = (d * d) ** 2
+    fswap = _fused_swap(d)
+    units: list[tuple[int, list[tuple[int, int, np.ndarray]]]] = []
+
+    def pad1(m: np.ndarray) -> np.ndarray:
+        out = np.eye(dd2, dtype=np.complex128)
+        out[: d * d, : d * d] = m
+        return out
+
+    for op in circ.ops:
+        if op.name in {"barrier", "measure"}:
+            continue
+        qs = list(op.qubits)
+        m = op.resolved_matrix()
+        if len(qs) == 1:
+            dm = _double_1q_below(m) if below else _double_1q_above(m)
+            units.append((0, [(0, qs[0], pad1(dm))]))
+        elif len(qs) == 2:
+            a, b = qs
+            if a > b:
+                # first-listed qubit is most significant; reorder ascending
+                perm = [0, 2, 1, 3]
+                m = m[np.ix_(perm, perm)]
+                a, b = b, a
+            dm = _double_2q(m, below, d)
+            if b == a + 1:
+                units.append((1, [(1, a, dm)]))
+            else:
+                unit = [(1, k, fswap) for k in range(b - 1, a, -1)]
+                unit.append((1, a, dm))
+                unit += [(1, k, fswap) for k in range(a + 1, b)]
+                units.append((1, unit))
+        else:
             msg = (
                 "the MPO equivalence backend supports 1- and 2-qubit gates; "
                 "decompose larger gates first (or use the matrix backend)"
             )
             raise NotImplementedError(msg)
-        for h in range(seg.n_half_layers):
-            out.append(
-                CompiledSegment(
-                    seg.mats1q[h : h + 1],
-                    seg.bond_mats[h : h + 1],
-                    seg.noise_site_mask[h : h + 1],
-                )
-            )
+    return units
+
+
+def _plan_center_walks(stream, d: int = 2):
+    """Insert center shifts so every bond op splits at the center.
+
+    Input ops: kind 0 (one-site, gauge-preserving — all doubled 1q ops are
+    unitary) and kind 1 (bond op at ``idx``).  Output adds kind 2 (QR shift
+    right at site ``idx``: center idx -> idx+1), kind 3 (LQ shift left at
+    site ``idx``: center idx -> idx-1), and re-kinds bond ops to 1
+    (split right, center -> idx+1) or 4 (split left, center -> idx) chosen
+    by the FOLLOWING bond op's position, so walks cost no extra shifts.
+    """
+    eye = np.eye((d * d) ** 2, dtype=np.complex128)
+    bonds_ahead = []
+    nxt = None
+    for kind, idx, _ in reversed(stream):
+        bonds_ahead.append(nxt)
+        if kind == 1:
+            nxt = idx
+    bonds_ahead.reverse()
+
+    out = []
+    c = 0
+    for (kind, idx, m), nb in zip(stream, bonds_ahead):
+        if kind == 0:
+            out.append((0, idx, m))
+            continue
+        while c < idx:
+            out.append((2, c, eye))
+            c += 1
+        while c > idx + 1:
+            out.append((3, c, eye))
+            c -= 1
+        if nb is not None and nb < idx:
+            out.append((4, idx, m))
+            c = idx
+        else:
+            out.append((1, idx, m))
+            c = idx + 1
     return out
 
 
 from functools import partial  # noqa: E402
 
+from ..ops.decomp import merge_two_site, split_two_site_truncated  # noqa: E402
+
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _apply_doubled_half_layer(tensors, mats1q, bond_mats, cfg: TDVPConfig):
-    tensors = jnp.einsum("iab,iblr->ialr", mats1q.astype(tensors.dtype), tensors)
-    tensors = bond_sweep_ltr(tensors, bond_mats, cfg)
-    tensors, nrm = mps_ops.normalize_canonical(tensors)
-    return tensors, nrm
+def _apply_doubled_ops_chunk(tensors, kinds, idxs, mats, cfg: TDVPConfig):
+    """Scan a chunk of local doubled ops with a center-following gauge.
+
+    The caller guarantees (``_plan_center_walks``) that each bond op arrives
+    with the orthogonality center inside its pair, so the local split's
+    singular values are the state's true Schmidt values across that bond and
+    truncation is faithful.  Shifts and one-site ops are exact; splits only
+    ever reduce the norm (truncation), captured by the caller's closing
+    canonicalization.
+    """
+    length, dd, chi, _ = tensors.shape
+
+    def _split(t, idx, m, distribution):
+        a = jax.lax.dynamic_index_in_dim(t, idx, 0, keepdims=False)
+        b = jax.lax.dynamic_index_in_dim(t, idx + 1, 0, keepdims=False)
+        theta = merge_two_site(a, b)
+        th = (m.astype(t.dtype) @ theta.reshape(dd * dd, chi * chi)).reshape(
+            dd, dd, chi, chi
+        )
+        a2, b2, _, _ = split_two_site_truncated(
+            th,
+            chi,
+            mode=cfg.trunc_mode,
+            threshold=cfg.threshold,
+            max_bond_dim=cfg.max_bond_dim,
+            min_keep=1,
+            svd_distribution=distribution,
+        )
+        t = jax.lax.dynamic_update_index_in_dim(t, a2, idx, 0)
+        return jax.lax.dynamic_update_index_in_dim(t, b2, idx + 1, 0)
+
+    def body(t, xs):
+        kind, idx, m = xs
+        # bond/shift branches index idx+1 / idx-1; clamps keep the untaken
+        # branches in-range at trace time
+        ib = jnp.minimum(idx, length - 2)
+        il = jnp.maximum(idx, 1)
+
+        def one_site(t):
+            a = jax.lax.dynamic_index_in_dim(t, idx, 0, keepdims=False)
+            a = jnp.einsum("ab,blr->alr", m[:dd, :dd].astype(t.dtype), a)
+            return jax.lax.dynamic_update_index_in_dim(t, a, idx, 0)
+
+        def bond_right(t):
+            return _split(t, ib, m, "right")
+
+        def bond_left(t):
+            return _split(t, ib, m, "left")
+
+        def shift_right(t):
+            a = jax.lax.dynamic_index_in_dim(t, ib, 0, keepdims=False)
+            q, r = jnp.linalg.qr(a.reshape(dd * chi, chi))
+            t = jax.lax.dynamic_update_index_in_dim(
+                t, q.reshape(dd, chi, chi), ib, 0
+            )
+            nxt = jax.lax.dynamic_index_in_dim(t, ib + 1, 0, keepdims=False)
+            nxt = jnp.einsum("lm,smr->slr", r, nxt)
+            return jax.lax.dynamic_update_index_in_dim(t, nxt, ib + 1, 0)
+
+        def shift_left(t):
+            a = jax.lax.dynamic_index_in_dim(t, il, 0, keepdims=False)
+            m2 = jnp.transpose(a, (1, 0, 2)).reshape(chi, dd * chi)
+            qh, rh = jnp.linalg.qr(m2.conj().T)
+            q = qh.conj().T.reshape(chi, dd, chi).transpose(1, 0, 2)
+            t = jax.lax.dynamic_update_index_in_dim(t, q, il, 0)
+            prev = jax.lax.dynamic_index_in_dim(t, il - 1, 0, keepdims=False)
+            prev = jnp.einsum("slr,rm->slm", prev, rh.conj().T)
+            return jax.lax.dynamic_update_index_in_dim(t, prev, il - 1, 0)
+
+        return (
+            jax.lax.switch(
+                kind, [one_site, bond_right, shift_right, shift_left, bond_left], t
+            ),
+            None,
+        )
+
+    tensors, _ = jax.lax.scan(body, tensors, (kinds, idxs, mats))
+    return tensors
 
 
 
