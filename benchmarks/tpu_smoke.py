@@ -168,6 +168,13 @@ def main() -> None:
     def equivalence():
         q1 = 'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\nh q[0];\ncx q[0],q[1];\n'
         assert EquivalenceChecker().check(q1, q1).equivalent
+        # MPO backend (center-tracked local engine incl. a long-range walk)
+        q2 = (
+            'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[8];\n'
+            "h q[0];\ncx q[0],q[1];\ncp(0.7) q[2],q[5];\nrz(0.3) q[7];\n"
+        )
+        res = EquivalenceChecker().check(q2, q2, max_bond_dim=8)
+        assert res.method == "mpo" and res.equivalent, (res.method, res.fidelity)
 
     def characterize_noise():
         from yaqs_tpu import NoiseCharacterizer

@@ -195,6 +195,22 @@ class EquivalenceChecker:
 
     # -- MPO backend ---------------------------------------------------------
     def _mpo_fidelity(self, c1: Circuit, c2: Circuit, chi: int, svd_threshold: float):
+        """Doubled-MPS contraction of ``U2^dag U1`` vs identity.
+
+        Pinned to the CPU backend in float64: the checker is a host-side
+        analysis tool (the reference's runs on CPU), its per-op program is a
+        sequential chain of small QR/SVDs — the opposite of MXU-shaped work
+        — and the tunneled TPU worker crashes on the switch/scan program
+        (probed 2026-08-18).  ``jax.devices("cpu")`` is available even when
+        the default platform is the axon TPU; x64 is forced locally because
+        complex64 roundoff across thousands of local ops (~1.5e-6 on an
+        8-qubit smoke) already exceeds the 1e-6 default verdict threshold.
+        """
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0), jax.enable_x64(True):
+            return self._mpo_fidelity_impl(c1, c2, chi, svd_threshold)
+
+    def _mpo_fidelity_impl(self, c1: Circuit, c2: Circuit, chi: int, svd_threshold: float):
         length = c1.num_qubits
         d = 2
         cfg = TDVPConfig(
@@ -408,6 +424,18 @@ def _apply_doubled_ops_chunk(tensors, kinds, idxs, mats, cfg: TDVPConfig):
     canonicalization.
     """
     length, dd, chi, _ = tensors.shape
+    # rank-safety noise for the shift QRs: the identity doubled MPS is a
+    # padded product state — exactly the rank-deficient case where XLA:TPU's
+    # Householder QR emits NaN columns (core/mps_ops._qr_rank_noise)
+    qr_noise = mps_ops._qr_rank_noise((dd * chi, chi), tensors.dtype)
+
+    def _safe_qr(a2):
+        if qr_noise is not None:
+            scale = (
+                mps_ops._QR_EPS32 * jnp.linalg.norm(a2) + 1e-16
+            ).astype(a2.dtype)
+            a2 = a2 + scale * jnp.asarray(qr_noise, dtype=a2.dtype)
+        return jnp.linalg.qr(a2)
 
     def _split(t, idx, m, distribution):
         a = jax.lax.dynamic_index_in_dim(t, idx, 0, keepdims=False)
@@ -448,7 +476,7 @@ def _apply_doubled_ops_chunk(tensors, kinds, idxs, mats, cfg: TDVPConfig):
 
         def shift_right(t):
             a = jax.lax.dynamic_index_in_dim(t, ib, 0, keepdims=False)
-            q, r = jnp.linalg.qr(a.reshape(dd * chi, chi))
+            q, r = _safe_qr(a.reshape(dd * chi, chi))
             t = jax.lax.dynamic_update_index_in_dim(
                 t, q.reshape(dd, chi, chi), ib, 0
             )
@@ -459,7 +487,7 @@ def _apply_doubled_ops_chunk(tensors, kinds, idxs, mats, cfg: TDVPConfig):
         def shift_left(t):
             a = jax.lax.dynamic_index_in_dim(t, il, 0, keepdims=False)
             m2 = jnp.transpose(a, (1, 0, 2)).reshape(chi, dd * chi)
-            qh, rh = jnp.linalg.qr(m2.conj().T)
+            qh, rh = _safe_qr(m2.conj().T)
             q = qh.conj().T.reshape(chi, dd, chi).transpose(1, 0, 2)
             t = jax.lax.dynamic_update_index_in_dim(t, q, il, 0)
             prev = jax.lax.dynamic_index_in_dim(t, il - 1, 0, keepdims=False)
