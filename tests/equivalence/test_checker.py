@@ -235,3 +235,21 @@ def test_matrix_vs_mpo_fidelity_agreement():
         c1, c2, method="mpo", max_bond_dim=64
     ).fidelity
     np.testing.assert_allclose(fid_mpo, fid_matrix, atol=1e-6)
+
+
+def test_qft_transpiled_zero_truncation_at_small_chi():
+    """Per-qubit progress clocks align decomposition pairs exactly: the
+    QFT-16 vs transpiled-QFT-16 contraction must be LOSSLESS at chi=16
+    (kept weight 1, fidelity 1). Global-fraction interleaving failed this
+    (chi=48 still inconclusive) — regression guard for the interleaver."""
+    from yaqs_tpu.models.circuits import (
+        create_qft_circuit,
+        create_transpiled_qft_circuit,
+    )
+
+    n = 16
+    a = create_qft_circuit(n)
+    b = create_transpiled_qft_circuit(n)
+    fid, _, _, kept = EquivalenceChecker()._mpo_fidelity(a, b, 16, 1e-13)
+    assert kept > 1 - 1e-9, kept
+    assert abs(fid - 1) < 1e-7, fid

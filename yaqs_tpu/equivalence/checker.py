@@ -228,28 +228,7 @@ class EquivalenceChecker:
         # contraction_utils.py:271-341, have the same per-gate locality).
         units1 = _emit_doubled_ops(c1, below=True, d=d)
         units2 = _emit_doubled_ops(c2, below=False, d=d)
-
-        # interleave proportionally by two-site-gate weight so both circuits
-        # advance through the same circuit *fraction* together (the
-        # intermediate stays near identity when the circuits are equivalent).
-        # Granularity is whole UNITS: below/above doubled operators commute
-        # gate-by-gate, but the fused routing SWAPs inside a long-range
-        # unit act on both layers, so a unit must never be split.
-        w1 = [w for w, _ in units1]
-        w2 = [w for w, _ in units2]
-        tot1, tot2 = max(sum(w1), 1), max(sum(w2), 1)
-        n1, n2 = len(units1), len(units2)
-        stream = []
-        i = j = a1 = a2 = 0
-        while i < n1 or j < n2:
-            if j >= n2 or (i < n1 and a1 * tot2 <= a2 * tot1):
-                stream.extend(units1[i][1])
-                a1 += w1[i]
-                i += 1
-            else:
-                stream.extend(units2[j][1])
-                a2 += w2[j]
-                j += 1
+        stream = _interleave_units(units1, units2)
 
         # center-planning pass: faithful truncation requires the
         # orthogonality center AT the split bond (local singular values in an
@@ -317,8 +296,9 @@ def _fused_swap(d: int = 2) -> np.ndarray:
 def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
     """Host-side op-UNIT stream for one circuit layer.
 
-    Returns ``[(weight, [(kind, idx, mat), ...])]`` — one unit per circuit
-    gate.  kind 0: one-site doubled op at site ``idx`` (``(d^2, d^2)``
+    Returns ``[(weight, qubits, [(kind, idx, mat), ...])]`` — one unit per
+    circuit gate (``qubits`` = the gate's logical qubits, for the per-qubit
+    interleaving clocks).  kind 0: one-site doubled op at site ``idx`` (``(d^2, d^2)``
     embedded in the top-left of a ``(d^4, d^4)`` buffer for uniform
     stacking); kind 1: bond op at bond ``idx`` (full ``(d^4, d^4)``).
     Long-range two-site gates route via fused-index SWAP walks
@@ -328,7 +308,7 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
     """
     dd2 = (d * d) ** 2
     fswap = _fused_swap(d)
-    units: list[tuple[int, list[tuple[int, int, np.ndarray]]]] = []
+    units: list = []
 
     def pad1(m: np.ndarray) -> np.ndarray:
         out = np.eye(dd2, dtype=np.complex128)
@@ -342,7 +322,7 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
         m = op.resolved_matrix()
         if len(qs) == 1:
             dm = _double_1q_below(m) if below else _double_1q_above(m)
-            units.append((0, [(0, qs[0], pad1(dm))]))
+            units.append((0, tuple(qs), [(0, qs[0], pad1(dm))]))
         elif len(qs) == 2:
             a, b = qs
             if a > b:
@@ -352,12 +332,12 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
                 a, b = b, a
             dm = _double_2q(m, below, d)
             if b == a + 1:
-                units.append((1, [(1, a, dm)]))
+                units.append((1, (a, b), [(1, a, dm)]))
             else:
                 unit = [(1, k, fswap) for k in range(b - 1, a, -1)]
                 unit.append((1, a, dm))
                 unit += [(1, k, fswap) for k in range(a + 1, b)]
-                units.append((1, unit))
+                units.append((1, (a, b), unit))
         else:
             msg = (
                 "the MPO equivalence backend supports 1- and 2-qubit gates; "
@@ -365,6 +345,72 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
             )
             raise NotImplementedError(msg)
     return units
+
+
+def _interleave_units(units1, units2):
+    """Merge below/above unit streams with per-qubit progress clocks.
+
+    The intermediate operator stays near identity (for equivalent pairs)
+    only when the applied prefixes correspond to the same physical gates.
+    A single global progress fraction drifts when the two circuits decompose
+    gates with different op counts (e.g. cp -> 2 CX but swap -> 3 CX): the
+    constant-fraction mismatch window then holds O(n^2-scaled) unmatched
+    long-range gates whose operator rank grows exponentially — measured on
+    exact QFT-16 pairs: chi=48 still inconclusive.  Per-QUBIT fractional
+    clocks (progress of each stream normalized by its own per-qubit totals)
+    are invariant under per-gate decomposition factors, so streams align at
+    gate-correspondence boundaries exactly: the same pair is conclusive at
+    chi=16.  Units are atomic (their routing SWAPs act on both layers).
+    """
+    from collections import Counter, defaultdict
+
+    def totals(units):
+        t = Counter()
+        for w, qs, _ in units:
+            if w:
+                for q in qs:
+                    t[q] += 1
+        return t
+
+    t1, t2 = totals(units1), totals(units2)
+    f1, f2 = defaultdict(float), defaultdict(float)
+
+    def next_2q(units, i):
+        while i < len(units) and units[i][0] == 0:
+            i += 1
+        return i
+
+    stream = []
+    i = j = 0
+    n1, n2 = len(units1), len(units2)
+    while i < n1 or j < n2:
+        i2, j2 = next_2q(units1, i), next_2q(units2, j)
+        if i2 >= n1 and j2 >= n2:
+            # only trailing one-site units remain
+            for _, _, ops in units1[i:] + units2[j:]:
+                stream.extend(ops)
+            break
+        take1 = j2 >= n2
+        if not take1 and i2 < n1:
+            # deficit: how far each stream's next gate is AHEAD of the other
+            # on its own qubits; apply the stream that is further behind
+            q1s, q2s = units1[i2][1], units2[j2][1]
+            d1 = sum(f1[q] - f2[q] for q in q1s) / max(len(q1s), 1)
+            d2 = sum(f2[q] - f1[q] for q in q2s) / max(len(q2s), 1)
+            take1 = d1 <= d2
+        if take1:
+            for _, qs, ops in units1[i : i2 + 1]:
+                stream.extend(ops)
+            for q in units1[i2][1]:
+                f1[q] += 1.0 / t1[q]
+            i = i2 + 1
+        else:
+            for _, qs, ops in units2[j : j2 + 1]:
+                stream.extend(ops)
+            for q in units2[j2][1]:
+                f2[q] += 1.0 / t2[q]
+            j = j2 + 1
+    return stream
 
 
 def _plan_center_walks(stream, d: int = 2):
