@@ -60,7 +60,7 @@ CHI = int(os.environ.get("BENCH_CHI", 64))
 MODEL = os.environ.get("BENCH_MODEL", "tfim")  # tfim | heisenberg (XXZ)
 DT = 0.1
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
-KRYLOV = int(os.environ.get("BENCH_KRYLOV", 5))
+KRYLOV = int(os.environ.get("BENCH_KRYLOV", 4))
 SVD_METHOD = os.environ.get("BENCH_SVD", "subspace")  # exact | subspace
 SUBSPACE_ITERS = int(os.environ.get("BENCH_SITERS", 1))
 REORTH = os.environ.get("BENCH_REORTH", "0") == "1"

@@ -152,31 +152,6 @@ class Simulator:
         return max(int(chi), 2)
 
     @staticmethod
-    def _one_site_observables(sim_params, d):
-        """(ops, sites) arrays for the sorted one-site observables."""
-        ops, sites = [], []
-        for obs in sim_params.sorted_observables:
-            if obs.matrix is None or len(obs.site_list) != 1:
-                msg = (
-                    f"Observable {obs.name!r} on sites {obs.sites!r} is not a "
-                    "one-site observable; not supported on this path yet."
-                )
-                raise NotImplementedError(msg)
-            m = obs.matrix
-            if m.shape[0] < d:
-                mm = np.zeros((d, d), dtype=np.complex128)
-                mm[: m.shape[0], : m.shape[1]] = m
-                m = mm
-            ops.append(m)
-            sites.append(obs.site_list[0])
-        if not ops:
-            return (
-                np.zeros((0, d, d), dtype=np.complex128),
-                np.zeros((0,), dtype=np.int32),
-            )
-        return np.stack(ops), np.asarray(sites, dtype=np.int32)
-
-    @staticmethod
     def _sparse_observables(sim_params, length, d):
         """Sparse embedded observables for the large-chain MCWF path."""
         import scipy.sparse as sp
