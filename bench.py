@@ -109,10 +109,15 @@ def digital_bench() -> dict:
         gate_mode="swaps",
     )
     sim = Simulator()
-    sim.run(State(n), circ, params, noise)  # warmup: populate jit caches
-    # two timed reps, best-of: the digital engine is dispatch-intensive
-    # (one jit call per half-layer — platform lowering rule 8), so a single
-    # rep is sensitive to host/tunnel latency jitter (measured 2x run-to-run)
+    # The engine dispatches one jit call per half-layer (platform lowering
+    # rule 8) across many per-shape programs (half-layers, shot sampling,
+    # observable columns), and per-rep wall KEEPS improving well past the
+    # first run (measured 16.5 -> 36 -> 47 traj/s over 6 reps on the v5e —
+    # cache fill + tunnel warmup), so steady state needs several warmups
+    # and a best-of over timed reps.
+    warmups = 1 if os.environ.get("BENCH_CPU") == "1" else 3
+    for _ in range(warmups):
+        sim.run(State(n), circ, params, noise)
     wall = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
