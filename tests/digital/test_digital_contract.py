@@ -252,7 +252,7 @@ def test_get_state_returns_final_mps():
         None,
     )
     assert res.output_state is not None
-    psi = mps_ops.to_statevector_np(np.asarray(res.output_state))
+    psi = mps_ops.to_statevector_np(np.asarray(res.output_state.tensors))
     golden = run_dense(c, zeros_vec(length))
     i = int(np.argmax(np.abs(golden)))
     phase = psi[i] / golden[i]

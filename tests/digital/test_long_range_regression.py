@@ -173,7 +173,7 @@ def test_haar_state_norm_stable():
     res = run_engine(c, length, chi=32, get_state=True)
     from yaqs_tpu.core.mps import MPS
 
-    psi = MPS(tensors=np.asarray(res.output_state))
+    psi = MPS(tensors=np.asarray(res.output_state.tensors))
     np.testing.assert_allclose(psi.norm(), 1.0, atol=1e-8)
 
 
@@ -189,7 +189,7 @@ def test_lr_rzz_bond_not_inflated():
         c.h(q)
     c.append("rzz", (1, 6), params=(0.9,))
     res = run_engine(c, length, chi=16, get_state=True)
-    ranks = effective_bond_ranks(np.asarray(res.output_state))
+    ranks = effective_bond_ranks(np.asarray(res.output_state.tensors))
     assert ranks.max() <= 2, ranks
 
 
@@ -204,7 +204,7 @@ def test_truncation_respects_max_bond_dim():
         for q in range(layer % 2, length - 1, 2):
             c.append("unitary", (q, q + 1), matrix=haar_unitary(4, rng))
     res = run_engine(c, length, chi=4, get_state=True)
-    tensors = np.asarray(res.output_state)
+    tensors = np.asarray(res.output_state.tensors)
     assert tensors.shape[2] == 4
     from yaqs_tpu.core.mps import MPS
 

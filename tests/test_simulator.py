@@ -112,7 +112,8 @@ def test_get_state_returns_final_mps():
     params.get_state = True
     result = Simulator().run(state, ham, params, noise)
     assert result.output_state is not None
-    assert result.output_state.shape == (3, 2, 8, 8)
+    assert result.output_state.representation == "mps"
+    assert np.asarray(result.output_state.tensors).shape == (3, 2, 8, 8)
 
 
 def test_public_api_contract():

@@ -147,9 +147,14 @@ def lindblad_rk4_expectations(
     dt: float,
     num_steps: int,
     substeps: int | None = None,
+    return_final: bool = False,
 ) -> np.ndarray:
     """Large-system Lindblad evolution: fixed-grid RK4 on the sparse
     vectorized RHS ``d vec(rho)/dt = L vec(rho)``.
+
+    With ``return_final`` set, returns ``(vals, vec_rho_final)`` so callers
+    can materialize the final density matrix (reference get_state contract,
+    simulator.py:361-370).
 
     TPU-native replacement for the reference's adaptive ``solve_ivp`` RK45
     fallback (reference analog/lindblad.py:343-375): a fixed substep grid is
@@ -219,10 +224,15 @@ def lindblad_rk4_expectations(
 
         v0 = jnp.asarray(vec0)  # closure constant -> device
         vals0 = measure(v0)
-        _, vals = jax.lax.scan(step, v0, None, length=steps)
-        return jnp.concatenate([vals0[None], vals], axis=0).T
+        vec_f, vals = jax.lax.scan(step, v0, None, length=steps)
+        return jnp.concatenate([vals0[None], vals], axis=0).T, vec_f
 
-    return np.asarray(run(num_steps, substeps))
+    vals, vec_f = run(num_steps, substeps)
+    if return_final:
+        from ..utils.host import fetch
+
+        return np.asarray(vals), fetch(vec_f)
+    return np.asarray(vals)
 
 
 def lindblad_expectations(

@@ -122,9 +122,13 @@ def make_mcwf_krylov_context(
     )
 
 
-@partial(jax.jit, static_argnames=("num_steps",))
+@partial(jax.jit, static_argnames=("num_steps", "return_state"))
 def mcwf_trajectory_krylov(
-    key: jax.Array, psi0: jnp.ndarray, ctx: MCWFKrylovContext, num_steps: int
+    key: jax.Array,
+    psi0: jnp.ndarray,
+    ctx: MCWFKrylovContext,
+    num_steps: int,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """One MCWF trajectory with per-step Arnoldi propagation (sparse H_eff)."""
     from ..ops.krylov import arnoldi_expm_apply
@@ -163,8 +167,9 @@ def mcwf_trajectory_krylov(
 
     vals0 = measure(psi0)
     keys = jax.random.split(key, num_steps)
-    _, vals = jax.lax.scan(step, psi0, keys)
-    return jnp.concatenate([vals0[None], vals], axis=0).T
+    psi_f, vals = jax.lax.scan(step, psi0, keys)
+    out = jnp.concatenate([vals0[None], vals], axis=0).T
+    return (out, psi_f) if return_state else out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,7 +287,11 @@ def make_mcwf_local_context(
 
 
 def mcwf_trajectory_local(
-    key: jax.Array, psi0: jnp.ndarray, ctx: MCWFLocalContext, num_steps: int
+    key: jax.Array,
+    psi0: jnp.ndarray,
+    ctx: MCWFLocalContext,
+    num_steps: int,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """One MCWF trajectory with the local-term H_eff Arnoldi propagation.
 
@@ -359,13 +368,18 @@ def mcwf_trajectory_local(
 
     vals0 = measure(psi0)
     keys = jax.random.split(key, num_steps)
-    _, vals = jax.lax.scan(step, psi0, keys)
-    return jnp.concatenate([vals0[None], vals], axis=0).T
+    psi_f, vals = jax.lax.scan(step, psi0, keys)
+    out = jnp.concatenate([vals0[None], vals], axis=0).T
+    return (out, psi_f) if return_state else out
 
 
-@partial(jax.jit, static_argnames=("num_steps",))
+@partial(jax.jit, static_argnames=("num_steps", "return_state"))
 def mcwf_trajectory(
-    key: jax.Array, psi0: jnp.ndarray, ctx: MCWFContext, num_steps: int
+    key: jax.Array,
+    psi0: jnp.ndarray,
+    ctx: MCWFContext,
+    num_steps: int,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """One MCWF trajectory; returns ``(n_obs, num_steps + 1)`` real values."""
 
@@ -400,5 +414,6 @@ def mcwf_trajectory(
 
     vals0 = measure(psi0)
     keys = jax.random.split(key, num_steps)
-    _, vals = jax.lax.scan(step, psi0, keys)
-    return jnp.concatenate([vals0[None], vals], axis=0).T
+    psi_f, vals = jax.lax.scan(step, psi0, keys)
+    out = jnp.concatenate([vals0[None], vals], axis=0).T
+    return (out, psi_f) if return_state else out

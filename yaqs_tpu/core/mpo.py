@@ -77,6 +77,49 @@ class MPO:
         return cls(mpo_from_pauli_sum(terms, length, d))
 
     @classmethod
+    def pauli(
+        cls,
+        length: int,
+        two_body: list[tuple[complex, str, str]] | None = None,
+        one_body: list[tuple[complex, str]] | None = None,
+        bc: str = "open",
+    ) -> MPO:
+        """Generic nearest-neighbor two-body + one-body Pauli Hamiltonian
+        (reference MPO.pauli, mpo.py:249-327): interaction lists expand into
+        Pauli strings; ``bc`` adds the periodic wrap bond.
+
+        Raises:
+            ValueError: nonpositive length, invalid boundary condition, or an
+                operator label outside {I, X, Y, Z}.
+        """
+        if length <= 0:
+            msg = f"length must be positive, got {length}"
+            raise ValueError(msg)
+        if bc not in {"open", "periodic"}:
+            msg = f"bc must be 'open' or 'periodic', got {bc!r}"
+            raise ValueError(msg)
+        valid = {"I", "X", "Y", "Z"}
+
+        def op(label: object) -> str:
+            lab = str(label).upper()
+            if lab not in valid:
+                msg = f"Invalid operator {label!r}; expected one of {sorted(valid)}"
+                raise ValueError(msg)
+            return lab
+
+        terms: list[tuple[complex, str]] = []
+        bonds = range(length) if bc == "periodic" else range(length - 1)
+        for c, a, b in two_body or []:
+            a_op, b_op = op(a), op(b)
+            for i in bonds:
+                j = (i + 1) % length
+                terms.append((c, f"{a_op}{i} {b_op}{j}"))
+        for c, a in one_body or []:
+            a_op = op(a)
+            terms.extend((c, f"{a_op}{i}") for i in range(length))
+        return cls(mpo_from_pauli_sum(terms, length, 2))
+
+    @classmethod
     def from_terms(cls, terms, length: int, d: int = 2) -> MPO:
         return cls(mpo_from_terms(terms, length, d))
 
@@ -349,6 +392,63 @@ class MPO:
         run = jax.jit(lambda i, c: jnp.abs(mps_ops.scalar_product(i, c)))
         overlap_abs = float(np.asarray(run(to_device(ident), canon)))
         return float(overlap_abs * np.asarray(nrm) / (d ** (length / 2)))
+
+    def compute_schmidt_spectrum(self, cut: int) -> np.ndarray:
+        """Operator Schmidt singular values across an integer bond cut
+        (reference MPO.compute_schmidt_spectrum, mpo.py:1637-1661).
+
+        ``cut`` lies in ``[0, length]``; internal cuts use bond
+        ``(cut - 1, cut)`` and return UNNORMALIZED values (their squares sum
+        to the squared Frobenius norm); boundary cuts return
+        ``[||O||_F]``.
+        """
+        if isinstance(cut, bool) or not isinstance(cut, (int, np.integer)):
+            msg = f"cut must be int, got {cut!r}"
+            raise TypeError(msg)
+        cut = int(cut)
+        if cut < 0 or cut > self.length:
+            msg = f"cut out of range: {cut} for length={self.length}"
+            raise ValueError(msg)
+        _, nrm = self._normalized_doubled()
+        fro = float(np.asarray(nrm))
+        if cut in {0, self.length}:
+            return np.array([fro], dtype=np.float64)
+        s = np.asarray(self.operator_schmidt_spectrum(cut - 1), dtype=np.float64)
+        s = np.sort(s[s > np.finfo(np.float64).tiny])[::-1]
+        return s * fro
+
+    def compute_entanglement_entropy(self, cut: int, *, base: float = np.e) -> float:
+        """Von Neumann entropy of the normalized Schmidt spectrum at ``cut``
+        (reference MPO.compute_entanglement_entropy, mpo.py:1663-1700)."""
+        import math
+
+        base_float = float(base)
+        if (
+            not np.isfinite(base_float)
+            or base_float <= 0.0
+            or math.isclose(base_float, 1.0)
+        ):
+            msg = f"Entropy base must be finite, >0, and !=1; got {base!r}"
+            raise ValueError(msg)
+        s = self.compute_schmidt_spectrum(cut)
+        if s.size == 0:
+            return 0.0
+        smax = float(np.max(np.abs(s)))
+        if not np.isfinite(smax) or smax <= 0.0:
+            return 0.0
+        p = np.square(s / smax)
+        z = float(np.sum(p, dtype=np.float64))
+        if z <= 0.0:
+            return 0.0
+        p /= z
+        nz = p > np.finfo(np.float64).tiny
+        ent = -np.sum(p[nz] * np.log(p[nz]), dtype=np.float64) / math.log(base_float)
+        return float(max(ent, 0.0))
+
+    def check_if_identity(self, fidelity: float) -> bool:
+        """True when the identity fidelity reaches ``fidelity`` (reference
+        MPO.check_if_identity, mpo.py:2028-2040)."""
+        return self.compute_identity_fidelity() >= fidelity
 
     def _check_bond(self, bond: int) -> None:
         if not 0 <= bond < self.length - 1:

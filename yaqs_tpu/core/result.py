@@ -50,6 +50,17 @@ class Result:
     total_bond: np.ndarray | None = None
     elapsed_wall_time: float | None = None
 
+    @property
+    def multi_time_results(self) -> np.ndarray | None:
+        """Reference field-name parity (result.py:180) for the two-time
+        correlator matrix; this build stores it as ``multi_time_correlators``."""
+        return self.multi_time_correlators
+
+    @property
+    def multi_time_times(self) -> np.ndarray | None:
+        """Time grid of the multi-time correlators (reference result.py:179)."""
+        return None if self.multi_time_correlators is None else self.times
+
     def observable(self, index_or_name) -> np.ndarray:
         """Expectation trajectory for one observable (by user index)."""
         assert self.expectation_values is not None

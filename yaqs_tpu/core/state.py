@@ -44,7 +44,12 @@ class State:
         density_matrix=None,
         physical_dimensions: list[int] | int | None = None,
         basis_string: str | None = None,
+        initial: str | None = None,
     ) -> None:
+        if initial is not None:
+            # reference keyword parity: mqt-yaqs names the preset ``initial``
+            # (state.py:54); this build's positional name is ``state``
+            state = initial
         n_data = sum(x is not None for x in (tensors, vector, density_matrix))
         if n_data > 1:
             msg = "Provide at most one of tensors/vector/density_matrix."
@@ -100,6 +105,13 @@ class State:
                 msg = "State requires a length or explicit data."
                 raise ValueError(msg)
         self.length = int(length)
+
+    @property
+    def physical_dimensions(self) -> list[int]:
+        """Per-site local dimensions (reference state.py metadata contract)."""
+        if self._phys_dims is not None:
+            return list(self._phys_dims)
+        return [self.d] * self.length
 
     # -- encodings ---------------------------------------------------------
 

@@ -745,9 +745,15 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         if measurements is not None:
             counts = counts_from_samples(measurements, d)
 
-    output_state = (
-        fetch(jax.jit(lambda t: t[0])(tensors_b)) if sim_params.get_state else None
-    )
+    output_state = None
+    if sim_params.get_state:
+        # reference contract (simulator.py:327): State wrapping trajectory 0's
+        # final (padded) MPS tensors
+        from ..core.state import State
+
+        output_state = State(
+            length=length, tensors=fetch(jax.jit(lambda t: t[0])(tensors_b))
+        )
 
     times = np.arange(len(mid_cols), dtype=float) if mid_cols else None
     return Result(

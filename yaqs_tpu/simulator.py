@@ -106,12 +106,27 @@ class Simulator:
                     msg = "ensemble (list-of-State) runs require AnalogSimParams"
                     raise TypeError(msg)
                 if noise_model is not None:
-                    msg = (
-                        "unitary ensemble (list-of-State) runs are noiseless; "
-                        "pass noise_model=None (reference simulator.py list-"
-                        "initial-state contract)"
-                    )
-                    raise ValueError(msg)
+                    # reference contract: list[State] runs must be noiseless —
+                    # zero-strength processes are tolerated, scheduled_jumps
+                    # and positive strengths are rejected (simulator.py:1075)
+                    if getattr(noise_model, "scheduled_jumps", None):
+                        msg = (
+                            "scheduled_jumps are not supported for unitary "
+                            "ensemble (list-of-State) runs"
+                        )
+                        raise ValueError(msg)
+                    if any(
+                        isinstance(p["strength"], dict)
+                        or float(p["strength"]) > 0.0
+                        for p in getattr(noise_model, "processes", [])
+                    ):
+                        msg = (
+                            "unitary ensemble (list-of-State) runs are "
+                            "noiseless; pass noise_model=None or zero-strength "
+                            "processes (reference simulator.py list-initial-"
+                            "state contract)"
+                        )
+                        raise ValueError(msg)
                 result = self._run_ensemble(list(initial_state), operator, sim_params)
             elif isinstance(sim_params, AnalogSimParams):
                 result = self._run_analog(
@@ -394,7 +409,13 @@ class Simulator:
                 sj_mats,
                 sj_two,
             )
-            output_state = fetch(final)
+            # reference contract (simulator.py:327): get_state stores a State
+            # wrapping the final (padded) MPS tensors of trajectory 0
+            output_state = State(
+                length=length,
+                tensors=fetch(final),
+                physical_dimensions=initial_state.physical_dimensions,
+            )
 
         return Result(
             observables=list(sim_params.observables),
@@ -408,7 +429,18 @@ class Simulator:
             total_bond=diag_mean[2],
         )
 
+    @staticmethod
+    def _reject_scheduled_jumps(noise, backend: str) -> None:
+        if noise is not None and getattr(noise, "scheduled_jumps", None):
+            msg = (
+                f"scheduled_jumps are supported only for analog MPS TJM "
+                f"(order=1) runs, not the {backend} backend (reference "
+                f"simulator scheduled-jump contract)"
+            )
+            raise ValueError(msg)
+
     def _run_analog_mcwf(self, initial_state, ham, sim_params, noise) -> Result:
+        self._reject_scheduled_jumps(noise, "MCWF state-vector")
         length = initial_state.length
         d = initial_state.d
         dim = d**length
@@ -470,12 +502,45 @@ class Simulator:
         if not sim_params.sample_timesteps:
             mean_sorted = mean_sorted[:, -1:]
             per_traj = per_traj[:, :, -1:]
+
+        output_state = None
+        if sim_params.get_state:
+            # final state vector of trajectory 0 (reference mcwf.py:279 +
+            # simulator.py:351: get_state stores a vector-representation State)
+            import functools
+
+            tk = trajectory_key(base_key, 0)
+            if dim > _MCWF_MAX_PRECOMPUTE_DIM:
+                run_final = jax.jit(
+                    functools.partial(
+                        mcwf_trajectory_local,
+                        ctx=ctx,
+                        num_steps=sim_params.num_steps,
+                        return_state=True,
+                    )
+                )
+                _, psi_f = run_final(tk, jnp.asarray(psi0))
+            else:
+                _, psi_f = mcwf_trajectory(
+                    tk,
+                    jnp.asarray(psi0),
+                    ctx,
+                    sim_params.num_steps,
+                    return_state=True,
+                )
+            output_state = State(
+                length=length,
+                vector=fetch(psi_f),
+                physical_dimensions=initial_state.physical_dimensions,
+            )
+
         return Result(
             observables=list(sim_params.observables),
             expectation_values=self._user_order(sim_params, mean_sorted),
             trajectories=self._user_order(sim_params, per_traj),
             times=sim_params.times if sim_params.sample_timesteps else sim_params.times[-1:],
             num_trajectories=num_traj,
+            output_state=output_state,
         )
 
     def _run_analog_lindblad(self, initial_state, ham, sim_params, noise) -> Result:
@@ -487,6 +552,7 @@ class Simulator:
             lindblad_rk4_expectations,
         )
 
+        self._reject_scheduled_jumps(noise, "Lindblad density-matrix")
         length = initial_state.length
         d = initial_state.d
         dim = d**length
@@ -499,15 +565,31 @@ class Simulator:
                 RuntimeWarning,
                 stacklevel=3,
             )
+        rho_final = None
         if dim * dim > MAX_PROPAGATOR_VEC_DIM:
             # vec(rho) too large for the dense expm(L dt) propagator: sparse
             # fixed-grid RK4 ODE path (reference lindblad.py:343-375)
             obs_sparse = self._sparse_observables(sim_params, length, d)
             jumps_sp = noise_model_jump_ops_sparse(noise, length, d)
             liou = build_liouvillian_sparse(ham.ensure_sparse(), jumps_sp)
-            vals = lindblad_rk4_expectations(
-                liou, rho0.reshape(-1), obs_sparse, sim_params.dt, sim_params.num_steps
-            )
+            if sim_params.get_state:
+                vals, vec_f = lindblad_rk4_expectations(
+                    liou,
+                    rho0.reshape(-1),
+                    obs_sparse,
+                    sim_params.dt,
+                    sim_params.num_steps,
+                    return_final=True,
+                )
+                rho_final = np.asarray(vec_f).reshape(dim, dim)
+            else:
+                vals = lindblad_rk4_expectations(
+                    liou,
+                    rho0.reshape(-1),
+                    obs_sparse,
+                    sim_params.dt,
+                    sim_params.num_steps,
+                )
         else:
             import scipy.linalg
 
@@ -524,14 +606,28 @@ class Simulator:
                 rho = vec.reshape(dim, dim)
                 cols.append([np.real(np.trace(o @ rho)) for o in obs_dense])
             vals = np.asarray(cols).T  # (n_obs, T)
+            if sim_params.get_state:
+                rho_final = vec.reshape(dim, dim)
         if not sim_params.sample_timesteps:
             vals = vals[:, -1:]
+
+        output_state = None
+        if rho_final is not None:
+            # reference contract (simulator.py:361-370): store the final
+            # density matrix as a State with the lattice metadata preserved
+            tr = np.trace(rho_final)
+            output_state = State(
+                length=length,
+                density_matrix=rho_final / tr,
+                physical_dimensions=initial_state.physical_dimensions,
+            )
         return Result(
             observables=list(sim_params.observables),
             expectation_values=self._user_order(sim_params, vals),
             trajectories=self._user_order(sim_params, vals[None]),
             times=sim_params.times if sim_params.sample_timesteps else sim_params.times[-1:],
             num_trajectories=1,
+            output_state=output_state,
         )
 
     # ------------------------------------------------------------------
@@ -629,15 +725,24 @@ class Simulator:
             static_argnames=(),
         )
         obs_b, corr_b = run(to_device(members), to_device(phis))
-        obs_mean = np.asarray(obs_b).mean(axis=0)
+        per_traj = np.asarray(obs_b)
+        obs_mean = per_traj.mean(axis=0)
         corr_mean = fetch(corr_b).mean(axis=0) if n_pairs else None
         if not sim_params.sample_timesteps:
+            # reference contract: record the final grid point only (ensemble
+            # worker num_cols=1, reference analog/ensemble.py:88)
             obs_mean = obs_mean[:, -1:]
+            per_traj = per_traj[:, :, -1:]
+            if corr_mean is not None:
+                corr_mean = corr_mean[:, -1:]
+        times = (
+            sim_params.times if sim_params.sample_timesteps else sim_params.times[-1:]
+        )
         return Result(
             observables=list(sim_params.observables),
             expectation_values=self._user_order(sim_params, obs_mean),
-            trajectories=self._user_order(sim_params, np.asarray(obs_b)),
-            times=sim_params.times,
+            trajectories=self._user_order(sim_params, per_traj),
+            times=times,
             num_trajectories=len(states),
             multi_time_correlators=corr_mean,
         )
