@@ -348,3 +348,39 @@ def test_state_physical_dimensions_default_and_explicit():
     assert State(3).physical_dimensions == [2, 2, 2]
     assert State(physical_dimensions=[2, 3]).physical_dimensions == [2, 3]
     assert State(2, physical_dimensions=3).physical_dimensions == [3, 3]
+
+
+# -- State encoding surface (reference state.py:167-277) ----------------------------
+
+
+def test_state_ensure_encoded_and_mps_property():
+    s = State(3, state="y+")
+    m = s.mps
+    np.testing.assert_allclose(m.norm(), 1.0, atol=1e-10)
+    # Bell vector encodes to a chi-2 MPS that reproduces the vector
+    bell = np.array([1, 0, 0, 1]) / np.sqrt(2)
+    v = State(2, vector=bell).ensure_encoded("mps")
+    psi = v.mps.to_vec()
+    phase = np.vdot(bell, psi)
+    np.testing.assert_allclose(psi, bell * phase / abs(phase), atol=1e-10)
+
+
+def test_state_from_mps_roundtrip():
+    s = State(3, state="x-")
+    s2 = State.from_mps(s.mps)
+    assert s2.representation == "mps"
+    assert s2.length == 3
+    np.testing.assert_allclose(
+        np.abs(np.vdot(s2.to_vector(), s.to_vector())), 1.0, atol=1e-10
+    )
+
+
+def test_state_ensure_encoded_density_matrix():
+    d = State(2, state="zeros").ensure_encoded("density_matrix")
+    assert d.density_matrix is not None
+    np.testing.assert_allclose(np.trace(d.density_matrix), 1.0, atol=1e-12)
+
+
+def test_state_ensure_encoded_rejects_unknown():
+    with pytest.raises(ValueError, match="representation"):
+        State(2).ensure_encoded("qutrit_soup")

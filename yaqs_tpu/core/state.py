@@ -106,6 +106,44 @@ class State:
                 raise ValueError(msg)
         self.length = int(length)
 
+    @classmethod
+    def from_mps(cls, mps) -> State:
+        """Wrap an MPS (class instance or padded ``(L, d, chi, chi)`` array)
+        as an ``mps``-representation State (reference state.py:176)."""
+        tensors = np.asarray(getattr(mps, "tensors", mps))
+        return cls(length=tensors.shape[0], tensors=tensors,
+                   physical_dimensions=int(tensors.shape[1]))
+
+    @property
+    def mps(self):
+        """The state as an :class:`~yaqs_tpu.core.mps.MPS` (reference
+        state.py:243), materializing the encoding on first access."""
+        from .mps import MPS
+
+        return MPS(tensors=self.ensure_encoded("mps").tensors)
+
+    def ensure_encoded(self, representation: str | None = None) -> State:
+        """Materialize the requested representation's data in place and
+        return ``self`` (reference State.ensure_encoded, state.py:167)."""
+        rep = representation or self.representation
+        if rep not in _REPRESENTATIONS:
+            msg = f"Unknown representation {rep!r}"
+            raise ValueError(msg)
+        if rep == "vector":
+            if self.vector is None:
+                self.vector = self.to_vector()
+        elif rep == "density_matrix":
+            if self.density_matrix is None:
+                self.density_matrix = self.to_density_matrix()
+        elif self.tensors is None:
+            chi = (
+                1
+                if self.state not in {"haar-random"} and self.vector is None
+                else min(2 ** (self.length // 2), 64)
+            )
+            self.tensors = self.to_padded_mps(max(chi, 1))
+        return self
+
     @property
     def physical_dimensions(self) -> list[int]:
         """Per-site local dimensions (reference state.py metadata contract)."""
