@@ -138,3 +138,47 @@ def test_basis_and_haar_random_presets():
     canon, _ = mps_ops.normalize_canonical(tj)
     ents = np.asarray(mps_ops.bond_entropies(canon))
     assert ents.max() > 0.1  # genuinely entangled
+
+
+# -- reference-surface additions (bond_dimensions / validity / equality) -----------
+
+
+def test_bond_dimensions_product_vs_entangled():
+    from yaqs_tpu.core.mps import MPS
+
+    prod = MPS(4, state="x+", chi=8)
+    assert prod.bond_dimensions() == [1, 1, 1]
+    bell = np.zeros(4, dtype=complex)
+    bell[0] = bell[3] = 1 / np.sqrt(2)
+    ghz = np.zeros(8, dtype=complex)
+    ghz[0] = ghz[7] = 1 / np.sqrt(2)
+    from yaqs_tpu.core import mps_ops as ops
+
+    t = ops.statevector_to_mps(ghz, 3, 4, 2)
+    m = MPS(tensors=t)
+    assert m.bond_dimensions() == [2, 2]
+
+
+def test_check_if_valid_mps_and_canonical_form():
+    from yaqs_tpu.core.mps import MPS
+
+    m = MPS(3, state="y-", chi=4)
+    assert m.check_if_valid_mps()
+    m.normalize()
+    assert m.check_canonical_form()
+    bad = MPS(tensors=np.full((3, 2, 4, 4), np.nan, dtype=complex))
+    assert not bad.check_if_valid_mps()
+
+
+def test_almost_equal_up_to_global_phase():
+    from yaqs_tpu.core.mps import MPS
+
+    a = MPS(3, state="x+", chi=4)
+    b = MPS(3, state="x+", chi=4)
+    b.tensors = np.asarray(b.tensors) * np.exp(0.7j) ** (1 / 3)
+    a.normalize()
+    b.normalize()
+    assert a.almost_equal(b)
+    c = MPS(3, state="zeros", chi=4)
+    c.normalize()
+    assert not a.almost_equal(c)

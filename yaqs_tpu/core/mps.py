@@ -244,6 +244,65 @@ class MPS:
 
         return np.asarray(jax.jit(run)(self._j())[bond])
 
+    def bond_dimensions(self, tol: float = 1e-10) -> list[int]:
+        """Effective (numerical-rank) bond dimensions at each of the ``L-1``
+        internal bonds (reference MPS.bond_dimensions; in the padded layout
+        this counts Schmidt values above ``tol`` relative to the largest)."""
+        def run(t):
+            canon, _ = mps_ops.normalize_canonical(t)
+            spectra, _ = mps_ops.bond_spectra(canon)
+            return spectra
+
+        spectra = np.asarray(jax.jit(run)(self._j()))
+        out = []
+        for s in spectra:
+            smax = float(np.max(s)) if s.size else 0.0
+            out.append(int(np.sum(s > tol * smax)) if smax > 0 else 1)
+        return out
+
+    def check_if_valid_mps(self) -> bool:
+        """Shape/bond consistency of the padded layout (reference
+        MPS.check_if_valid_mps): rank-4 padded array, square uniform bonds,
+        finite entries, nonzero norm."""
+        t = np.asarray(self.tensors)
+        return (
+            t.ndim == 4
+            and t.shape[0] == self.length
+            and t.shape[2] == t.shape[3]
+            and bool(np.isfinite(t).all())
+            and float(np.vdot(t[0], t[0]).real) > 0.0
+        )
+
+    def check_canonical_form(self, tol: float = 1e-8) -> bool:
+        """True when the state is right-canonical with center at site 0 (the
+        gauge discipline every engine entry point expects; reference
+        MPS.check_canonical_form returns the center sites instead — here the
+        center is fixed by design)."""
+        t = np.asarray(self.tensors)
+        length, _, chi, _ = t.shape
+        del chi
+        for i in range(length - 1, 0, -1):
+            a = t[i]
+            # right-canonical: sum_s A[s] A[s]^dag == P (projector onto the
+            # active left-bond subspace); padded rows are zero, so check
+            # idempotency + hermiticity instead of strict identity
+            g = np.einsum("sab,scb->ac", a, a.conj())
+            if not np.allclose(g, g.conj().T, atol=tol):
+                return False
+            if not np.allclose(g @ g, g, atol=tol):
+                return False
+        return True
+
+    def almost_equal(self, other: MPS, tol: float = 1e-8) -> bool:
+        """Physical-state equality up to global phase: ``|<a|b>|`` within
+        ``tol`` of both norms (reference MPS.almost_equal)."""
+        if self.length != other.length or self.d != other.d:
+            return False
+        ov = abs(self.scalar_product(other))
+        na = float(np.sqrt(self.norm()))
+        nb = float(np.sqrt(other.norm()))
+        return bool(abs(ov - na * nb) <= tol * max(na * nb, 1.0))
+
     def get_max_bond(self) -> int:
         return self.chi
 
