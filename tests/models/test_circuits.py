@@ -243,3 +243,66 @@ def test_2d_fermi_hubbard_trotter_converges_to_dense():
     # second-order splitting: halving dt cuts the one-step error ~8x
     assert errs[0] < 5e-3, errs
     assert errs[1] < errs[0] / 6, errs
+
+
+# -- periodic / parity-structure variants (reference test_circuit_library.py) ------
+
+
+def test_ising_circuit_even_odd_structure():
+    for length in (4, 5):
+        c = create_ising_circuit(length, 1.0, 0.5, 0.1, 1)
+        rzz = [op for op in c.ops if op.name == "rzz"]
+        # open brickwork covers every nearest-neighbor bond exactly once
+        bonds = sorted(tuple(sorted(op.qubits)) for op in rzz)
+        assert bonds == [(i, i + 1) for i in range(length - 1)]
+        rx = [op for op in c.ops if op.name == "rx"]
+        assert len(rx) == length
+
+
+def test_ising_circuit_periodic_adds_wrap_bond():
+    for length in (4, 5):
+        c = create_ising_circuit(length, 1.0, 0.5, 0.1, 1, periodic=True)
+        bonds = sorted(tuple(sorted(op.qubits)) for op in c.ops if op.name == "rzz")
+        assert (0, length - 1) in bonds
+        assert len(bonds) == length
+
+
+def test_heisenberg_circuit_periodic_structure():
+    for length in (4, 5):
+        c = create_heisenberg_circuit(length, 0.3, 0.3, 0.5, 0.1, 0.05, 1, periodic=True)
+        for name in ("rxx", "ryy", "rzz"):
+            bonds = sorted(tuple(sorted(op.qubits)) for op in c.ops if op.name == name)
+            assert (0, length - 1) in bonds
+            assert len(bonds) == length
+
+
+def test_periodic_ising_circuit_matches_dense_expm():
+    """One small-dt Trotter step of the periodic TFIM circuit tracks the dense
+    expm of the periodic Hamiltonian (first-order accuracy)."""
+    import scipy.linalg
+
+    from yaqs_tpu.core.mpo import MPO
+
+    L, J, g, dt = 4, 1.0, 0.6, 0.02
+    circ = create_ising_circuit(L, J, g, dt, 1, periodic=True)
+    res = Simulator().run(
+        State(L, state="x+"),
+        circ,
+        DigitalSimParams(
+            observables=[Observable("z", i) for i in range(L)],
+            max_bond_dim=16,
+            svd_threshold=1e-14,
+            random_seed=0,
+            get_state=True,
+        ),
+        None,
+    )
+    # dense oracle: H = -J sum ZZ (periodic) - g sum X
+    h = MPO.pauli(
+        L, two_body=[(-J, "Z", "Z")], one_body=[(-g, "X")], bc="periodic"
+    ).to_matrix()
+    psi0 = State(L, state="x+").to_vector()
+    psi_exact = scipy.linalg.expm(-1j * h * dt) @ psi0
+    psi_circ = res.output_state.to_vector()
+    overlap = abs(np.vdot(psi_exact, psi_circ))
+    assert overlap > 1 - 5e-4, overlap
