@@ -62,14 +62,23 @@ class Simulator:
         devices=None,
         show_progress: bool = False,
         max_workers: int | None = None,  # accepted for reference API parity
+        max_retries: int = 0,
+        mp_context: str | None = None,  # accepted for reference API parity
+        retry_exceptions: tuple | None = None,  # accepted for reference parity
         matmul_precision: str | None = "highest",
     ) -> None:
-        del max_workers
+        # max_workers / mp_context / retry_exceptions exist in the reference's
+        # process-pool runtime (parallel_utils.py:185-259); on the TPU the
+        # ensemble is one batched device program, so worker counts and fork
+        # semantics have no equivalent — accepted and ignored so call sites
+        # port unchanged.  max_retries maps to the chunk re-dispatch budget.
+        del max_workers, mp_context, retry_exceptions
         self._execution = ExecutionConfig(
             parallel=parallel,
             batch_size=batch_size,
             devices=tuple(devices) if devices else None,
             show_progress=show_progress,
+            max_retries=max_retries,
         )
         # TPU matmuls default to bf16-multiply passes, which degrades complex64
         # sweeps from a ~1e-4 observable floor to ~1e-1 over 5 sweeps (measured
