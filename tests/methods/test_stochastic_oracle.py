@@ -348,3 +348,84 @@ def test_stochastic_process_respects_truncation_config():
     got_n = got / np.linalg.norm(got)
     want_n = want / np.linalg.norm(want)
     np.testing.assert_allclose(abs(np.vdot(got_n, want_n)), 1.0, atol=1e-8)
+
+
+def test_longrange_pauli_channel_weight_is_scalar():
+    """Long-range Pauli (unitary-factored) channels satisfy L^dag L = I, so
+    their PDF weight is gamma*dt*||psi||^2 (the reference's Pauli shortcut,
+    stochastic_process.py:140-177)."""
+    psi = _entangled_mps(7)
+    t = _mps_from_state(psi)
+    gamma, dt = 0.35, 0.2
+    nm = NoiseModel(
+        [{"name": "longrange_crosstalk_xy", "sites": [0, 3], "strength": gamma}]
+    )
+    cn = compile_noise(nm, L, 2)
+    w = np.asarray(channel_weights(t, cn, dt))
+    # normalized state: weight == gamma * dt exactly
+    np.testing.assert_allclose(float(w.sum()), gamma * dt, atol=1e-9)
+
+
+def test_longrange_pauli_jump_application_matches_dense():
+    """Forcing the long-range factored channel applies X_0 Y_3 (dense oracle)."""
+    psi = _entangled_mps(11)
+    t = _mps_from_state(psi)
+    nm = NoiseModel(
+        [{"name": "longrange_crosstalk_xy", "sites": [0, 3], "strength": 1.0}]
+    )
+    cn = compile_noise(nm, L, 2)
+    from yaqs_tpu.methods.stochastic import _apply_channel
+
+    out = jax.jit(lambda tt: _apply_channel(tt, cn, jnp.asarray(0)))(t)
+    got = np.asarray(mps_ops.to_statevector(out))
+    want = embed_operator({0: pauli_x, 3: pauli_y}, L) @ psi
+    got_n = got / np.linalg.norm(got)
+    want_n = want / np.linalg.norm(want)
+    np.testing.assert_allclose(abs(np.vdot(got_n, want_n)), 1.0, atol=1e-9)
+
+
+def test_longrange_crosstalk_tjm_matches_lindblad_small():
+    """End-to-end: 3-site TJM with a long-range ZX crosstalk channel agrees
+    with the exact Lindblad evolution of the same model (ensemble mean)."""
+    import scipy.linalg
+
+    from yaqs_tpu import (
+        AnalogSimParams,
+        Hamiltonian,
+        Observable,
+        Simulator,
+        State,
+    )
+    from yaqs_tpu.analog.lindblad import build_liouvillian
+
+    length, gamma, dt, steps = 3, 0.4, 0.1, 5
+    ham = Hamiltonian.ising(length, 1.0, 0.5)
+    nm = NoiseModel(
+        [{"name": "longrange_crosstalk_zx", "sites": [0, 2], "strength": gamma}]
+    )
+    params = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        elapsed_time=dt * steps,
+        dt=dt,
+        num_traj=600,
+        max_bond_dim=8,
+        svd_threshold=1e-12,
+        random_seed=5,
+    )
+    res = Simulator().run(State(length, state="x+"), ham, params, nm)
+
+    h = ham.ensure_matrix()
+    jump = np.sqrt(gamma) * embed_operator({0: pauli_z, 2: pauli_x}, length)
+    liou = build_liouvillian(h, [jump])
+    prop = scipy.linalg.expm(liou * dt)
+    psi0 = State(length, state="x+").to_vector()
+    vec = np.outer(psi0, psi0.conj()).reshape(-1)
+    want = np.zeros((length, steps + 1))
+    for j in range(steps + 1):
+        if j > 0:
+            vec = prop @ vec
+        rho = vec.reshape(2**length, 2**length)
+        for i in range(length):
+            want[i, j] = np.real(np.trace(embed_one_site(pauli_z, i, length) @ rho))
+    # Monte-Carlo tolerance at 600 trajectories
+    np.testing.assert_allclose(res.expectation_values, want, atol=0.08)
