@@ -238,3 +238,84 @@ def test_gauge_free_one_site_evaluation_matches_canonical():
     co2 = compile_observables([Observable("zz", [0, 1])], L, 2)
     with pytest.raises(ValueError, match="one-site"):
         evaluate_observables_gauge_free(jnp.asarray(t2), co2)
+
+
+def test_schmidt_spectrum_observable_analog_vs_dense():
+    """schmidt_spectrum observables return (n_traj, chi, T) spectra matching
+    the dense bipartition SVD at every sampled time (reference SchmidtSpectrum
+    pseudo-observable; values, not entropies)."""
+    L, dt, steps = 4, 0.05, 3
+    ham = Hamiltonian.ising(L, 1.0, 0.7)
+    h = ham.ensure_matrix()
+    obs = [Observable("z", 0), Observable("schmidt_spectrum", [1, 2]), Observable("entropy", [1, 2])]
+    params = AnalogSimParams(
+        observables=obs,
+        elapsed_time=dt * steps,
+        dt=dt,
+        max_bond_dim=8,
+        svd_threshold=1e-13,
+        krylov_dim=20,
+        random_seed=0,
+    )
+    res = Simulator().run(State(L, state="x+"), ham, params, None)
+    assert res.schmidt_spectra is not None and 1 in res.schmidt_spectra
+    sp = res.schmidt_spectra[1]
+    assert sp.shape == (1, 8, steps + 1)
+    assert res.observable(1) is sp
+
+    psi0 = State(L, state="x+").to_vector()
+    for j in range(steps + 1):
+        psi_t = scipy.linalg.expm(-1j * h * dt * j) @ psi0
+        # bipartition (sites 0,1 | sites 2,3); site 0 least significant
+        m = psi_t.reshape(4, 4)  # rows = (s3 s2), cols = (s1 s0)
+        s = np.linalg.svd(m, compute_uv=False)
+        got = np.sort(sp[0, :, j])[::-1]
+        np.testing.assert_allclose(got[: len(s)], s, atol=1e-6)
+        # entropy row agrees with -sum p log p of the same spectrum
+        p = s**2 / np.sum(s**2)
+        ent = -np.sum(p[p > 1e-14] * np.log(p[p > 1e-14]))
+        np.testing.assert_allclose(res.expectation_values[2][j], ent, atol=1e-6)
+    # scalar rows unaffected
+    for j in range(steps + 1):
+        psi_t = scipy.linalg.expm(-1j * h * dt * j) @ psi0
+        want = np.vdot(psi_t, embed_operator({0: pauli_z}, L) @ psi_t).real
+        np.testing.assert_allclose(res.expectation_values[0][j], want, atol=1e-6)
+
+
+def test_schmidt_spectrum_observable_digital():
+    """Digital engine returns the Bell-state spectrum (1/sqrt2, 1/sqrt2)."""
+    from yaqs_tpu import DigitalSimParams
+    from yaqs_tpu.digital.circuit import Circuit
+
+    c = Circuit(2)
+    c.h(0)
+    c.cx(0, 1)
+    params = DigitalSimParams(
+        observables=[Observable("z", 0), Observable("schmidt_spectrum", [0, 1])],
+        max_bond_dim=4,
+        random_seed=0,
+    )
+    res = Simulator().run(State(2), c, params, None)
+    sp = res.schmidt_spectra[1]
+    vals = np.sort(sp[0, :, -1])[::-1]
+    np.testing.assert_allclose(vals[:2], [1 / np.sqrt(2)] * 2, atol=1e-8)
+    np.testing.assert_allclose(vals[2:], 0.0, atol=1e-8)
+
+
+def test_schmidt_spectrum_observable_ensemble():
+    L, dt, steps = 3, 0.05, 2
+    ham = Hamiltonian.ising(L, 1.0, 0.4)
+    params = AnalogSimParams(
+        observables=[Observable("schmidt_spectrum", [0, 1])],
+        elapsed_time=dt * steps,
+        dt=dt,
+        max_bond_dim=8,
+        svd_threshold=1e-13,
+        random_seed=0,
+    )
+    res = Simulator().run([State(L, state="x+"), State(L)], ham, params, None)
+    sp = res.schmidt_spectra[0]
+    assert sp.shape == (2, 8, steps + 1)
+    # t=0 product states: single Schmidt value 1
+    np.testing.assert_allclose(np.sort(sp[:, :, 0], axis=1)[:, -1], 1.0, atol=1e-8)
+    np.testing.assert_allclose(np.sort(sp[:, :, 0], axis=1)[:, :-1], 0.0, atol=1e-8)

@@ -136,7 +136,8 @@ def tjm_trajectory(
     """
     dt = plan.dt
     cfg = plan.evolution
-    n_obs = observables.num_rows
+    # spectrum observables append chi extra rows past the scalar rows
+    n_obs = observables.num_rows + observables.s_bonds.shape[0] * tensors0.shape[-1]
     n_cols = plan.num_times if plan.sample_timesteps else 1
 
     if plan.evolution_mode == "bug":

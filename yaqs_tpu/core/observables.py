@@ -51,6 +51,12 @@ class CompiledObservables:
     # entropy rows (bond index)
     e_bonds: np.ndarray  # (ne,)
     e_rows: np.ndarray  # (ne,)
+    # Schmidt-spectrum rows (bond index): evaluated as chi extra output rows
+    # per observable, appended after the scalar rows (reference
+    # SchmidtSpectrum pseudo-observable, aggregated by concatenation —
+    # simulation_parameters.py aggregate_trajectories)
+    s_bonds: np.ndarray  # (ns,)
+    s_rows: np.ndarray  # (ns,)
     # PVM rows (full bitstrings)
     pvm_bits: np.ndarray  # (np_, L)
     pvm_rows: np.ndarray  # (np_,)
@@ -61,6 +67,7 @@ class CompiledObservables:
         return (
             self.t_coeff.shape[0] == 0
             and self.e_bonds.shape[0] == 0
+            and self.s_bonds.shape[0] == 0
             and self.pvm_bits.shape[0] == 0
         )
 
@@ -123,6 +130,7 @@ def compile_observables(observables, length: int, d: int) -> CompiledObservables
     ops1, sites1, rows1 = [], [], []
     t_coeff, t_sites, t_ops, t_rows = [], [], [], []
     e_bonds, e_rows = [], []
+    s_bonds, s_rows = [], []
     pvm_bits, pvm_rows = [], []
 
     def pad_op(m):
@@ -146,8 +154,12 @@ def compile_observables(observables, length: int, d: int) -> CompiledObservables
             if len(sites) != 2 or abs(sites[1] - sites[0]) != 1:
                 msg = "entropy observables act on a nearest-neighbor pair"
                 raise ValueError(msg)
-            e_bonds.append(min(sites))
-            e_rows.append(row)
+            if obs.name == "entropy":
+                e_bonds.append(min(sites))
+                e_rows.append(row)
+            else:
+                s_bonds.append(min(sites))
+                s_rows.append(row)
         elif len(sites) == 1:
             ops1.append(pad_op(obs.matrix))
             sites1.append(sites[0])
@@ -184,6 +196,8 @@ def compile_observables(observables, length: int, d: int) -> CompiledObservables
         t_rows=arr(t_rows, np.int32, ()),
         e_bonds=arr(e_bonds, np.int32, ()),
         e_rows=arr(e_rows, np.int32, ()),
+        s_bonds=arr(s_bonds, np.int32, ()),
+        s_rows=arr(s_rows, np.int32, ()),
         pvm_bits=arr(pvm_bits, np.int32, (length,)) if pvm_bits else np.zeros((0, length), np.int32),
         pvm_rows=arr(pvm_rows, np.int32, ()),
         num_rows=len(observables),
@@ -278,4 +292,12 @@ def evaluate_observables(tensors: jnp.ndarray, co: CompiledObservables) -> jnp.n
         )
     if co.pvm_bits.shape[0]:
         out = out.at[jnp.asarray(co.pvm_rows)].set(_pvm_values(tensors, co).astype(rdtype))
+    if co.s_bonds.shape[0]:
+        # Schmidt spectra ride as chi extra rows per spectrum observable,
+        # appended after the scalar rows (fixed shape: chi values per bond,
+        # zero-padded past the effective rank); engines stack them over time
+        # and the Simulator splits them back out into Result.schmidt_spectra
+        spectra, _ = mps_ops.bond_spectra(tensors)  # (L-1, chi)
+        sp = spectra[jnp.asarray(co.s_bonds)]  # (ns, chi)
+        out = jnp.concatenate([out, sp.reshape(-1).astype(rdtype)])
     return out

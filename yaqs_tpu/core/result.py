@@ -31,6 +31,9 @@ class Result:
         counts: optional aggregated counts dict (digital).
         multi_time_correlators: ``(n_pairs, n_times)`` complex two-time
             correlators ``<psi(t)|A U(t) B|psi(0)>`` (unitary ensembles).
+        schmidt_spectra: per spectrum observable (keyed by user index), the
+            ``(n_traj, chi, n_times)`` Schmidt values — per-trajectory arrays
+            are kept, not averaged (reference SchmidtSpectrum aggregation).
         noise_model: the (sampled) noise model actually used.
         runtime_cost / max_bond / total_bond: per-timestep diagnostics curves.
     """
@@ -45,6 +48,7 @@ class Result:
     counts: dict[str, int] | None = None
     noise_model: Any = None
     multi_time_correlators: np.ndarray | None = None
+    schmidt_spectra: dict[int, np.ndarray] | None = None
     runtime_cost: np.ndarray | None = None
     max_bond: np.ndarray | None = None
     total_bond: np.ndarray | None = None
@@ -62,7 +66,14 @@ class Result:
         return None if self.multi_time_correlators is None else self.times
 
     def observable(self, index_or_name) -> np.ndarray:
-        """Expectation trajectory for one observable (by user index)."""
+        """Expectation trajectory for one observable (by user index).
+
+        Schmidt-spectrum observables return their ``(n_traj, chi, n_times)``
+        spectra array (reference semantics: spectra are per-trajectory
+        arrays, concatenated rather than averaged —
+        simulation_parameters.py aggregate_trajectories)."""
+        if self.schmidt_spectra and index_or_name in self.schmidt_spectra:
+            return self.schmidt_spectra[index_or_name]
         assert self.expectation_values is not None
         return self.expectation_values[index_or_name]
 

@@ -716,8 +716,23 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     # ---- results ----------------------------------------------------------
     expectation_values = None
     trajectories = None
+    schmidt_spectra = None
     if wants_obs and mid_cols:
-        per_traj = np.stack(mid_cols, axis=-1)  # (n_traj, n_obs, n_cols)
+        per_traj = np.stack(mid_cols, axis=-1)  # (n_traj, n_obs [+ns*chi], n_cols)
+        ns = int(observables.s_bonds.shape[0])
+        if ns:
+            # Schmidt-spectrum observables ride as chi extra rows appended
+            # after the scalar rows (core/observables.py); split them out
+            n_scalar = observables.num_rows
+            tail = per_traj[:, n_scalar:, :]
+            chi_rows = tail.shape[1] // ns
+            sp = tail.reshape(tail.shape[0], ns, chi_rows, tail.shape[-1])
+            per_traj = per_traj[:, :n_scalar, :]
+            idx = list(sim_params.observable_sorted_indices)
+            schmidt_spectra = {
+                idx.index(int(r)): sp[:, j]
+                for j, r in enumerate(observables.s_rows)
+            }
         trajectories = simulator._user_order(sim_params, per_traj)
         expectation_values = trajectories.mean(axis=0)
 
@@ -766,4 +781,5 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         measurements=measurements,
         counts=counts,
         noise_model=sampled_noise,
+        schmidt_spectra=schmidt_spectra,
     )

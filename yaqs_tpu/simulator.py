@@ -398,10 +398,27 @@ class Simulator:
             base_key,
             (trajectory_key, sample_key),
             self._execution,
-        )  # (n_traj, n_obs_sorted + 3, T)
+        )  # (n_traj, n_obs_sorted [+ ns*chi spectra] + 3, T)
         per_traj = stacked[:, :-3, :]
         diag_traj = stacked[:, -3:, :]
         diag_mean = diag_traj.mean(axis=0)
+
+        # Schmidt-spectrum observables ride as chi extra rows per observable
+        # appended after the scalar rows (core/observables.py); split them
+        # back out into per-user-observable (n_traj, chi, T) arrays
+        schmidt_spectra = None
+        n_scalar = observables.num_rows
+        ns = int(observables.s_bonds.shape[0])
+        if ns:
+            tail = per_traj[:, n_scalar:, :]
+            chi_rows = tail.shape[1] // ns
+            sp = np.asarray(tail).reshape(tail.shape[0], ns, chi_rows, tail.shape[-1])
+            per_traj = per_traj[:, :n_scalar, :]
+            idx = list(sim_params.observable_sorted_indices) or list(range(n_scalar))
+            schmidt_spectra = {
+                idx.index(int(sorted_row)): sp[:, j]
+                for j, sorted_row in enumerate(observables.s_rows)
+            }
         mean_sorted = per_traj.mean(axis=0)
 
         output_state = None
@@ -436,6 +453,7 @@ class Simulator:
             runtime_cost=diag_mean[0],
             max_bond=diag_mean[1],
             total_bond=diag_mean[2],
+            schmidt_spectra=schmidt_spectra,
         )
 
     @staticmethod
@@ -735,6 +753,18 @@ class Simulator:
         )
         obs_b, corr_b = run(to_device(members), to_device(phis))
         per_traj = np.asarray(obs_b)
+        schmidt_spectra = None
+        ns = int(observables.s_bonds.shape[0])
+        if ns:
+            n_scalar = observables.num_rows
+            tail = per_traj[:, n_scalar:, :]
+            sp = tail.reshape(tail.shape[0], ns, tail.shape[1] // ns, tail.shape[-1])
+            per_traj = per_traj[:, :n_scalar, :]
+            oidx = list(sim_params.observable_sorted_indices)
+            schmidt_spectra = {
+                oidx.index(int(r)): sp[:, j]
+                for j, r in enumerate(observables.s_rows)
+            }
         obs_mean = per_traj.mean(axis=0)
         corr_mean = fetch(corr_b).mean(axis=0) if n_pairs else None
         if not sim_params.sample_timesteps:
@@ -744,6 +774,10 @@ class Simulator:
             per_traj = per_traj[:, :, -1:]
             if corr_mean is not None:
                 corr_mean = corr_mean[:, -1:]
+            if schmidt_spectra is not None:
+                schmidt_spectra = {
+                    k: v[..., -1:] for k, v in schmidt_spectra.items()
+                }
         times = (
             sim_params.times if sim_params.sample_timesteps else sim_params.times[-1:]
         )
@@ -754,6 +788,7 @@ class Simulator:
             times=times,
             num_trajectories=len(states),
             multi_time_correlators=corr_mean,
+            schmidt_spectra=schmidt_spectra,
         )
 
     # ------------------------------------------------------------------
