@@ -326,3 +326,12 @@ def test_sorted_observables_pvm_last() -> None:
     ordered = p.sorted_observables
     assert ordered[0].name == "z"
     assert ordered[1].name == "pvm"
+
+
+def test_entropy_sites_len_flexible() -> None:
+    """A single index means the bond (i, i+1) (reference gate_library
+    entropy/schmidt_spectrum set_sites flexibility)."""
+    for name in ("entropy", "schmidt_spectrum"):
+        assert Observable(name, 4).site_list == [4, 5]
+        assert Observable(name, [7]).site_list == [7, 8]
+        assert Observable(name, [2, 3]).site_list == [2, 3]

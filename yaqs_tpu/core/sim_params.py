@@ -85,6 +85,12 @@ class Observable:
             elif name in {"entropy", "schmidt_spectrum"}:
                 self.name = name
                 self.matrix = None
+                # reference set_sites flexibility (gate_library entropy /
+                # schmidt_spectrum): a single index i means the bond (i, i+1)
+                if isinstance(sites, int):
+                    sites = [sites, sites + 1]
+                elif isinstance(sites, (list, tuple)) and len(sites) == 1:
+                    sites = [int(sites[0]), int(sites[0]) + 1]
             elif all(c in "01" for c in gate) and gate:
                 # bitstring projector (PVM)
                 self.name = "pvm"
