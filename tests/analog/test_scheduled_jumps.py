@@ -157,3 +157,98 @@ def test_scheduled_two_site_nonadjacent_rejected():
         compile_scheduled_jumps(
             [{"time": 0.1, "sites": [0, 2], "name": "cx", "matrix": cx}], np.arange(3) * 0.1, 3
         )
+
+
+def test_scheduled_jump_at_t0_applies_before_initial_sample():
+    """A jump scheduled at times[0] is applied before the first sample, so the
+    t=0 observable row already reflects it (reference analog_tjm.py:281-283)."""
+    L = 3
+    ham = Hamiltonian.ising(L, J=0.0, g=0.0)
+    nm = NoiseModel(
+        processes=[],
+        scheduled_jumps=[{"time": 0.0, "sites": [1], "name": "x"}],
+    )
+    params = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(L)],
+        elapsed_time=0.2,
+        dt=0.1,
+        order=1,
+        max_bond_dim=4,
+        sample_timesteps=True,
+        random_seed=0,
+    )
+    res = Simulator().run(State(L, state="zeros"), ham, params, nm)
+    np.testing.assert_allclose(res.expectation_values[1], -1.0, atol=1e-10)
+    np.testing.assert_allclose(res.expectation_values[0], 1.0, atol=1e-10)
+    np.testing.assert_allclose(res.expectation_values[2], 1.0, atol=1e-10)
+
+
+def test_scheduled_jump_at_t0_two_site_entangling():
+    """Two jumps at t=0 applied in list order (host-side path): H on site 0
+    then CX turns |00> into a Bell pair; <Z_i> = 0 but <XX> = 1 at t=0."""
+    L = 2
+    ham = Hamiltonian.ising(L, J=0.0, g=0.0)
+    cx = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex
+    )
+    hmat = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+    nm = NoiseModel(
+        processes=[],
+        scheduled_jumps=[
+            {"time": 0.0, "sites": [0], "name": "h", "matrix": hmat},
+            {"time": 0.0, "sites": [0, 1], "name": "cx", "matrix": cx},
+        ],
+    )
+    params = AnalogSimParams(
+        observables=[
+            Observable("z", 0),
+            Observable("z", 1),
+            Observable("xx", [0, 1]),
+        ],
+        elapsed_time=0.1,
+        dt=0.1,
+        order=1,
+        max_bond_dim=4,
+        sample_timesteps=True,
+        random_seed=0,
+    )
+    res = Simulator().run(State(L, state="zeros"), ham, params, nm)
+    # (|00> + |11>)/sqrt(2): <Z_i> = 0, <X X> = 1
+    np.testing.assert_allclose(res.expectation_values[0, 0], 0.0, atol=1e-10)
+    np.testing.assert_allclose(res.expectation_values[1, 0], 0.0, atol=1e-10)
+    np.testing.assert_allclose(res.expectation_values[2, 0], 1.0, atol=1e-10)
+
+
+def test_scheduled_jump_t0_annihilation_raises():
+    """A t=0 jump whose operator annihilates the state raises the reference's
+    zero-norm error (scheduled_jumps.py:112-119)."""
+    L = 2
+    ham = Hamiltonian.ising(L, J=0.0, g=0.0)
+    # projector onto |1> annihilates |0>
+    proj1 = np.array([[0, 0], [0, 1]], dtype=complex)
+    nm = NoiseModel(
+        processes=[],
+        scheduled_jumps=[{"time": 0.0, "sites": [0], "name": "p1", "matrix": proj1}],
+    )
+    params = AnalogSimParams(
+        observables=[Observable("z", 0)],
+        elapsed_time=0.1,
+        dt=0.1,
+        order=1,
+        max_bond_dim=4,
+        random_seed=0,
+    )
+    with pytest.raises(ValueError, match="annihilates"):
+        Simulator().run(State(L, state="zeros"), ham, params, nm)
+
+
+def test_simulator_rejects_no_output_request():
+    """Either observables or get_state must be requested (reference
+    simulator validation)."""
+    L = 2
+    ham = Hamiltonian.ising(L, 1.0, 0.5)
+    params = AnalogSimParams(
+        observables=[], elapsed_time=0.1, dt=0.1, order=1, max_bond_dim=4
+    )
+    with pytest.raises(ValueError, match="observables or get_state"):
+        Simulator().run(State(L), ham, params)

@@ -25,7 +25,11 @@ import numpy as np
 
 from ..models.operators import noise_operator
 
-__all__ = ["compile_scheduled_jumps"]
+__all__ = [
+    "apply_scheduled_jumps_host",
+    "compile_scheduled_jumps",
+    "split_t0_jumps",
+]
 
 _TIME_ATOL_FACTOR = 1e-3
 
@@ -46,6 +50,71 @@ def _factor_two_site(m: np.ndarray, d: int):
     a = (u[:, 0] * np.sqrt(s[0])).reshape(d, d)
     b = (vh[0] * np.sqrt(s[0])).reshape(d, d)
     return a, b
+
+
+def split_t0_jumps(scheduled: list[dict], times: np.ndarray):
+    """Partition the schedule into (jumps at ``times[0]``, later jumps).
+
+    The reference applies jumps scheduled at the start time *before* the
+    initial sample (analog_tjm.py:281-283), so they must not enter the
+    per-step tables; grid tolerance matches :func:`compile_scheduled_jumps`.
+    """
+    num_steps = len(times) - 1
+    dt = float(times[1] - times[0]) if num_steps > 0 else 1.0
+    atol = dt * _TIME_ATOL_FACTOR
+    t0 = float(times[0])
+    at0: list[dict] = []
+    later: list[dict] = []
+    for jump in scheduled:
+        (at0 if abs(float(jump["time"]) - t0) <= atol else later).append(jump)
+    return at0, later
+
+
+def apply_scheduled_jumps_host(
+    tensors0: np.ndarray, jumps: list[dict], *, threshold: float = 0.0
+) -> np.ndarray:
+    """Apply scheduled jumps host-side to padded ``(L, d, chi, chi)`` tensors.
+
+    Mirrors the reference's start-time application (scheduled_jumps.py:52-119):
+    one-site contraction, adjacent two-site merged apply + split, annihilation
+    check, renormalization.  Deterministic and shared by every trajectory, so
+    it runs once on the host instead of inside the scan.
+    """
+    from ..core.mps import MPS
+
+    arr = np.asarray(tensors0, dtype=np.complex128).copy()
+    chi = int(arr.shape[-1])
+    m = MPS(tensors=arr)
+    for jump in jumps:
+        sites = jump["sites"]
+        sites = [sites] if isinstance(sites, int) else list(sites)
+        mat = _resolve_jump_matrix(jump)
+        if len(sites) == 1:
+            m.apply_local(mat, sites[0])
+        elif len(sites) == 2:
+            if abs(sites[1] - sites[0]) != 1:
+                msg = "scheduled two-site jumps must be nearest-neighbor"
+                raise ValueError(msg)
+            m.apply_local(mat, (sites[0], sites[1]))
+        else:
+            msg = "scheduled jumps act on 1 or 2 sites"
+            raise ValueError(msg)
+    nrm2 = m.norm()
+    if not np.isfinite(nrm2) or nrm2 <= 0.0:
+        msg = (
+            "Scheduled jump produced a zero or non-finite squared norm "
+            f"(squared_norm={nrm2}); the jump operator annihilates the state"
+        )
+        raise ValueError(msg)
+    if m.chi > chi:
+        m.compress(threshold=threshold, max_bond_dim=chi)
+    m.normalize()
+    out = np.asarray(m.tensors, dtype=np.complex128)
+    if out.shape[-1] > chi:
+        # two-site apply doubles the padding; after truncation to <= chi kept
+        # directions the data lives in the leading block (masked keep-counts)
+        out = np.ascontiguousarray(out[:, :, :chi, :chi])
+    return out
 
 
 def compile_scheduled_jumps(

@@ -33,7 +33,11 @@ from .analog.mcwf import (
     mcwf_trajectory_local,
 )
 from .analog.tjm import TrajectoryPlan, sample_key, tjm_trajectory, trajectory_key
-from .methods.scheduled_jumps import compile_scheduled_jumps
+from .methods.scheduled_jumps import (
+    apply_scheduled_jumps_host,
+    compile_scheduled_jumps,
+    split_t0_jumps,
+)
 from .core.hamiltonian import Hamiltonian
 from .core.noise_model import NoiseModel, compile_noise, validate_noise_model_for_run
 from .core.observables import compile_observables
@@ -111,6 +115,12 @@ class Simulator:
         )
         with prec_ctx:
             if isinstance(initial_state, (list, tuple)):
+                if not all(isinstance(s, State) for s in initial_state):
+                    msg = "initial_state list must contain only State objects"
+                    raise TypeError(msg)
+                if isinstance(sim_params, DigitalSimParams):
+                    msg = "Circuit simulation requires a single State initial_state"
+                    raise TypeError(msg)
                 if not isinstance(sim_params, AnalogSimParams):
                     msg = "ensemble (list-of-State) runs require AnalogSimParams"
                     raise TypeError(msg)
@@ -312,6 +322,12 @@ class Simulator:
         if not isinstance(initial_state, State):
             msg = "initial_state must be a State"
             raise TypeError(msg)
+        if not sim_params.observables and not sim_params.get_state:
+            msg = (
+                "No output specified: either observables or get_state must "
+                "be set."
+            )
+            raise ValueError(msg)
         if isinstance(operator, Hamiltonian):
             ham = operator
         elif isinstance(operator, np.ndarray) and operator.ndim == 5:
@@ -353,9 +369,20 @@ class Simulator:
             if sim_params.order != 1:
                 msg = "scheduled jumps are supported for analog TJM order=1 only"
                 raise ValueError(msg)
-            scheduled = compile_scheduled_jumps(
-                noise.scheduled_jumps, sim_params.times, length, d
+            # jumps at times[0] apply before the initial sample (reference
+            # analog_tjm.py:281-283) — deterministic, host-side, shared by
+            # every trajectory
+            t0_jumps, later_jumps = split_t0_jumps(
+                noise.scheduled_jumps, sim_params.times
             )
+            if t0_jumps:
+                tensors0 = apply_scheduled_jumps_host(
+                    tensors0, t0_jumps, threshold=sim_params.svd_threshold
+                )
+            if later_jumps:
+                scheduled = compile_scheduled_jumps(
+                    later_jumps, sim_params.times, length, d
+                )
         sj_flags, sj_mats, sj_two = (
             scheduled if scheduled is not None else (None, None, None)
         )
@@ -795,4 +822,7 @@ class Simulator:
     def _run_digital(self, initial_state, circuit, sim_params, noise_model) -> Result:
         from .digital.engine import run_digital  # deferred: heavy module
 
+        if not isinstance(initial_state, State):
+            msg = "Circuit simulation requires a State initial_state"
+            raise TypeError(msg)
         return run_digital(self, initial_state, circuit, sim_params, noise_model)
