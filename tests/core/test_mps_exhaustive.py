@@ -200,6 +200,39 @@ def test_mixed_expectation_vs_dense():
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 
+def test_mixed_expectation_two_site_vs_dense():
+    """Two-site observables follow apply_local conventions (reference
+    mixed_expectation, mps.py:1157-1172, accepts one- or two-site ops)."""
+    L = 4
+    psi, phi = random_state(5, L), random_state(6, L)
+    op4 = np.kron(pauli_x, pauli_z) + 0.3 * np.kron(pauli_z, pauli_x)
+
+    class _Obs:
+        site_list = [1, 2]
+        matrix = op4
+
+    dense = (
+        embed_one_site(pauli_x, 1, L) @ embed_one_site(pauli_z, 2, L)
+        + 0.3 * embed_one_site(pauli_z, 1, L) @ embed_one_site(pauli_x, 2, L)
+    )
+    want = np.vdot(phi, dense @ psi)
+    got = _mps_of(psi).mixed_expectation(_mps_of(phi), _Obs())
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+    # non-adjacent, explicit sites tuple (SWAP routing path)
+    class _ObsFar:
+        site_list = [0, 3]
+        matrix = op4
+
+    dense_far = (
+        embed_one_site(pauli_x, 0, L) @ embed_one_site(pauli_z, 3, L)
+        + 0.3 * embed_one_site(pauli_z, 0, L) @ embed_one_site(pauli_x, 3, L)
+    )
+    want_far = np.vdot(phi, dense_far @ psi)
+    got_far = _mps_of(psi).mixed_expectation(_mps_of(phi), _ObsFar())
+    np.testing.assert_allclose(got_far, want_far, atol=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # apply_local edge cases
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ from ..core.mps_ops import canonicalize_right, transfer_right
 from ..core.observables import evaluate_observables
 from ..methods.tdvp import TDVPConfig, tdvp_step
 
-__all__ = ["mixed_site_expectation", "ensemble_trajectory"]
+__all__ = ["mixed_site_expectation", "mixed_terms_expectation", "ensemble_trajectory"]
 
 
 def mixed_site_expectation(bra, ket, op, site):
@@ -38,6 +38,39 @@ def mixed_site_expectation(bra, ket, op, site):
     return jnp.trace(env)
 
 
+def mixed_terms_expectation(bra, ket, terms, sites):
+    """``<bra| A |ket>`` for a k-site operator given as summed product terms.
+
+    ``terms (K, S, d, d)`` holds per-term one-site factors applied at
+    ``sites (S,)`` (slots padded with identities at site 0; whole padding
+    terms are all-zero and contribute nothing).  This is the gauge-free
+    generalization of the reference's multi-time probe evaluation
+    (ensemble.py:101-137 applies ``A`` via ``mixed_expectation``, which is
+    limited to one-/two-site — the operator-Schmidt product form extends it
+    to arbitrary non-adjacent supports).
+    """
+    chi = bra.shape[-1]
+    length = bra.shape[0]
+    n_slots = terms.shape[1]
+    env0 = jnp.eye(chi, dtype=ket.dtype)
+
+    def one_term(facs):
+        def step(env, xs):
+            i, ab, ak = xs
+            for s in range(n_slots):
+                ak = jnp.where(
+                    i == sites[s],
+                    jnp.einsum("ab,blr->alr", facs[s].astype(ak.dtype), ak),
+                    ak,
+                )
+            return transfer_right(env, ab, ak), None
+
+        env, _ = jax.lax.scan(step, env0, (jnp.arange(length), bra, ket))
+        return jnp.trace(env)
+
+    return jnp.sum(jax.vmap(one_term)(terms))
+
+
 @partial(jax.jit, static_argnames=("plan",))
 def ensemble_trajectory(
     tensors0: jnp.ndarray,
@@ -52,7 +85,9 @@ def ensemble_trajectory(
     ``(obs (n_obs, T), correlators (n_pairs, T) complex)``.
 
     ``phis0 (n_pairs, L, d, chi, chi)`` are the ``B|psi0>`` auxiliary states
-    (unnormalized); ``mt_ops/mt_sites`` are the one-site ``A`` operators.
+    (unnormalized); ``mt_ops (n_pairs, K, S, d, d)`` / ``mt_sites
+    (n_pairs, S)`` are the ``A`` operators in product-term form (see
+    :func:`mixed_terms_expectation`).
     """
     dt = plan.dt
     cfg = plan.evolution
@@ -62,7 +97,7 @@ def ensemble_trajectory(
     def measure(psi, phis):
         obs = evaluate_observables(psi, observables)
         corr = jax.vmap(
-            lambda phi, op, site: mixed_site_expectation(psi, phi, op, site)
+            lambda phi, terms, sites: mixed_terms_expectation(psi, phi, terms, sites)
         )(phis, mt_ops, mt_sites) if n_pairs else jnp.zeros((0,), psi.dtype)
         return obs, corr
 

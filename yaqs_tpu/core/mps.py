@@ -127,7 +127,15 @@ class MPS:
         return float(_norm2_j(self._j()))
 
     def scalar_product(self, other: MPS) -> complex:
-        return complex(fetch(_scalar_j(self._j(), to_device(other.tensors))))
+        # zero padding is overlap-neutral (boundary-bond-0 convention), so
+        # mismatched padded chis — e.g. after a two-site apply_local doubled
+        # one side — are reconciled by padding the smaller operand
+        bra, ket = self, other
+        if bra.chi != ket.chi:
+            common = max(bra.chi, ket.chi)
+            bra = bra.copy().pad_bond_dimension(common)
+            ket = ket.copy().pad_bond_dimension(common)
+        return complex(fetch(_scalar_j(bra._j(), to_device(ket.tensors))))
 
     # -- expectation / measurement -----------------------------------------
     def expect(self, op, site: int) -> float:
@@ -156,11 +164,20 @@ class MPS:
         if site is None:
             sites = list(getattr(op, "site_list"))
             matrix = np.asarray(getattr(op, "matrix"), dtype=np.complex128)
-            if len(sites) != 1:
-                msg = "mixed_expectation supports one-site observables"
+            if len(sites) == 1:
+                site = sites[0]
+                op = matrix
+            elif len(sites) == 2:
+                # two-site observables follow apply_local conventions
+                # (reference mixed_expectation accepts one- OR two-site ops)
+                ket = self.copy().apply_local(matrix, tuple(int(s) for s in sites))
+                return bra.scalar_product(ket)
+            else:
+                msg = "mixed_expectation supports one- or two-site observables"
                 raise NotImplementedError(msg)
-            site = sites[0]
-            op = matrix
+        elif isinstance(site, (list, tuple)):
+            ket = self.copy().apply_local(np.asarray(op, dtype=np.complex128), tuple(site))
+            return bra.scalar_product(ket)
         ket = self.copy().apply_local(op, site)
         return bra.scalar_product(ket)
 

@@ -718,19 +718,43 @@ class Simulator:
         observables = compile_observables(sim_params.sorted_observables, length, d)
 
         mt_pairs = sim_params.multi_time_observables or []
-        mt_a_ops, mt_a_sites, mt_b = [], [], []
+        mt_a_terms, mt_a_sites, mt_b = [], [], []
         for a_obs, b_obs in mt_pairs:
-            if len(a_obs.site_list) != 1 or len(b_obs.site_list) != 1:
-                msg = "multi-time observables must be one-site"
+            if len(b_obs.site_list) > 2:
+                msg = (
+                    "multi-time B observables support one or two sites "
+                    "(reference apply_local conventions, mps.py:1045-1155)"
+                )
                 raise NotImplementedError(msg)
-            mt_a_ops.append(a_obs.matrix)
-            mt_a_sites.append(a_obs.site_list[0])
-            mt_b.append((b_obs.matrix, b_obs.site_list[0]))
+            a_sites = [int(s) for s in a_obs.site_list]
+            a_mat = np.asarray(a_obs.matrix, dtype=np.complex128)
+            if len(a_sites) == 1:
+                terms = [[(a_sites[0], a_mat)]]
+            else:
+                # k-site A via operator-Schmidt product terms (each term is a
+                # product of one-site factors — evaluable gauge-free in the
+                # mixed transfer contraction, ensemble.mixed_terms_expectation)
+                from .core.observables import product_terms
+
+                terms = product_terms(a_mat, a_sites, d)
+            mt_a_terms.append(terms)
+            mt_a_sites.append(sorted(a_sites))
+            mt_b.append((b_obs.matrix, [int(s) for s in b_obs.site_list]))
         n_pairs = len(mt_pairs)
-        mt_a_ops_arr = (
-            np.stack(mt_a_ops) if mt_a_ops else np.zeros((0, d, d), dtype=np.complex128)
-        )
-        mt_a_sites_arr = np.asarray(mt_a_sites or [], dtype=np.int32)
+        # pad to shared (K, S) slots: identity factors at site 0 fill unused
+        # site slots; all-zero factor rows fill unused terms (contribute 0)
+        max_k = max((len(t) for t in mt_a_terms), default=1)
+        max_s = max((len(s) for s in mt_a_sites), default=1)
+        mt_a_terms_arr = np.zeros((n_pairs, max_k, max_s, d, d), dtype=np.complex128)
+        mt_a_sites_arr = np.zeros((n_pairs, max_s), dtype=np.int32)
+        eye_d = np.eye(d, dtype=np.complex128)
+        for p, (terms, sites) in enumerate(zip(mt_a_terms, mt_a_sites)):
+            mt_a_sites_arr[p, : len(sites)] = sites
+            for k_i, factors in enumerate(terms):
+                mt_a_terms_arr[p, k_i, :, :, :] = eye_d
+                site_slot = {s: j for j, s in enumerate(sites)}
+                for f_site, f_mat in factors:
+                    mt_a_terms_arr[p, k_i, site_slot[f_site]] = f_mat
 
         plan = TrajectoryPlan(
             dt=sim_params.dt,
@@ -751,11 +775,33 @@ class Simulator:
         # jit + real/imag fetch: eager complex compute and complex
         # device->host transfer are both unsupported on the tunneled TPU
         prepare_phi_j = jax.jit(prepare_phi)
+
+        def _make_phi(member: np.ndarray, b_mat, b_sites: list[int]) -> np.ndarray:
+            if len(b_sites) == 1:
+                return fetch(
+                    prepare_phi_j(
+                        to_device(member),
+                        to_device(np.asarray(b_mat, dtype=np.complex128)),
+                        b_sites[0],
+                    )
+                )
+            # two-site B: exact host-side application (MPS.apply_local is
+            # norm-preserving; compress back to the run's padded chi —
+            # reference ensemble applies B via apply_local, ensemble.py:85-99)
+            from .core.mps import MPS as _MPS
+            from .core import mps_ops as _mps_ops
+
+            m = _MPS(tensors=np.array(member, copy=True))
+            m.apply_local(np.asarray(b_mat, dtype=np.complex128), tuple(b_sites))
+            squeeze = jax.jit(
+                lambda t: _mps_ops.compress(t, threshold=0.0, max_bond_dim=chi, chi_out=chi)
+            )
+            return fetch(squeeze(to_device(np.asarray(m.tensors))))
+
         phis = []
         for member in members:
             member_phis = [
-                fetch(prepare_phi_j(to_device(member), to_device(np.asarray(b_mat, dtype=np.complex128)), b_site))
-                for b_mat, b_site in mt_b
+                _make_phi(member, b_mat, b_sites) for b_mat, b_sites in mt_b
             ]
             phis.append(
                 np.stack(member_phis)
@@ -770,7 +816,7 @@ class Simulator:
                     t0,
                     mpo,
                     observables,
-                    mt_a_ops_arr,
+                    mt_a_terms_arr,
                     mt_a_sites_arr,
                     ph,
                     plan,
