@@ -366,3 +366,104 @@ def test_memory_characterizer_clifford_style():
         Hamiltonian.ising(2, 1.0, 0.5), num_interventions=2, tau=0.3, seed=3
     )
     assert np.isfinite(res.entropy)
+
+
+# ---------------------------------------------------------------------------
+# characterize() orchestration contracts (reference memory_characterizer.py:
+# 101-127 probe-set coercion, :586-640 validation)
+# ---------------------------------------------------------------------------
+
+
+def test_characterize_reuses_probe_set_from_prior_result():
+    import pytest
+
+    tau, k = 0.3, 2
+    ham = Hamiltonian.ising(3, 1.0, 0.5)
+    mc = MemoryCharacterizer(preset="quick")
+    first = mc.characterize(ham, num_interventions=k, tau=tau, cut=1, seed=11)
+    again = mc.characterize(ham, num_interventions=k, tau=tau, cut=1, probe_set=first)
+    np.testing.assert_allclose(again.entropy, first.entropy, atol=1e-12)
+    cut = next(iter(first.by_cut))
+    np.testing.assert_allclose(
+        again.by_cut[cut].response_matrix, first.by_cut[cut].response_matrix, atol=1e-12
+    )
+    with pytest.raises(TypeError):
+        mc.characterize(ham, num_interventions=k, tau=tau, cut=1, probe_set=object())
+
+
+def test_characterize_rejects_cut_and_cuts_together():
+    import pytest
+
+    mc = MemoryCharacterizer(preset="quick")
+    with pytest.raises(ValueError, match="not both"):
+        mc.characterize(
+            Hamiltonian.ising(2, 1.0, 0.5),
+            num_interventions=2,
+            tau=0.3,
+            cut=1,
+            cuts=[1, 2],
+        )
+
+
+def test_characterize_rejects_empty_cuts():
+    import pytest
+
+    mc = MemoryCharacterizer(preset="quick")
+    with pytest.raises(ValueError, match="nonempty"):
+        mc.characterize(
+            Hamiltonian.ising(2, 1.0, 0.5), num_interventions=2, tau=0.3, cuts=[]
+        )
+
+
+def test_characterize_rejects_probe_set_for_multi_cut():
+    import pytest
+
+    ham = Hamiltonian.ising(3, 1.0, 0.5)
+    mc = MemoryCharacterizer(preset="quick")
+    probe_set = sample_probes(
+        cut=1, num_interventions=3, n_pasts=4, n_futures=4, rng=np.random.default_rng(0)
+    )
+    with pytest.raises(ValueError, match="multiple cuts"):
+        mc.characterize(
+            ham, num_interventions=3, tau=0.3, cuts=[1, 2], probe_set=probe_set
+        )
+
+
+def test_characterize_rejects_negative_delay_and_non_hamiltonian_delay():
+    import pytest
+
+    ham = Hamiltonian.ising(3, 1.0, 0.5)
+    mc = MemoryCharacterizer(preset="quick")
+    with pytest.raises(ValueError, match=">= 0"):
+        mc.characterize(ham, num_interventions=2, tau=0.3, delay=-1)
+    pt = build_process_tensor(ham, num_interventions=2, tau=0.3)
+    with pytest.raises(ValueError, match="Hamiltonian"):
+        mc.characterize(pt, delay=1)
+
+
+def test_characterize_rejects_result_as_target():
+    import pytest
+
+    ham = Hamiltonian.ising(2, 1.0, 0.5)
+    mc = MemoryCharacterizer(preset="quick")
+    res = mc.characterize(ham, num_interventions=2, tau=0.3, seed=5)
+    with pytest.raises(TypeError, match="probe_set="):
+        mc.characterize(res)
+
+
+def test_entropy_monotone_in_coupling():
+    """Response entropy grows with the system-bath coupling (reference
+    paper-geometry physics regression: entropy rises with J)."""
+    tau, k = 0.4, 3
+    mc = MemoryCharacterizer(preset="quick")
+    entropies = []
+    for j_coupling in (0.0, 0.4, 1.0):
+        ham = Hamiltonian.pauli(
+            3,
+            two_body=[(j_coupling, "Z", "Z")],
+            one_body=[(-0.8, "X")],
+        )
+        res = mc.characterize(ham, num_interventions=k, tau=tau, seed=7)
+        entropies.append(res.entropy)
+    assert entropies[0] < 1e-6
+    assert entropies[0] < entropies[1] < entropies[2], entropies

@@ -36,6 +36,30 @@ _CHARACTERIZATION_PRESETS = {
 }
 
 
+def _coerce_probe_set(probe_set):
+    """Normalize ``probe_set=``: None, a ProbeSet, or a prior single-cut
+    CharacterizationResult carrying stored probes (reference
+    memory_characterizer.py:101-127)."""
+    if probe_set is None:
+        return None
+    if isinstance(probe_set, CharacterizationResult):
+        if len(probe_set.by_cut) != 1:
+            msg = "probe_set from a prior characterize() result requires exactly one cut"
+            raise ValueError(msg)
+        entry = next(iter(probe_set.by_cut.values()))
+        if entry.probe_set is None:
+            msg = "prior result does not carry a stored probe set"
+            raise ValueError(msg)
+        return entry.probe_set
+    if isinstance(probe_set, ProbeSet):
+        return probe_set
+    msg = (
+        "probe_set must be None, CharacterizationResult, or ProbeSet, "
+        f"got {type(probe_set).__name__}"
+    )
+    raise TypeError(msg)
+
+
 class MemoryCharacterizer:
     """Entry point for memory characterization workflows."""
 
@@ -135,6 +159,27 @@ class MemoryCharacterizer:
         surrogate exposing ``evaluate_probes``.  ``backend_options`` forwards
         kwargs (``chi``, ``dt``, ``num_traj``, ...) to the MPS backend.
         """
+        # validation contracts (reference memory_characterizer.py:586-640)
+        if cut is not None and cuts is not None:
+            msg = "pass either cut= or cuts=, not both"
+            raise ValueError(msg)
+        if cuts is not None and len(cuts) == 0:
+            msg = "cuts= must be a nonempty list"
+            raise ValueError(msg)
+        if delay < 0:
+            msg = f"delay must be >= 0, got {delay}"
+            raise ValueError(msg)
+        if delay > 0 and not isinstance(target, Hamiltonian):
+            msg = "delay > 0 is supported for Hamiltonian characterize() only"
+            raise ValueError(msg)
+        probe_set = _coerce_probe_set(probe_set)
+        if probe_set is not None and cuts is not None and len(cuts) > 1:
+            msg = (
+                "probe_set cannot be reused across multiple cuts; omit "
+                "probe_set for multi-cut characterize()"
+            )
+            raise ValueError(msg)
+
         if isinstance(target, Hamiltonian):
             if tau is None:
                 msg = "characterize(Hamiltonian, ...) requires tau="
@@ -154,6 +199,12 @@ class MemoryCharacterizer:
                 msg = f"backend must be 'exact' or 'mps', got {backend!r}"
                 raise ValueError(msg)
             k = int(num_interventions)
+        elif isinstance(target, CharacterizationResult):
+            msg = (
+                "target must be a Hamiltonian, process tensor, or surrogate; "
+                "pass a prior result via probe_set= to reuse its probes"
+            )
+            raise TypeError(msg)
         else:
             backend = target
             k = (
@@ -161,10 +212,6 @@ class MemoryCharacterizer:
                 if num_interventions is not None
                 else int(target._num_interventions_for_probe())
             )
-
-        if probe_set is None and isinstance(target, CharacterizationResult):
-            msg = "pass probe_set= explicitly to reuse probes"
-            raise TypeError(msg)
 
         rng = np.random.default_rng(seed)
         resolved_cuts = cuts if cuts is not None else [cut or (k + 1) // 2]
