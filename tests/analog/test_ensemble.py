@@ -110,3 +110,44 @@ def test_multi_time_two_site_correlator_vs_dense():
             u = scipy.linalg.expm(-1j * h * dt * j)
             expected = np.vdot(u @ psi0, ad @ u @ (bd @ psi0))
             np.testing.assert_allclose(corr[j], expected, atol=1e-6)
+
+
+def test_ensemble_bug_evolution_mode_matches_dense():
+    """evolution_mode='bug' must thread through the ensemble path (reference
+    test_unitary_ensemble_uses_bug_evolution_mode_via_simulator)."""
+    L, dt, steps = 4, 0.05, 4
+    ham = Hamiltonian.ising(L, 1.0, 0.6)
+    h = ham.ensure_matrix()
+    st = State(L, state="x+")
+    params = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(L)],
+        elapsed_time=dt * steps,
+        dt=dt,
+        max_bond_dim=16,
+        svd_threshold=1e-12,
+        krylov_dim=20,
+        evolution_mode="bug",
+        multi_time_observables=[(Observable("z", 1), Observable("x", 0))],
+        random_seed=0,
+    )
+    res = Simulator().run([st], ham, params, None)
+
+    psi0 = st.to_vector()
+    import scipy.linalg as sla
+
+    a = embed_one_site(pauli_z, 1, L)
+    b = embed_one_site(pauli_x, 0, L)
+    for j in range(steps + 1):
+        u = sla.expm(-1j * h * dt * j)
+        psi_t = u @ psi0
+        for i in range(L):
+            np.testing.assert_allclose(
+                res.expectation_values[i, j],
+                np.vdot(psi_t, embed_one_site(pauli_z, i, L) @ psi_t).real,
+                atol=1e-5,
+            )
+        np.testing.assert_allclose(
+            res.multi_time_correlators[0][j],
+            np.vdot(psi_t, a @ u @ (b @ psi0)),
+            atol=1e-5,
+        )

@@ -91,7 +91,12 @@ def ensemble_trajectory(
     """
     dt = plan.dt
     cfg = plan.evolution
-    evolve = lambda t: tdvp_step(t, mpo, dt, cfg)
+    if plan.evolution_mode == "bug":
+        from ..methods.bug import bug_step
+
+        evolve = lambda t: bug_step(t, mpo, dt, cfg)
+    else:
+        evolve = lambda t: tdvp_step(t, mpo, dt, cfg)
     n_pairs = phis0.shape[0]
 
     def measure(psi, phis):

@@ -760,6 +760,7 @@ class Simulator:
             dt=sim_params.dt,
             num_steps=sim_params.num_steps,
             sample_timesteps=True,
+            evolution_mode=getattr(sim_params, "evolution_mode", "tdvp"),
             evolution=TDVPConfig(
                 krylov_dim=sim_params.krylov_dim,
                 trunc_mode=sim_params.trunc_mode,
