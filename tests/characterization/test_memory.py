@@ -467,3 +467,13 @@ def test_entropy_monotone_in_coupling():
         entropies.append(res.entropy)
     assert entropies[0] < 1e-6
     assert entropies[0] < entropies[1] < entropies[2], entropies
+
+
+def test_compute_qmi_cmi_reject_non_process_tensor():
+    import pytest
+
+    mc = MemoryCharacterizer(preset="quick")
+    with pytest.raises(TypeError, match="process tensor"):
+        mc.compute_qmi(Hamiltonian.ising(2, 1.0, 0.5))
+    with pytest.raises(TypeError, match="process tensor"):
+        mc.compute_cmi(object(), 1, 2)

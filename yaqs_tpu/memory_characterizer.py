@@ -230,6 +230,12 @@ class MemoryCharacterizer:
 
     # ------------------------------------------------------------------
     def compute_qmi(self, process_tensor: DenseProcessTensor, cut: int | None = None) -> float:
+        if not hasattr(process_tensor, "qmi"):
+            msg = (
+                "compute_qmi requires a process tensor "
+                f"(got {type(process_tensor).__name__})"
+            )
+            raise TypeError(msg)
         k = process_tensor.k
         c = (k + 1) // 2 if cut is None else int(cut)
         return process_tensor.qmi(c)
@@ -237,6 +243,12 @@ class MemoryCharacterizer:
     def compute_cmi(
         self, process_tensor: DenseProcessTensor, cut1: int, cut2: int
     ) -> float:
+        if not hasattr(process_tensor, "cmi"):
+            msg = (
+                "compute_cmi requires a process tensor "
+                f"(got {type(process_tensor).__name__})"
+            )
+            raise TypeError(msg)
         return process_tensor.cmi(cut1, cut2)
 
     # ------------------------------------------------------------------
