@@ -191,10 +191,13 @@ def test_ensemble_rejects_get_state():
 
 
 def test_ensemble_requires_analog_params():
+    """Digital params reject a list initial_state with the circuit-simulation
+    contract error (reference simulator.py:622-624: "Circuit simulation
+    requires a single State initial_state") — ensembles are analog-only."""
     from yaqs_tpu import DigitalSimParams
 
     params = DigitalSimParams(observables=[Observable("z", 0)], num_traj=1)
-    with pytest.raises(TypeError, match="AnalogSimParams"):
+    with pytest.raises(TypeError, match="single State initial_state"):
         Simulator(parallel=False).run([State(2)], Hamiltonian.ising(2), params, None)
 
 

@@ -40,7 +40,6 @@ CASES = [
 @pytest.mark.parametrize("name,factory,init", CASES)
 @pytest.mark.parametrize("mode,tdvp_mode", [
     ("tdvp", "2site"),
-    ("tdvp", "1site"),
     ("tdvp", "dynamic"),
     ("bug", "2site"),
 ])
@@ -75,11 +74,86 @@ def test_noiseless_matrix(name, factory, init, mode, tdvp_mode, order):
         random_seed=1,
     )
     res = Simulator().run(state, ham, params, None)
-    # 1-site TDVP projects onto the initial (product-state) manifold; start
-    # from a couple of 2-site steps' worth of slack via looser tolerance.
-    atol = 2e-3 if tdvp_mode == "1site" else 1e-5
-    np.testing.assert_allclose(res.expectation_values, golden, atol=atol,
+    np.testing.assert_allclose(res.expectation_values, golden, atol=1e-5,
                                err_msg=f"{name}/{mode}/{tdvp_mode}/order{order}")
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_noiseless_1site_from_entangled_start(order):
+    """1-site TDVP reproduces dense expm at 1e-5 when the current bond basis
+    is rich enough: evolve Neel with 2-site TDVP first (grows Schmidt rank to
+    saturation at L=5), then continue with tdvp_mode='1site' and compare the
+    continuation against dense propagation of the fetched intermediate state
+    (an oracle independent of leg-1 error)."""
+    length, dt, steps = 5, 0.05, 4
+    ham = Hamiltonian.heisenberg(length, Jx=1.0, Jy=0.8, Jz=0.5, h=0.3)
+    h_mat = np.asarray(ham.ensure_matrix() if hasattr(ham, "ensure_matrix") else ham.matrix)
+
+    leg1 = AnalogSimParams(
+        observables=[Observable("z", 0)],
+        elapsed_time=0.4,
+        dt=0.05,
+        num_traj=1,
+        max_bond_dim=16,
+        svd_threshold=1e-12,
+        krylov_dim=10,
+        tdvp_mode="2site",
+        get_state=True,
+        random_seed=1,
+    )
+    mid = Simulator().run(State(length, state="Neel"), ham, leg1, None).output_state
+    psi_mid = np.asarray(mid.to_vector())
+    golden = dense_z_trajectory(h_mat, psi_mid, dt, steps, length)
+
+    leg2 = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        elapsed_time=dt * steps,
+        dt=dt,
+        num_traj=1,
+        max_bond_dim=16,
+        svd_threshold=1e-12,
+        krylov_dim=10,
+        order=order,
+        tdvp_mode="1site",
+        sample_timesteps=True,
+        random_seed=1,
+    )
+    res = Simulator().run(mid, ham, leg2, None)
+    np.testing.assert_allclose(res.expectation_values, golden, atol=1e-5)
+
+
+def test_noiseless_1site_product_start_manifold_limitation():
+    """Pin the documented 1-site TDVP limitation the reference shares: from a
+    zero-padded rank-1 product start, the tangent space never leaves the
+    product manifold (reference mps.py:409-449 zero-pads identically), so the
+    Heisenberg/Neel evolution deviates from dense expm at O(0.1) while staying
+    exactly normalized.  This is expected behavior, not a defect — use 2site/
+    dynamic/bug modes (or an entangled start) when rank must grow."""
+    length, dt, steps = 5, 0.05, 4
+    ham = Hamiltonian.heisenberg(length, Jx=1.0, Jy=0.8, Jz=0.5, h=0.3)
+    h_mat = np.asarray(ham.ensure_matrix() if hasattr(ham, "ensure_matrix") else ham.matrix)
+    idx = sum((i % 2) << i for i in range(length))
+    psi0 = np.zeros(2**length, dtype=complex)
+    psi0[idx] = 1.0
+    golden = dense_z_trajectory(h_mat, psi0, dt, steps, length)
+
+    params = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(length)],
+        elapsed_time=dt * steps,
+        dt=dt,
+        num_traj=1,
+        max_bond_dim=16,
+        svd_threshold=1e-12,
+        krylov_dim=10,
+        tdvp_mode="1site",
+        sample_timesteps=True,
+        random_seed=1,
+    )
+    res = Simulator().run(State(length, state="Neel"), ham, params, None)
+    dev = np.max(np.abs(np.asarray(res.expectation_values) - golden))
+    assert 1e-3 < dev < 0.5, dev  # deviates (manifold projection), boundedly
+    # t=0 column still exact
+    np.testing.assert_allclose(np.asarray(res.expectation_values)[:, 0], golden[:, 0], atol=1e-12)
 
 
 @pytest.mark.parametrize("representation", ["vector", "density_matrix"])

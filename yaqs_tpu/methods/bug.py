@@ -107,9 +107,17 @@ def bug_step(tensors: jnp.ndarray, mpo: jnp.ndarray, dt, cfg: TDVPConfig) -> jnp
         g, m_right, center, r_mask = carry
         w = mpo[i]
         updated = evolve(f_all[i], w, g, center)  # (d, chi, 2chi)
+        # Leaf stack: the original (right-canonical) leaf tensor, with its
+        # right leg masked to the boundary index 0.  QR canonicalization fills
+        # the padded rows with orthonormal completions that generally carry
+        # FICTIONAL right-boundary support (index != 0); boundary-anchored
+        # contractions never see them, but stacking them here as data rows
+        # would pollute the enlarged basis with unphysical directions (a 0.09
+        # observable error from product-state starts — round-3 battery fix).
+        leaf = tensors[i] * (jnp.arange(chi) == 0).astype(dtype)[None, None, :]
         old_stack = jnp.where(
             i == length - 1,
-            jnp.pad(tensors[i], ((0, 0), (0, 0), (0, chi))),  # leaf: left-canonical form
+            jnp.pad(leaf, ((0, 0), (0, 0), (0, chi))),
             center,
         )
         stacked = jnp.concatenate([old_stack, updated], axis=1)  # (d, 2chi, 2chi)
