@@ -34,7 +34,7 @@ import dataclasses
 import logging
 import math
 import re
-from typing import Any
+from typing import Any, NoReturn
 
 import jax
 import numpy as np
@@ -86,167 +86,158 @@ _FIXED_OPERATORS: dict[str, np.ndarray] = {
 
 
 # ---------------------------------------------------------------------------
-# Validation helpers (reference noise_model.py:93-230 semantics)
+# Input validation
+#
+# Error taxonomy follows the reference contract (noise_model.py:93-230 —
+# TypeError for wrong Python types, ValueError for malformed content, with
+# the keyword substrings the contract tests pin: "dictionary", "booleans",
+# "nonnegative", "finite", "distinct", ...), expressed here as guard
+# one-liners around a single scalar gate (`_as_real`).
 # ---------------------------------------------------------------------------
 
-
-def _is_bool(value: object) -> bool:
-    return isinstance(value, bool)
+_REAL_SCALARS = (int, float, np.integer, np.floating)
 
 
-def _require_mapping(entry: object, kind: str) -> dict[str, Any]:
-    if not isinstance(entry, dict):
-        msg = f"Each {kind} must be a dictionary."
-        raise TypeError(msg)
-    return entry
+def _fail(exc: type[Exception], msg: str) -> NoReturn:
+    raise exc(msg)
 
 
-def _validate_name(name: object, kind: str) -> str:
+def _as_mapping(entry: object, kind: str) -> dict[str, Any]:
+    return entry if isinstance(entry, dict) else _fail(
+        TypeError, f"Each {kind} must be a dictionary."
+    )
+
+
+def _as_name(name: object, kind: str) -> str:
     if not isinstance(name, str):
-        msg = f"{kind} 'name' must be a string."
-        raise TypeError(msg)
-    if not name:
-        msg = f"{kind} 'name' must be a nonempty string."
-        raise ValueError(msg)
-    return name
+        _fail(TypeError, f"{kind} 'name' must be a string.")
+    return name if name else _fail(ValueError, f"{kind} 'name' must be a nonempty string.")
 
 
-def _normalize_sites(sites: object, kind: str) -> list[int]:
-    if not isinstance(sites, (list, tuple)):
-        msg = f"{kind} 'sites' must be a list or tuple of integers."
-        raise TypeError(msg)
-    if len(sites) not in {1, 2}:
-        msg = f"{kind} must have exactly 1 or 2 sites, got {len(sites)}."
-        raise ValueError(msg)
-    normalized: list[int] = []
-    for site in sites:
-        if _is_bool(site) or not isinstance(site, (int, np.integer)):
-            msg = f"{kind} site indices must be integers (booleans are not allowed)."
-            raise TypeError(msg)
-        site_int = int(site)
-        if site_int < 0:
-            msg = f"{kind} site indices must be nonnegative, got {site_int}."
-            raise ValueError(msg)
-        normalized.append(site_int)
-    if len(normalized) == 2 and normalized[0] == normalized[1]:
-        msg = f"{kind} two-site indices must be distinct, got {normalized}."
-        raise ValueError(msg)
-    return normalized
-
-
-def _validate_finite_real(value: object, label: str) -> float:
-    if _is_bool(value) or not isinstance(value, (int, float, np.floating, np.integer)):
-        msg = f"{label} must be a real number (booleans are not allowed)."
-        raise TypeError(msg)
-    number = float(value)
-    if not math.isfinite(number):
-        msg = f"{label} must be finite, got {number}."
-        raise ValueError(msg)
-    return number
-
-
-def _validate_finite_nonnegative_real(value: object, label: str) -> float:
-    number = _validate_finite_real(value, label)
-    if number < 0:
-        msg = (
-            f"{label} must be nonnegative (got {number}). Standard TJM/MCWF "
-            "jump probabilities require nonnegative rates."
+def _as_real(value: object, label: str, *, nonnegative: bool = False) -> float:
+    """Scalar gate: bools / non-numbers -> TypeError; NaN, infinities and
+    (when ``nonnegative``) negatives -> ValueError."""
+    if isinstance(value, bool) or not isinstance(value, _REAL_SCALARS):
+        _fail(TypeError, f"{label} must be a real number (booleans are not allowed).")
+    x = float(value)
+    if not math.isfinite(x):
+        _fail(ValueError, f"{label} must be finite, got {x}.")
+    if nonnegative and x < 0:
+        _fail(
+            ValueError,
+            f"{label} must be nonnegative (got {x}): negative rates have no "
+            "TJM/MCWF jump-probability interpretation.",
         )
-        raise ValueError(msg)
-    return number
+    return x
 
 
-def _validate_strength(strength: object) -> float | dict[str, Any]:
-    if isinstance(strength, dict):
-        unknown = set(strength) - _DISTRIBUTION_KEYS
-        if unknown:
-            msg = (
-                f"Unknown distribution keys: {sorted(unknown)}. "
-                f"Supported keys: {sorted(_DISTRIBUTION_KEYS)}."
-            )
-            raise ValueError(msg)
-        if "distribution" not in strength:
-            msg = "Noise strength dict must contain 'distribution' key."
-            raise ValueError(msg)
-        dist_type = strength["distribution"]
-        if dist_type not in _SUPPORTED_DISTRIBUTIONS:
-            msg = (
-                f"Unsupported distribution type: {dist_type}. "
-                f"Supported: {sorted(_SUPPORTED_DISTRIBUTIONS)}."
-            )
-            raise ValueError(msg)
-        mean = _validate_finite_real(strength.get("mean", 0.0), "distribution mean")
-        std = _validate_finite_real(strength.get("std", 0.0), "distribution std")
-        if std < 0:
-            msg = f"distribution std must be nonnegative, got {std}."
-            raise ValueError(msg)
-        return {"distribution": dist_type, "mean": mean, "std": std}
-    return _validate_finite_nonnegative_real(strength, "process strength")
+def _as_sites(sites: object, kind: str) -> list[int]:
+    if not isinstance(sites, (list, tuple)):
+        _fail(TypeError, f"{kind} 'sites' must be a list or tuple of integers.")
+    if not 1 <= len(sites) <= 2:
+        _fail(ValueError, f"{kind} must have exactly 1 or 2 sites, got {len(sites)}.")
+    if any(isinstance(s, bool) or not isinstance(s, (int, np.integer)) for s in sites):
+        _fail(TypeError, f"{kind} site indices must be integers (booleans are not allowed).")
+    out = [int(s) for s in sites]
+    if min(out) < 0:
+        _fail(ValueError, f"{kind} site indices must be nonnegative, got {min(out)}.")
+    if len(out) == 2 and out[0] == out[1]:
+        _fail(ValueError, f"{kind} two-site indices must be distinct, got {out}.")
+    return out
+
+
+def _as_strength(strength: object) -> float | dict[str, Any]:
+    if not isinstance(strength, dict):
+        return _as_real(strength, "process strength", nonnegative=True)
+    extra = sorted(set(strength) - _DISTRIBUTION_KEYS)
+    if extra:
+        _fail(
+            ValueError,
+            f"Unknown distribution keys: {extra}. "
+            f"Supported keys: {sorted(_DISTRIBUTION_KEYS)}.",
+        )
+    if "distribution" not in strength:
+        _fail(ValueError, "Noise strength dict must contain 'distribution' key.")
+    kind = strength["distribution"]
+    if kind not in _SUPPORTED_DISTRIBUTIONS:
+        _fail(
+            ValueError,
+            f"Unsupported distribution type: {kind}. "
+            f"Supported: {sorted(_SUPPORTED_DISTRIBUTIONS)}.",
+        )
+    std = _as_real(strength.get("std", 0.0), "distribution std")
+    if std < 0:
+        _fail(ValueError, f"distribution std must be nonnegative, got {std}.")
+    return {
+        "distribution": kind,
+        "mean": _as_real(strength.get("mean", 0.0), "distribution mean"),
+        "std": std,
+    }
 
 
 def _as_square_matrix(value: object, label: str) -> np.ndarray:
     try:
-        array = np.array(value, dtype=np.complex128, copy=True)
+        arr = np.array(value, dtype=np.complex128)
     except (TypeError, ValueError) as exc:
-        msg = f"{label} must be a numeric array."
-        raise TypeError(msg) from exc
-    if array.ndim != 2 or array.shape[0] != array.shape[1]:
-        msg = f"{label} must be a square 2-D array, got shape {array.shape}."
-        raise ValueError(msg)
-    if not np.all(np.isfinite(array)):
-        msg = f"{label} entries must be finite."
-        raise ValueError(msg)
-    return array
+        raise TypeError(f"{label} must be a numeric array.") from exc
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        _fail(ValueError, f"{label} must be a square 2-D array, got shape {arr.shape}.")
+    if not np.isfinite(arr).all():
+        _fail(ValueError, f"{label} entries must be finite.")
+    return arr
 
 
 def _crosstalk_suffix(name: str) -> str | None:
-    if _CROSSTALK_RE.fullmatch(name) or _LONGRANGE_CROSSTALK_RE.fullmatch(name):
-        return name.rsplit("_", 1)[-1]
-    return None
+    """The two Pauli letters of a (longrange_)crosstalk_ab name, else None."""
+    hit = _CROSSTALK_RE.fullmatch(name) or _LONGRANGE_CROSSTALK_RE.fullmatch(name)
+    return name[-2:] if hit else None
 
 
 def _supported_operator_message() -> str:
-    fixed = ", ".join(sorted(_FIXED_OPERATORS))
     return (
-        f"Supported fixed names: {fixed}. Also accepted: names matching "
-        "crosstalk_[xyz]{2} or longrange_crosstalk_[xyz]{2}."
+        "Supported fixed names: " + ", ".join(sorted(_FIXED_OPERATORS)) + ". "
+        "Also accepted: names matching crosstalk_[xyz]{2} or "
+        "longrange_crosstalk_[xyz]{2}."
     )
 
 
-def _crosstalk_pauli_letters(suffix: str, *, swapped: bool) -> tuple[str, str]:
-    a, b = suffix[0], suffix[1]
-    return (b, a) if swapped else (a, b)
+def _ordered_letters(suffix: str, *, swapped: bool) -> tuple[str, str]:
+    """Pauli letters in ascending-site order (caller gave descending sites
+    when ``swapped``)."""
+    return (suffix[1], suffix[0]) if swapped else (suffix[0], suffix[1])
 
 
-def _validate_factors(factors: object) -> tuple[np.ndarray, np.ndarray]:
-    if not isinstance(factors, (list, tuple)) or len(factors) != 2:
-        msg = "Process 'factors' must be a sequence of exactly two square matrices."
-        raise ValueError(msg)
-    left = _as_square_matrix(factors[0], "Process factor[0]")
-    right = _as_square_matrix(factors[1], "Process factor[1]")
-    return left, right
+def _as_factor_pair(factors: object) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(factors, (list, tuple)) and len(factors) == 2:
+        return (
+            _as_square_matrix(factors[0], "Process factor[0]"),
+            _as_square_matrix(factors[1], "Process factor[1]"),
+        )
+    _fail(ValueError, "Process 'factors' must be a sequence of exactly two square matrices.")
 
 
 # ---------------------------------------------------------------------------
-# is_pauli (reference noise_model.py:620-666: unit-phase Pauli structure)
+# is_pauli (reference noise_model.py:620-666 semantics: unit-phase Pauli)
 # ---------------------------------------------------------------------------
 
 _PAULI_1 = (pauli_x, pauli_y, pauli_z)
 _PAULI_2 = tuple(np.kron(a, b) for a in _PAULI_1 for b in _PAULI_1)
 
 
-def _matches_up_to_unit_phase(mat: np.ndarray, reference: np.ndarray) -> bool:
-    if mat.shape != reference.shape:
+def _unit_phase_match(mat: np.ndarray, target: np.ndarray) -> bool:
+    """``mat == exp(i phi) * target`` for some real ``phi`` — a modulus-1
+    phase, never a scale (``2 X`` must NOT match ``X``).  The phase is read
+    off at the target's largest-modulus entry and then checked globally."""
+    if mat.shape != target.shape:
         return False
-    idx = np.unravel_index(int(np.argmax(np.abs(reference))), reference.shape)
-    ref_val = reference[idx]
-    mat_val = mat[idx]
-    if abs(ref_val) < 1e-14 or abs(mat_val) < 1e-14:
-        return bool(np.allclose(mat, reference, atol=1e-10, rtol=0.0))
-    phase = mat_val / ref_val
-    if not np.isclose(abs(phase), 1.0, atol=1e-10, rtol=0.0):
-        return False
-    return bool(np.allclose(mat, phase * reference, atol=1e-10, rtol=0.0))
+    pivot = int(np.argmax(np.abs(target.ravel())))
+    t, m = target.ravel()[pivot], mat.ravel()[pivot]
+    if min(abs(t), abs(m)) < 1e-14:
+        return bool(np.allclose(mat, target, rtol=0.0, atol=1e-10))
+    phase = m / t
+    return abs(abs(phase) - 1.0) <= 1e-10 and bool(
+        np.allclose(mat, phase * target, rtol=0.0, atol=1e-10)
+    )
 
 
 def is_pauli(proc: dict[str, Any]) -> bool:
@@ -262,16 +253,16 @@ def is_pauli(proc: dict[str, Any]) -> bool:
         if "matrix" not in proc:
             return False
         m = np.asarray(proc["matrix"], dtype=np.complex128)
-        return any(_matches_up_to_unit_phase(m, p) for p in _PAULI_1)
+        return any(_unit_phase_match(m, p) for p in _PAULI_1)
     if len(sites) != 2:
         return False
     if abs(sites[1] - sites[0]) == 1 and "matrix" in proc:
         m = np.asarray(proc["matrix"], dtype=np.complex128)
-        return any(_matches_up_to_unit_phase(m, p) for p in _PAULI_2)
+        return any(_unit_phase_match(m, p) for p in _PAULI_2)
     if abs(sites[1] - sites[0]) > 1 and "factors" in proc:
         return all(
             any(
-                _matches_up_to_unit_phase(np.asarray(f, dtype=np.complex128), p)
+                _unit_phase_match(np.asarray(f, dtype=np.complex128), p)
                 for p in _PAULI_1
             )
             for f in proc["factors"]
@@ -311,18 +302,16 @@ class NoiseModel:
                 self._normalize_scheduled_jump(j) for j in scheduled_jumps
             ]
 
-        if processes is None:
-            return
-        if not isinstance(processes, (list, tuple)):
-            msg = "processes must be a list or tuple of dictionaries."
-            raise TypeError(msg)
-        self.processes = [self._normalize_process(p) for p in processes]
+        if processes is not None:
+            if not isinstance(processes, (list, tuple)):
+                _fail(TypeError, "processes must be a list or tuple of dictionaries.")
+            self.processes = [self._normalize_process(p) for p in processes]
 
     # -- normalization -----------------------------------------------------
 
     @staticmethod
     def _normalize_scheduled_jump(jump: object) -> dict[str, Any]:
-        original = _require_mapping(jump, "scheduled jump")
+        original = _as_mapping(jump, "scheduled jump")
         for key in ("time", "sites", "name"):
             if key not in original:
                 msg = f"Each scheduled jump must have a '{key}' key."
@@ -331,9 +320,9 @@ class NoiseModel:
         if "factors" in jump_dict:
             msg = "Scheduled jumps do not accept 'factors'; use 'matrix' for custom operators."
             raise ValueError(msg)
-        jump_dict["name"] = _validate_name(jump_dict["name"], "Scheduled jump")
-        jump_dict["time"] = _validate_finite_real(jump_dict["time"], "Scheduled jump time")
-        sites = _normalize_sites(jump_dict["sites"], "Scheduled jump")
+        jump_dict["name"] = _as_name(jump_dict["name"], "Scheduled jump")
+        jump_dict["time"] = _as_real(jump_dict["time"], "Scheduled jump time")
+        sites = _as_sites(jump_dict["sites"], "Scheduled jump")
         user_matrix = "matrix" in jump_dict
         swapped = False
         if len(sites) == 2:
@@ -362,7 +351,7 @@ class NoiseModel:
         else:
             suffix = _crosstalk_suffix(jump_dict["name"])
             if suffix is not None:
-                a, b = _crosstalk_pauli_letters(suffix, swapped=swapped)
+                a, b = _ordered_letters(suffix, swapped=swapped)
                 jump_dict["matrix"] = np.kron(_PAULI_MAP[a], _PAULI_MAP[b]).astype(
                     np.complex128
                 )
@@ -372,35 +361,36 @@ class NoiseModel:
 
     @staticmethod
     def _normalize_process(original: object) -> dict[str, Any]:
-        source = _require_mapping(original, "noise process")
+        source = _as_mapping(original, "noise process")
         for key in ("name", "sites", "strength"):
             if key not in source:
                 msg = f"Each process must have a '{key}' key."
                 raise ValueError(msg)
         proc = dict(source)
-        name = _validate_name(proc["name"], "Process")
+        name = _as_name(proc["name"], "Process")
         proc["name"] = name
-        proc["strength"] = _validate_strength(proc["strength"])
-        sites = _normalize_sites(proc["sites"], "Process")
-        user_matrix = "matrix" in source
-        factors_provided = "factors" in source
+        proc["strength"] = _as_strength(proc["strength"])
+        sites = _as_sites(proc["sites"], "Process")
+        user_matrix, factors_provided = "matrix" in source, "factors" in source
         user_factors = source.get("factors")
         if factors_provided and user_factors is None:
-            msg = "Process 'factors' must be a sequence of exactly two square matrices, not None."
-            raise ValueError(msg)
+            _fail(
+                ValueError,
+                "Process 'factors' must be a sequence of exactly two square "
+                "matrices, not None.",
+            )
         if user_matrix and factors_provided:
-            msg = "Process cannot specify both 'matrix' and 'factors'."
-            raise ValueError(msg)
+            _fail(ValueError, "Process cannot specify both 'matrix' and 'factors'.")
 
         if len(sites) == 1:
-            proc["sites"] = sites
             if factors_provided:
-                msg = "One-site processes do not accept 'factors'."
-                raise ValueError(msg)
-            if user_matrix:
-                proc["matrix"] = _as_square_matrix(proc["matrix"], "Process matrix")
-            else:
-                proc["matrix"] = NoiseModel.get_operator(name)
+                _fail(ValueError, "One-site processes do not accept 'factors'.")
+            proc["sites"] = sites
+            proc["matrix"] = (
+                _as_square_matrix(proc["matrix"], "Process matrix")
+                if user_matrix
+                else NoiseModel.get_operator(name)
+            )
             return proc
 
         sorted_sites = sorted(sites)
@@ -430,26 +420,25 @@ class NoiseModel:
                         "longrange_crosstalk_[xyz]{2}."
                     )
                     raise ValueError(msg)
-                a, b = _crosstalk_pauli_letters(suffix, swapped=swapped)
+                a, b = _ordered_letters(suffix, swapped=swapped)
                 proc["factors"] = (
                     _PAULI_MAP[a].astype(np.complex128).copy(),
                     _PAULI_MAP[b].astype(np.complex128).copy(),
                 )
             else:
-                left, right = _validate_factors(user_factors)
+                left, right = _as_factor_pair(user_factors)
                 proc["factors"] = (right, left) if swapped else (left, right)
             proc.pop("matrix", None)
             return proc
 
         # adjacent: full matrix only
         if factors_provided:
-            msg = "Adjacent two-site processes use 'matrix', not 'factors'."
-            raise ValueError(msg)
+            _fail(ValueError, "Adjacent two-site processes use 'matrix', not 'factors'.")
         suffix = _crosstalk_suffix(name)
         if user_matrix:
             proc["matrix"] = _as_square_matrix(proc["matrix"], "Process matrix")
         elif suffix is not None:
-            a, b = _crosstalk_pauli_letters(suffix, swapped=swapped)
+            a, b = _ordered_letters(suffix, swapped=swapped)
             proc["matrix"] = np.kron(_PAULI_MAP[a], _PAULI_MAP[b]).astype(np.complex128)
         else:
             proc["matrix"] = NoiseModel.get_operator(name)
@@ -508,11 +497,10 @@ class NoiseModel:
                     val = float(generator.normal(loc=mean, scale=std))
                     if val < 0:
                         logger.warning(
-                            "Sampled noise strength %f using 'normal' distribution "
-                            "(mean=%f, std=%f) was negative and clamped to 0.0.",
-                            val,
-                            mean,
-                            std,
+                            "normal-distributed strength drew %.6g "
+                            "(mean=%.6g, std=%.6g); negative draws are "
+                            "clamped to 0.",
+                            val, mean, std,
                         )
                     val = max(0.0, val)
                 elif dist_type == "lognormal":
@@ -530,13 +518,9 @@ class NoiseModel:
                 else:  # pragma: no cover - blocked at construction
                     msg = f"Unsupported distribution type: {dist_type}"
                     raise ValueError(msg)
-                new_proc["strength"] = _validate_finite_nonnegative_real(
-                    val, "sampled process strength"
-                )
+                new_proc["strength"] = _as_real(val, "sampled process strength", nonnegative=True)
             else:
-                new_proc["strength"] = _validate_finite_nonnegative_real(
-                    s, "process strength"
-                )
+                new_proc["strength"] = _as_real(s, "process strength", nonnegative=True)
             new_processes.append(new_proc)
         out = NoiseModel.__new__(NoiseModel)
         out.processes = new_processes
