@@ -135,6 +135,63 @@ def test_mid_circuit_sampling_columns():
     np.testing.assert_allclose(res.expectation_values[0], [1.0, -1.0, 1.0], atol=1e-10)
 
 
+def test_num_mid_measurements_contract():
+    """num_mid_measurements wiring (VERDICT r2 #6): barriers are the source
+    of truth (a nonzero count must agree), the count-driven path inserts
+    evenly spaced sampling columns when the circuit has none (bitwise equal
+    to the explicit-barrier circuit), and the parameter is rejected without
+    sample_layers (reference simulation_parameters semantics)."""
+    import pytest
+
+    length = 3
+
+    def make_params(k):
+        return DigitalSimParams(
+            observables=[Observable("z", i) for i in range(length)],
+            max_bond_dim=4,
+            sample_layers=True,
+            num_mid_measurements=k,
+            random_seed=0,
+        )
+
+    # count-driven: 4 gates, k=1 -> barrier after gate 2
+    plain = Circuit(length).x(0).x(1).x(0).x(2)
+    res_count = Simulator().run(State(length), plain, make_params(1), None)
+    assert np.asarray(res_count.expectation_values).shape == (length, 3)
+
+    explicit = Circuit(length).x(0).x(1).sample_observables().x(0).x(2)
+    res_barrier = Simulator().run(State(length), explicit, make_params(0), None)
+    np.testing.assert_array_equal(
+        np.asarray(res_count.expectation_values),
+        np.asarray(res_barrier.expectation_values),
+    )
+
+    # agreement: matching count accepted, mismatch rejected
+    res_match = Simulator().run(State(length), explicit, make_params(1), None)
+    np.testing.assert_array_equal(
+        np.asarray(res_match.expectation_values),
+        np.asarray(res_barrier.expectation_values),
+    )
+    with pytest.raises(ValueError, match="SAMPLE_OBSERVABLES"):
+        Simulator().run(State(length), explicit, make_params(2), None)
+
+    # k >= gate count still yields exactly k mid columns (adjacent barriers)
+    tiny = Circuit(length).x(0)
+    res_k3 = Simulator().run(State(length), tiny, make_params(3), None)
+    assert np.asarray(res_k3.expectation_values).shape == (length, 5)
+    # all three mid columns sample the post-X state
+    np.testing.assert_allclose(
+        np.asarray(res_k3.expectation_values)[0], [1, -1, -1, -1, -1], atol=1e-10
+    )
+
+    # nonzero count without sample_layers is an explicit contract error
+    with pytest.raises(ValueError, match="sample_layers"):
+        DigitalSimParams(
+            observables=[Observable("z", 0)],
+            num_mid_measurements=2,
+        )
+
+
 def dense_noisy_oracle(circuit: Circuit, rho0, noise_procs, length):
     """Compose unitaries with per-2q-gate local Lindblad channels (dt=1),
     exactly the reference's semantics for single-gate layers."""

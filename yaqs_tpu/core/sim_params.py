@@ -408,10 +408,21 @@ class DigitalSimParams(_BaseSimParams):
             msg = "sample_layers=True requires observables to sample."
             raise ValueError(msg)
         self.sample_layers = bool(sample_layers)
-        # mid-circuit measurement columns are derived from circuit barriers
-        # (reference auto-count); the count is validated for API parity.
+        # Mid-circuit sampling columns: SAMPLE_OBSERVABLES barriers in the
+        # circuit are the source of truth (reference auto-count,
+        # simulator.py:892-899).  A nonzero count must agree with the
+        # circuit's barriers at run time, or — when the circuit has none —
+        # schedules that many evenly spaced sampling columns
+        # (digital/engine._apply_mid_measurement_count).
         if isinstance(num_mid_measurements, bool) or int(num_mid_measurements) < 0:
             msg = f"num_mid_measurements must be a nonnegative int, got {num_mid_measurements!r}"
+            raise ValueError(msg)
+        if int(num_mid_measurements) and not self.sample_layers:
+            msg = (
+                "num_mid_measurements > 0 requires sample_layers=True "
+                "(mid-circuit sampling columns only exist on the "
+                "sample-layers path)"
+            )
             raise ValueError(msg)
         self.num_mid_measurements = int(num_mid_measurements)
         self.get_state = bool(get_state)

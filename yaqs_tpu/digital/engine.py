@@ -20,6 +20,7 @@ difference.
 
 from __future__ import annotations
 
+from collections import Counter
 from functools import partial
 
 import jax
@@ -35,7 +36,7 @@ from ..methods.stochastic import channel_weights
 from ..methods.tdvp import TDVPConfig, sweep_2site
 from ..ops.decomp import merge_two_site, split_two_site_truncated
 from ..utils.host import fetch, to_device
-from .circuit import load_circuit
+from .circuit import Circuit, load_circuit
 from .compile import CompiledSegment, GateStage, compile_circuit
 
 __all__ = ["run_digital", "apply_segment", "sample_bitstrings"]
@@ -591,9 +592,61 @@ def counts_from_samples(samples: np.ndarray, d: int = 2) -> dict[int, int]:
 # ---------------------------------------------------------------------------
 
 
+def _is_sample_barrier(op) -> bool:
+    return (
+        op.name == "barrier"
+        and op.label is not None
+        and str(op.label).upper() == "SAMPLE_OBSERVABLES"
+    )
+
+
+def _apply_mid_measurement_count(circ, sim_params):
+    """Honor ``DigitalSimParams.num_mid_measurements``.
+
+    The circuit's SAMPLE_OBSERVABLES barriers are the source of truth for
+    mid-circuit sampling columns (reference simulator.py:892-899 recounts
+    them and overwrites the user value).  A nonzero count therefore must
+    AGREE with the circuit's barriers; when the circuit defines none, the
+    count schedules that many sampling points evenly spaced over the gate
+    list (a count-driven convenience the reference's buffer-size parameter
+    implies but never wires; silently ignoring it would be a contract trap).
+    """
+    k = int(getattr(sim_params, "num_mid_measurements", 0) or 0)
+    if k == 0:
+        return circ
+    existing = sum(1 for op in circ.ops if _is_sample_barrier(op))
+    if existing:
+        if existing != k:
+            msg = (
+                f"circuit defines {existing} SAMPLE_OBSERVABLES barriers but "
+                f"num_mid_measurements={k}; drop the argument or make them "
+                "agree"
+            )
+            raise ValueError(msg)
+        return circ
+    gate_idx = [i for i, op in enumerate(circ.ops) if op.name not in {"barrier", "measure"}]
+    n = len(gate_idx)
+    if n == 0:
+        msg = f"num_mid_measurements={k} but the circuit has no gates to split"
+        raise ValueError(msg)
+    # cut after ceil(j*n/(k+1)) gates, j = 1..k; duplicate cut points (k >= n)
+    # insert adjacent barriers, whose empty segments legally sample the same
+    # state twice — the column count always comes out to exactly k
+    cuts = Counter(
+        gate_idx[min(n, -(-j * n // (k + 1))) - 1] for j in range(1, k + 1)
+    )
+    out = Circuit(circ.num_qubits)
+    out.measured_qubits = list(circ.measured_qubits)
+    for i, op in enumerate(circ.ops):
+        out.ops.append(op)
+        for _ in range(cuts.get(i, 0)):
+            out.sample_observables()
+    return out
+
+
 def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> Result:
     """Execute a digital run (called from Simulator._run_digital)."""
-    circ = load_circuit(circuit)
+    circ = _apply_mid_measurement_count(load_circuit(circuit), sim_params)
     length = circ.num_qubits
     if initial_state.length != length:
         msg = f"state has {initial_state.length} sites but circuit {length} qubits"
