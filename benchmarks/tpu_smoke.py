@@ -137,6 +137,35 @@ def main() -> None:
         assert np.all(np.isfinite(np.asarray(res.expectation_values)))
         assert res.multi_time_correlators is not None
 
+    def ensemble_multitime_2site():
+        # two-site B path: host-side apply_local + capped compress (_make_phi)
+        # plus the k-site A operator-Schmidt branch — both are host-boundary
+        # code the single-site case never touches
+        res = Simulator().run(
+            [State(L, state="x+")], ham,
+            AnalogSimParams(
+                observables=zobs, elapsed_time=0.2, dt=0.1, max_bond_dim=8,
+                multi_time_observables=[
+                    (Observable("zz", [0, 1]), Observable("zz", [2, 3]))
+                ],
+            ),
+            None,
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+        assert res.multi_time_correlators is not None
+
+    def ensemble_bug_mode():
+        # evolution_mode='bug' threaded through the unitary-ensemble path
+        res = Simulator().run(
+            [State(L, state="x+"), State(L, state="Neel")], ham,
+            AnalogSimParams(
+                observables=zobs, elapsed_time=0.2, dt=0.1, max_bond_dim=8,
+                evolution_mode="bug",
+            ),
+            None,
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+
     def digital():
         qasm = (
             'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[4];\ncreg c[4];\n'
@@ -291,6 +320,8 @@ def main() -> None:
     check("MCWF (vector)", mcwf)
     check("Lindblad (density matrix)", lindblad)
     check("unitary ensemble + multi-time", ensemble_multitime)
+    check("ensemble multi-time two-site B", ensemble_multitime_2site)
+    check("ensemble evolution_mode=bug", ensemble_bug_mode)
     check("digital TEBD + shots + noise", digital)
     check("digital gate modes (swaps/mpo/tdvp, 3q)", digital_gate_modes)
     check("equivalence checker", equivalence)

@@ -382,7 +382,9 @@ class MPS:
             # reorder so i < j; swap the operator's qubit significance
             op4 = op4.reshape(d, d, d, d).transpose(1, 0, 3, 2).reshape(d * d, d * d)
             i, j = j, i
-        self.pad_bond_dimension(2 * self.chi)
+        # the merged bond's exact rank can reach d*chi (2*chi only for
+        # qubits) — pad to d*chi so the split below stays exact for qudits
+        self.pad_bond_dimension(self.d * self.chi)
         t = self._j()
         chi = t.shape[-1]
 

@@ -13,6 +13,7 @@ reference's process pool.
 
 from __future__ import annotations
 
+import logging
 import time
 import warnings
 
@@ -49,6 +50,8 @@ from .utils.host import fetch, to_device
 from .parallel.runtime import ExecutionConfig, run_ensemble
 
 __all__ = ["Simulator"]
+
+logger = logging.getLogger(__name__)
 
 _DISORDER_TAG = 7791
 _DEFAULT_CHI_CAP = 256
@@ -776,6 +779,17 @@ class Simulator:
         # jit + real/imag fetch: eager complex compute and complex
         # device->host transfer are both unsupported on the tunneled TPU
         prepare_phi_j = jax.jit(prepare_phi)
+        # traced once per run (chi is fixed); creating the jit inside
+        # _make_phi would discard its cache and retrace per member x pair
+        from .core import mps_ops as _mps_ops
+
+        squeeze_j = jax.jit(
+            lambda t: (
+                _mps_ops.compress(t, threshold=0.0, max_bond_dim=chi, chi_out=chi),
+                _mps_ops.norm_squared(t),
+            )
+        )
+        norm2_j = jax.jit(_mps_ops.norm_squared)
 
         def _make_phi(member: np.ndarray, b_mat, b_sites: list[int]) -> np.ndarray:
             if len(b_sites) == 1:
@@ -786,18 +800,25 @@ class Simulator:
                         b_sites[0],
                     )
                 )
-            # two-site B: exact host-side application (MPS.apply_local is
-            # norm-preserving; compress back to the run's padded chi —
-            # reference ensemble applies B via apply_local, ensemble.py:85-99)
+            # two-site B: exact host-side application, then compress back to
+            # the run's padded chi (reference ensemble applies B via
+            # apply_local, ensemble.py:85-99, with no bond cap; here phi is
+            # capped at the run chi, so warn if the cap discards weight)
             from .core.mps import MPS as _MPS
-            from .core import mps_ops as _mps_ops
 
             m = _MPS(tensors=np.array(member, copy=True))
             m.apply_local(np.asarray(b_mat, dtype=np.complex128), tuple(b_sites))
-            squeeze = jax.jit(
-                lambda t: _mps_ops.compress(t, threshold=0.0, max_bond_dim=chi, chi_out=chi)
-            )
-            return fetch(squeeze(to_device(np.asarray(m.tensors))))
+            phi, before2 = squeeze_j(to_device(np.asarray(m.tensors)))
+            kept = float(fetch(norm2_j(phi)).real) / max(float(fetch(before2).real), 1e-300)
+            if kept < 1.0 - 1e-9:
+                logger.warning(
+                    "two-site B|psi> exceeded the run bond dimension chi=%d; "
+                    "compressing discarded %.3e of the correlator weight "
+                    "(raise max_bond_dim to keep B exact)",
+                    chi,
+                    1.0 - kept,
+                )
+            return fetch(phi)
 
         phis = []
         for member in members:
