@@ -31,6 +31,10 @@ _left_envs_j = jax.jit(mps_ops.left_gram_environments)
 _site_expectation_j = jax.jit(mps_ops.site_expectation)
 _apply_one_j = jax.jit(mps_ops.apply_one_site_operator)
 _bond_entropies_j = jax.jit(mps_ops.bond_entropies)
+# one-site basis rotation on every physical leg (global-basis measurement)
+_rotate_all_j = jax.jit(
+    lambda t, u: jnp.einsum("ab,lbij->laij", u.astype(t.dtype), t)
+)
 
 
 class MPS:
@@ -45,6 +49,7 @@ class MPS:
         physical_dimensions: int | list[int] | None = None,
         pad: int | None = None,
         basis_string: str | None = None,
+        rng: np.random.Generator | None = None,
     ) -> None:
         """Build from a preset name or explicit tensors.
 
@@ -87,7 +92,7 @@ class MPS:
             if basis_string is not None and state == "zeros":
                 state = "basis"  # a basis string implies the basis preset
             self.tensors = mps_ops.named_product_state(
-                state, length, chi, d, basis_string=basis_string
+                state, length, chi, d, basis_string=basis_string, rng=rng
             )
         self.length = int(length)
         self.physical_dimensions = (
@@ -181,18 +186,43 @@ class MPS:
         ket = self.copy().apply_local(op, site)
         return bra.scalar_product(ket)
 
-    def measure_shots(self, shots: int, seed: int | None = None) -> dict[int, int]:
-        """Z-basis projective sampling; returns basis-state counts
-        (site 0 least significant)."""
+    def measure_shots(
+        self, shots: int, seed: int | None = None, basis: str = "Z"
+    ) -> dict[int, int]:
+        """Projective sampling in a global X/Y/Z basis; returns basis-state
+        counts (site 0 least significant).  Reference MPS.measure_shots
+        (mps.py:1347-1413): rotate every site into the measurement basis,
+        then Z-sample."""
         from ..digital.engine import counts_from_samples, sample_bitstrings
 
         canon, _ = _normalize_j(self._j())
+        u = self._measurement_rotation(basis)
+        if u is not None:
+            canon = _rotate_all_j(canon, to_device(u))
         key = jax.random.PRNGKey(0 if seed is None else seed)
         samples = np.asarray(sample_bitstrings(canon, key, shots))
         return counts_from_samples(samples, self.d)
 
-    def measure_single_shot(self, seed: int | None = None) -> int:
-        return next(iter(self.measure_shots(1, seed=seed)))
+    def measure_single_shot(
+        self, seed: int | None = None, basis: str = "Z"
+    ) -> int:
+        return next(iter(self.measure_shots(1, seed=seed, basis=basis)))
+
+    def _measurement_rotation(self, basis: str) -> np.ndarray | None:
+        """Map a basis name to the bra-row rotation (|b_k> -> |k>); None
+        means the computational basis (no rotation needed)."""
+        basis = str(basis).upper()
+        if basis == "Z":
+            return None
+        if basis not in ("X", "Y"):
+            msg = f"Invalid basis {basis!r}; use X, Y, or Z."
+            raise ValueError(msg)
+        if self.d != 2:
+            msg = "X/Y measurements require qubits"
+            raise ValueError(msg)
+        if basis == "X":
+            return np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)
+        return np.array([[1, -1j], [1, 1j]], dtype=np.complex128) / np.sqrt(2)
 
     def measure(self, site: int, basis: str = "Z", rng=None) -> int:
         """In-place projective measurement of one site (reference MPS.measure,
@@ -201,20 +231,8 @@ class MPS:
         if site < 0 or site >= self.length:
             msg = f"Invalid site {site} for MPS of length {self.length}."
             raise ValueError(msg)
-        basis = basis.upper()
-        if basis == "Z":
-            u = np.eye(self.d, dtype=np.complex128)
-        elif basis == "X":
-            u = np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)
-        elif basis == "Y":
-            u = np.array([[1, -1j], [1, 1j]], dtype=np.complex128) / np.sqrt(2)
-        else:
-            msg = f"Invalid basis {basis!r}; use X, Y, or Z."
-            raise ValueError(msg)
-        if basis != "Z":
-            if self.d != 2:
-                msg = "X/Y measurements require qubits"
-                raise ValueError(msg)
+        u = self._measurement_rotation(basis)
+        if u is not None:
             # rows of u are the measurement-basis bras <b_k|, so applying u
             # maps |b_k> -> |k>: measurement basis -> computational
             self.apply_local(u, site)
@@ -237,7 +255,7 @@ class MPS:
         out = _apply_one_j(canon, to_device(proj), site)
         out, _ = _normalize_j(out)
         self.tensors = fetch(out)
-        if basis != "Z":
+        if u is not None:
             self.apply_local(u.conj().T, site)  # rotate back
         return outcome
 
