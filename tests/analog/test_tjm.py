@@ -4,6 +4,8 @@ cross-backend validation pattern, tests/analog/test_analog_tjm.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import scipy.linalg
 import jax
@@ -232,6 +234,7 @@ def test_two_site_nonpauli_noise_vs_lindblad():
     assert np.all(diff < 5 * stderr + 0.03), (diff.max(), stderr.max())
 
 
+@pytest.mark.slow
 def test_chunked_dispatch_matches_monolithic():
     # the make_order2_chunked start/chunk composition must reproduce the
     # monolithic tjm_trajectory scan exactly (chunking exists to keep TPU

@@ -3,6 +3,8 @@ response diagnostics."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import scipy.linalg
 
@@ -234,6 +236,7 @@ def test_mps_backend_matches_exact_noiseless():
     np.testing.assert_allclose(mps, exact, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_mps_backend_noisy_matches_lindblad():
     """Trajectory-averaged noisy sequences agree with the exact Lindblad
     backend within Monte-Carlo error."""

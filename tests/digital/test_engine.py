@@ -4,6 +4,8 @@ channel-composition oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import scipy.linalg
 import jax
@@ -392,6 +394,7 @@ def test_noisy_digital_two_site_channel_vs_oracle():
     assert np.all(diff < 5 * stderr + 0.03), (diff, stderr, exact)
 
 
+@pytest.mark.slow
 def test_half_layer_one_pass_jump_deviation_is_second_order():
     """Quantify the engine's documented deviation from the reference: all of a
     half-layer's per-gate jumps are drawn from ONE moment pass, while the

@@ -218,6 +218,7 @@ def test_window_tdvp_rzz_local_z_exact():
         )
 
 
+@pytest.mark.slow
 def test_window_tdvp_converges_with_sweeps():
     """The gate-time splitting error of the window-TDVP route shrinks as
     tdvp_sweeps subdivides the unit gate time (reference tdvp.py:24-67)."""

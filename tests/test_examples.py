@@ -7,6 +7,8 @@ import runpy
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 EXAMPLES = sorted(
     (pathlib.Path(__file__).parent.parent / "docs" / "examples").glob("*.py")
 )

@@ -70,6 +70,7 @@ def test_cross_backend_agreement():
         assert np.all(np.abs(vals - exact) < tol), (rep, np.abs(vals - exact).max())
 
 
+@pytest.mark.slow
 def test_parallel_serial_equivalence():
     """Same seeded ensemble with parallel=True/False must be identical —
     fold_in key streams are device-layout independent (reference

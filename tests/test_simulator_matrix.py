@@ -9,6 +9,8 @@ test_simulator_scale.py.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import scipy.linalg
 
@@ -93,6 +95,7 @@ def test_noiseless_orders_agree_with_dense():
         np.testing.assert_allclose(res.expectation_values, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sample_timesteps_false_matches_final_sampled_column():
     """sample_timesteps=False must return exactly the final column of the
     sampled run with the same seed: the trajectory stream and the final
@@ -155,6 +158,7 @@ def test_bug_mode_through_facade_matches_dense():
     np.testing.assert_allclose(res.expectation_values, want, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_order1_order2_noisy_seeded_reproducibility():
     """Identical seeds give identical ensembles for each order (regression for
     the fold_in stream hierarchy through the facade)."""

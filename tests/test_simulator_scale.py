@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import scipy.linalg
 
 from yaqs_tpu import (

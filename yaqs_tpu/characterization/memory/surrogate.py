@@ -90,9 +90,9 @@ if HAS_FLAX:
             h = h + jnp.asarray(pe)[None]
             mask = jnp.tril(jnp.ones((k, k), dtype=bool))
             for _ in range(self.n_layers):
-                attn = nn.SelfAttention(num_heads=self.n_heads, qkv_features=self.d_model)(
-                    h, mask=mask[None, None]
-                )
+                attn = nn.MultiHeadDotProductAttention(
+                    num_heads=self.n_heads, qkv_features=self.d_model
+                )(h, mask=mask[None, None])
                 h = nn.LayerNorm()(h + attn)
                 ff = nn.Dense(4 * self.d_model)(h)
                 ff = nn.gelu(ff)
