@@ -1,0 +1,169 @@
+"""Noisy-ensemble cross-precision accuracy study (VERDICT r2 #9).
+
+The per-trajectory accuracy study (accuracy_study.py) is noiseless by design:
+with noise, jump decisions flip between matmul precisions (dp per step is
+O(1)), so raw trajectory diffs measure divergence, not accuracy.  What users
+actually consume is the ENSEMBLE MEAN, and that is well-defined across
+precisions: flipped trajectories are resampled from (approximately) the same
+jump distribution, so the means must agree within Monte-Carlo error.
+
+This script runs the bench workload (TFIM L=100, chi=64, 10 steps, order 2,
+z+lowering noise at 0.05, krylov k=4, TPU fast path) twice with identical
+trajectory seeds — once at matmul precision "high" (bench default) and once
+at "highest" — in separate subprocesses (the precision is process-global and
+a failed TPU dispatch wedges the process), then reports:
+
+  * max over (site, t>0) of |mean_high - mean_highest|
+  * the PAIRED stderr of that difference (same seeds => common-random-number
+    variance reduction; trajectories whose jump decisions never flip cancel
+    exactly, flipped ones contribute their full excursion)
+  * the unpaired ensemble stderr, for scale
+
+Pass/fail contract: the mean difference must be within 3 paired stderr +
+1e-3 everywhere.  Writes one JSON line; run on an otherwise-idle host.
+
+Env: PSTUDY_TRAJ (default 1024), PSTUDY_L (default 100), PSTUDY_BATCH (32),
+BENCH_CPU=1 for a small CPU smoke.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+
+
+def child(prec: str, out_path: str) -> None:
+    if os.environ.get("BENCH_CPU") == "1":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    jax.config.update("jax_default_matmul_precision", prec)
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ROOT)
+    from yaqs_tpu.analog.tjm import (
+        TrajectoryPlan,
+        sample_key,
+        tjm_trajectory,
+        trajectory_key,
+    )
+    from yaqs_tpu.core import mps_ops
+    from yaqs_tpu.core.mpo_builders import ising_mpo
+    from yaqs_tpu.core.noise_model import NoiseModel, compile_noise
+    from yaqs_tpu.core.observables import compile_observables
+    from yaqs_tpu.core.sim_params import Observable
+    from yaqs_tpu.methods.tdvp import TDVPConfig
+
+    cpu = os.environ.get("BENCH_CPU") == "1"
+    L = int(os.environ.get("PSTUDY_L", 10 if cpu else 100))
+    chi = int(os.environ.get("PSTUDY_CHI", 16 if cpu else 64))
+    n_traj = int(os.environ.get("PSTUDY_TRAJ", 64 if cpu else 1024))
+    batch = int(os.environ.get("PSTUDY_BATCH", 32))
+    cdtype = np.complex128 if cpu and jax.config.read("jax_enable_x64") else np.complex64
+
+    w = ising_mpo(L, 1.0, 0.5).astype(cdtype)
+    t0 = mps_ops.named_product_state("x+", L, chi).astype(cdtype)
+    nm = NoiseModel(
+        [{"name": "z", "sites": [i], "strength": 0.05} for i in range(L)]
+        + [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(L)]
+    )
+    noise = jax.tree.map(
+        lambda x: x.astype(cdtype) if np.iscomplexobj(x) else x,
+        compile_noise(nm, L, 2),
+    )
+    observables = jax.tree.map(
+        lambda x: x.astype(cdtype) if np.iscomplexobj(x) else x,
+        compile_observables([Observable("z", i) for i in range(L)], L, 2),
+    )
+    plan = TrajectoryPlan(
+        dt=0.1,
+        num_steps=10,
+        order=2,
+        sample_timesteps=True,
+        evolution=TDVPConfig(
+            krylov_dim=4,
+            trunc_mode="discarded_weight",
+            threshold=1e-6,
+            max_bond_dim=chi,
+            svd_method="subspace",
+            subspace_iters=1,
+            lanczos_reorth=False,
+            subspace_qr="newton",
+            canon_method="newton",
+        ),
+    )
+    base = jax.random.PRNGKey(0)
+
+    def one(tk, sk):
+        res, _, _ = tjm_trajectory(tk, sk, t0, w, noise, observables, plan)
+        return res  # (L, T) real
+
+    batched = jax.jit(jax.vmap(one))
+    chunks = []
+    for start in range(0, n_traj, batch):
+        idx = jnp.arange(start, start + batch)
+        tks = jax.vmap(lambda i: trajectory_key(base, i))(idx)
+        sks = jax.vmap(lambda i: sample_key(base, i))(idx)
+        chunks.append(np.asarray(batched(tks, sks)))  # fetch = completion
+        print(f"  [{prec}] {start + batch}/{n_traj}", flush=True)
+    np.save(out_path, np.concatenate(chunks, axis=0).astype(np.float64))
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory() as td:
+        paths = {}
+        for prec in ("high", "highest"):
+            out = os.path.join(td, f"{prec}.npy")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child", prec, out],
+                env=os.environ,
+                timeout=float(os.environ.get("PSTUDY_TIMEOUT", 5400)),
+            )
+            if proc.returncode != 0:
+                print(json.dumps({"error": f"{prec} child failed"}))
+                sys.exit(1)
+            paths[prec] = out
+        hi = np.load(paths["high"])  # (N, L, T)
+        hx = np.load(paths["highest"])
+
+    n = hi.shape[0]
+    mean_hi, mean_hx = hi.mean(axis=0), hx.mean(axis=0)
+    diff = mean_hi - mean_hx  # (L, T); column 0 is the t=0 deterministic sample
+    paired_se = (hi - hx).std(axis=0, ddof=1) / np.sqrt(n)
+    ens_se = hi.std(axis=0, ddof=1) / np.sqrt(n)
+    flip_frac = float(
+        (np.abs(hi - hx).max(axis=(1, 2)) > 1e-3).mean()
+    )  # trajectories whose paths visibly diverged (jump decisions flipped)
+
+    body = np.abs(diff[:, 1:])
+    bound = 3.0 * paired_se[:, 1:] + 1e-3
+    record = {
+        "metric": "noisy-ensemble |mean(high) - mean(highest)| (TFIM bench shape)",
+        "num_traj": n,
+        "max_abs_mean_diff": round(float(body.max()), 6),
+        "max_paired_stderr": round(float(paired_se[:, 1:].max()), 6),
+        "median_paired_stderr": round(float(np.median(paired_se[:, 1:])), 6),
+        "median_ensemble_stderr": round(float(np.median(ens_se[:, 1:])), 6),
+        "flipped_trajectory_fraction": round(flip_frac, 4),
+        "within_3sigma_everywhere": bool((body <= bound).all()),
+        "t0_bitwise_max_diff": round(float(np.abs(diff[:, 0]).max()), 12),
+    }
+    print(json.dumps(record), flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], sys.argv[3])
+    else:
+        main()
