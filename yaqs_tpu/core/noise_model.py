@@ -649,6 +649,14 @@ def compile_noise(
     if model.has_distributions:
         msg = "compile_noise requires a sampled NoiseModel (call .sample() first)."
         raise ValueError(msg)
+    for proc in model.processes:
+        bad = [s for s in proc["sites"] if not 0 <= int(s) < length]
+        if bad:
+            msg = (
+                f"Noise process {proc['name']!r} acts on site(s) {bad} outside "
+                f"the {length}-site chain."
+            )
+            raise ValueError(msg)
 
     gens = np.zeros((length, d, d), dtype=dtype)
     gens2 = np.zeros((max(length - 1, 1), d * d, d * d), dtype=dtype)
@@ -665,7 +673,11 @@ def compile_noise(
         wop.append(np.asarray(w, dtype=dtype))
         gammas.append(float(gamma))
 
-    # channels in site-sweep order: all 1-site at s, then 2-site starting at s
+    # channels in site-sweep order: all 1-site at s, then 2-site starting at
+    # s — TWO passes per site, exactly the reference's
+    # create_probability_distribution grouping (stochastic_process.py:140-158),
+    # so interleaving 1- and 2-site processes in the user's list cannot
+    # reorder the channel table (tests/methods/test_stochastic_contracts.py)
     for site in range(length):
         for proc in model.processes:
             sites = proc["sites"]
@@ -676,7 +688,12 @@ def compile_noise(
                 m = proc["matrix"]
                 gens[site] += gamma * (m.conj().T @ m)
                 emit(site, site, m, eye, m.conj().T @ m, gamma)
-            elif len(sites) == 2 and sites[0] == site:
+        for proc in model.processes:
+            sites = proc["sites"]
+            gamma = float(proc["strength"])
+            if gamma == 0.0:
+                continue
+            if len(sites) == 2 and sites[0] == site:
                 s0, s1 = sites
                 if s1 - s0 > 1:
                     # long-range factored process: the factored jump path
