@@ -1,0 +1,276 @@
+"""OpenQASM parser battery: the hand-written QASM2/QASM3 front end.
+
+The reference delegates parsing to qiskit; this package ships its own parser
+(digital/circuit.py — no qiskit in the image), which makes the parser itself
+a first-class component needing reference-grade coverage (reference QASM
+round-trip tests: tests/test_equivalence_checker.py:234-252, 538-626).
+Oracles: hand-built Circuit objects compared gate-by-gate, and dense
+statevectors via test_engine.run_dense for end-to-end programs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from test_engine import run_dense
+
+from yaqs_tpu.digital.circuit import Circuit, load_circuit, parse_qasm2, parse_qasm3
+from yaqs_tpu.models.gates import gate_matrix
+
+HEADER = 'OPENQASM 2.0;\ninclude "qelib1.inc";\n'
+
+
+def _ops(c: Circuit):
+    return [(o.name, tuple(o.qubits), tuple(np.round(o.params, 12))) for o in c.ops]
+
+
+# -- registers and indexing ----------------------------------------------------
+
+
+def test_multiple_qregs_map_to_flat_offsets():
+    c = parse_qasm2(HEADER + "qreg a[2];\nqreg b[3];\ncx a[1],b[0];\nx b[2];")
+    assert c.num_qubits == 5
+    assert _ops(c) == [("cx", (1, 2), ()), ("x", (4,), ())]
+
+
+def test_unknown_register_raises():
+    with pytest.raises(ValueError, match="unknown qreg"):
+        parse_qasm2(HEADER + "qreg q[2];\nx r[0];")
+
+
+def test_out_of_line_register_use_before_declaration_ok():
+    """Registers are collected in a first pass, so a gate may textually
+    precede a later qreg (matches qiskit's two-pass tolerance)."""
+    c = parse_qasm2(HEADER + "qreg q[1];\nx q[0];\nqreg r[1];\ncx q[0],r[0];")
+    assert c.num_qubits == 2
+    assert _ops(c) == [("x", (0,), ()), ("cx", (0, 1), ())]
+
+
+def test_duplicate_qubits_in_gate_rejected():
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_qasm2(HEADER + "qreg q[2];\ncx q[0],q[0];")
+
+
+# -- broadcast ------------------------------------------------------------------
+
+
+def test_whole_register_broadcast_1q():
+    c = parse_qasm2(HEADER + "qreg q[3];\nh q;")
+    assert _ops(c) == [("h", (0,), ()), ("h", (1,), ()), ("h", (2,), ())]
+
+
+def test_register_register_broadcast_elementwise():
+    c = parse_qasm2(HEADER + "qreg q[2];\nqreg r[2];\ncx q,r;")
+    assert _ops(c) == [("cx", (0, 2), ()), ("cx", (1, 3), ())]
+
+
+def test_scalar_register_broadcast_pins_scalar():
+    c = parse_qasm2(HEADER + "qreg q[1];\nqreg r[2];\ncx q[0],r;")
+    assert _ops(c) == [("cx", (0, 1), ()), ("cx", (0, 2), ())]
+
+
+def test_mismatched_broadcast_sizes_raise():
+    with pytest.raises(ValueError, match="mismatched register sizes"):
+        parse_qasm2(HEADER + "qreg q[2];\nqreg r[3];\ncx q,r;")
+
+
+# -- parameter expressions ------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("expr", "value"),
+    [
+        ("pi/2", np.pi / 2),
+        ("-pi/4", -np.pi / 4),
+        ("2*pi/3", 2 * np.pi / 3),
+        ("pi*0.25", np.pi * 0.25),
+        ("0.5e-1", 0.05),
+        ("(pi+pi)/4", np.pi / 2),
+        ("3.25", 3.25),
+    ],
+)
+def test_parameter_expressions(expr, value):
+    c = parse_qasm2(HEADER + f"qreg q[1];\nrz({expr}) q[0];")
+    assert _ops(c)[0][0] == "rz"
+    np.testing.assert_allclose(c.ops[0].params[0], value, atol=1e-12)
+
+
+def test_multi_parameter_gate():
+    c = parse_qasm2(HEADER + "qreg q[1];\nu3(pi/2,0,pi) q[0];")
+    got = c.ops[0].resolved_matrix()
+    h = gate_matrix("h", ())
+    phase = got[0, 0] / h[0, 0]
+    np.testing.assert_allclose(got, phase * h, atol=1e-12)
+
+
+# -- user gate definitions ------------------------------------------------------
+
+
+def test_gate_definition_with_params_and_nesting():
+    src = HEADER + (
+        "qreg q[2];\n"
+        "gate mine(t) a { rz(t) a; h a; }\n"
+        "gate outer(t) a, b { mine(t/2) a; cx a, b; mine(-t) b; }\n"
+        "outer(pi/3) q[0], q[1];"
+    )
+    c = parse_qasm2(src)
+    assert _ops(c) == [
+        ("rz", (0,), (round(np.pi / 6, 12),)),
+        ("h", (0,), ()),
+        ("cx", (0, 1), ()),
+        ("rz", (1,), (round(-np.pi / 3, 12),)),
+        ("h", (1,), ()),
+    ]
+
+
+def test_gate_definition_arity_mismatch_raises():
+    src = HEADER + "qreg q[2];\ngate mine a { h a; }\nmine q[0], q[1];"
+    with pytest.raises(ValueError, match="arity"):
+        parse_qasm2(src)
+
+
+def test_gate_body_barrier_is_ignored():
+    src = HEADER + "qreg q[1];\ngate mine a { h a; barrier a; h a; }\nmine q[0];"
+    c = parse_qasm2(src)
+    assert _ops(c) == [("h", (0,), ()), ("h", (0,), ())]
+
+
+def test_custom_vs_expanded_statevector_equivalence():
+    """A program through a user gate equals its hand-expanded circuit on a
+    dense statevector (reference issue-regression pattern)."""
+    src = HEADER + (
+        "qreg q[3];\n"
+        "gate entangle(t) a, b { h a; cx a, b; rz(t) b; }\n"
+        "entangle(0.7) q[0], q[2];\n"
+        "entangle(-0.3) q[1], q[0];"
+    )
+    parsed = parse_qasm2(src)
+    manual = Circuit(3)
+    manual.h(0); manual.cx(0, 2); manual.rz(2, params=(0.7,))
+    manual.h(1); manual.cx(1, 0); manual.rz(0, params=(-0.3,))
+    psi0 = np.zeros(8, dtype=complex); psi0[0] = 1.0
+    np.testing.assert_allclose(
+        run_dense(parsed, psi0), run_dense(manual, psi0), atol=1e-12
+    )
+
+
+# -- measure / barrier / unsupported -------------------------------------------
+
+
+def test_measure_all_and_single():
+    c = parse_qasm2(HEADER + "qreg q[3];\ncreg c[3];\nh q[0];\nmeasure q -> c;")
+    assert c.measured_qubits == [0, 1, 2]
+    c2 = parse_qasm2(HEADER + "qreg q[3];\ncreg c[1];\nmeasure q[1] -> c[0];")
+    assert c2.measured_qubits == [1]
+
+
+def test_barrier_recorded_not_gated():
+    c = parse_qasm2(HEADER + "qreg q[2];\nh q[0];\nbarrier q;\nh q[1];")
+    assert [o.name for o in c.ops] == ["h", "barrier", "h"]
+
+
+@pytest.mark.parametrize("stmt", ["reset q[0];", "if(c==1) x q[0];", "opaque g q;"])
+def test_non_unitary_statements_rejected(stmt):
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        parse_qasm2(HEADER + "qreg q[1];\ncreg c[1];\n" + stmt)
+
+
+def test_unknown_gate_raises():
+    with pytest.raises(ValueError, match="unknown gate"):
+        parse_qasm2(HEADER + "qreg q[1];\nfrobnicate q[0];")
+
+
+def test_comments_stripped_everywhere():
+    src = (
+        "// leading comment\n" + HEADER
+        + "qreg q[1]; // trailing\n// full line\nx q[0];"
+    )
+    assert _ops(parse_qasm2(src)) == [("x", (0,), ())]
+
+
+# -- gate alias semantics --------------------------------------------------------
+
+
+def test_cu1_is_controlled_phase():
+    c = parse_qasm2(HEADER + "qreg q[2];\ncu1(0.9) q[0],q[1];")
+    want = np.diag([1, 1, 1, np.exp(0.9j)])
+    np.testing.assert_allclose(c.ops[0].resolved_matrix(), want, atol=1e-12)
+
+
+def test_p_u1_phase_aliases_agree():
+    mats = []
+    for name in ("p", "u1", "phase"):
+        c = parse_qasm2(HEADER + f"qreg q[1];\n{name}(0.4) q[0];")
+        mats.append(c.ops[0].resolved_matrix())
+    np.testing.assert_allclose(mats[0], mats[1], atol=1e-14)
+    np.testing.assert_allclose(mats[0], mats[2], atol=1e-14)
+
+
+def test_case_insensitive_gate_names():
+    c = parse_qasm2(HEADER + "qreg q[1];\nH q[0];\nX q[0];")
+    assert [o.name for o in c.ops] == ["h", "x"]
+
+
+# -- QASM 3 subset ---------------------------------------------------------------
+
+
+def test_qasm3_declarations_and_measure():
+    src = (
+        "OPENQASM 3.0;\n"
+        "qubit[3] q;\n"
+        "bit[3] c;\n"
+        "h q[0];\n"
+        "cx q[0], q[1];\n"
+        "c = measure q;\n"
+    )
+    c = parse_qasm3(src)
+    assert c.num_qubits == 3
+    assert [o.name for o in c.ops if o.name != "measure"][:2] == ["h", "cx"]
+    assert c.measured_qubits == [0, 1, 2]
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    ["for int i in [0:2] { x q[0]; }", "while (true) { x q[0]; }",
+     "if (c[0]) { x q[0]; }", "def f() { }", "reset q[0];"],
+)
+def test_qasm3_unsupported_constructs_rejected(stmt):
+    src = "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\n" + stmt
+    with pytest.raises((NotImplementedError, ValueError)):
+        parse_qasm3(src)
+
+
+def test_load_circuit_dispatch_and_passthrough():
+    q2 = HEADER + "qreg q[1];\nx q[0];"
+    q3 = "OPENQASM 3.0;\nqubit[1] q;\nx q[0];"
+    assert _ops(load_circuit(q2)) == [("x", (0,), ())]
+    assert _ops(load_circuit(q3)) == [("x", (0,), ())]
+    circ = Circuit(2).h(0)
+    assert load_circuit(circ) is circ
+
+
+def test_qasm2_end_to_end_statevector():
+    """A representative program (superposition, entanglement, rotations,
+    broadcast, user gate) against the dense oracle built by hand."""
+    src = HEADER + (
+        "qreg q[4];\n"
+        "gate prep a { h a; t a; }\n"
+        "prep q[0];\n"
+        "h q;\n"
+        "cx q[0],q[3];\n"
+        "rzz(0.5) q[1],q[2];\n"
+        "u3(0.3,0.2,0.1) q[2];\n"
+    )
+    parsed = parse_qasm2(src)
+    manual = Circuit(4)
+    manual.h(0); manual.t(0)
+    for i in range(4):
+        manual.h(i)
+    manual.cx(0, 3)
+    manual.append("rzz", (1, 2), params=(0.5,))
+    manual.append("u", (2,), params=(0.3, 0.2, 0.1))
+    psi0 = np.zeros(16, dtype=complex); psi0[0] = 1.0
+    np.testing.assert_allclose(
+        run_dense(parsed, psi0), run_dense(manual, psi0), atol=1e-12
+    )

@@ -204,9 +204,29 @@ def _split_statements(text: str) -> list[str]:
     return stmts
 
 
+# params may nest parentheses (e.g. ``rz((pi+pi)/4)``): capture greedily up to
+# the last ``)`` before the qubit list, which itself never contains parens
 _APP_RE = re.compile(
-    r"^([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\(([^)]*)\))?\s+(.+)$"
+    r"^([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\((.*)\))?\s*([^()]+)$"
 )
+
+
+def _split_params(expr: str) -> list[str]:
+    """Split a parameter list on top-level commas only."""
+    parts, depth, cur = [], 0, []
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
 
 
 def parse_qasm2(text: str) -> Circuit:
@@ -254,15 +274,15 @@ def parse_qasm2(text: str) -> Circuit:
             bind_p = dict(zip(gd.params, params))
             bind_q = dict(zip(gd.qubits, qubits))
             for stmt in gd.body:
+                if stmt.startswith("barrier"):
+                    continue
                 m = _APP_RE.match(stmt)
                 if not m:
-                    if stmt.startswith("barrier"):
-                        continue
                     msg = f"cannot parse gate-body statement {stmt!r}"
                     raise ValueError(msg)
                 sub_name, sub_params_s, sub_qs = m.group(1), m.group(2), m.group(3)
                 sub_params = (
-                    [_eval_expr(e, bind_p) for e in sub_params_s.split(",")]
+                    [_eval_expr(e, bind_p) for e in _split_params(sub_params_s)]
                     if sub_params_s
                     else []
                 )
@@ -324,7 +344,7 @@ def parse_qasm2(text: str) -> Circuit:
             msg = f"cannot parse statement {stmt!r}"
             raise ValueError(msg)
         name, params_s, qs = m.group(1), m.group(2), m.group(3)
-        params = [_eval_expr(e, {}) for e in params_s.split(",")] if params_s else []
+        params = [_eval_expr(e, {}) for e in _split_params(params_s)] if params_s else []
         groups = resolve_qubits(qs)
         # broadcast whole-register application
         sizes = {len(g) for g in groups if len(g) > 1}
