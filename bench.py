@@ -125,9 +125,26 @@ def digital_bench() -> dict:
         t0 = time.perf_counter()
         res = sim.run(State(n), circ, params, noise)
         walls.append(time.perf_counter() - t0)
-        if len(walls) >= 3 and abs(walls[-1] - walls[-2]) <= 0.1 * walls[-2]:
+        print(f"  digital rep {len(walls)}: {walls[-1]:.2f}s", file=sys.stderr, flush=True)
+        # converged = two consecutive reps agree AND the last rep is no longer
+        # improving on the best seen (early reps can plateau slow before the
+        # per-shape jit caches finish filling — r2's 20.6 vs 41-45 artifact)
+        if (
+            len(walls) >= 4
+            and abs(walls[-1] - walls[-2]) <= 0.1 * walls[-2]
+            and walls[-1] <= 1.1 * min(walls)
+        ):
             break
-    wall = min(walls[-2:])
+        # the tunnel degrades progressively under sustained dispatch load
+        # (observed 12s -> 108s over 10 reps); once two reps in a row read
+        # >2x the best, steady state has been seen — stop wasting wall time
+        if (
+            len(walls) >= 5
+            and walls[-1] > 2.0 * min(walls)
+            and walls[-2] > 2.0 * min(walls)
+        ):
+            break
+    wall = min(walls)
     assert res is not None and res.counts, "digital bench produced no shot counts"
     return {
         "digital_metric": (
