@@ -24,7 +24,7 @@ from yaqs_tpu.models.circuits import create_qft_circuit, create_transpiled_qft_c
 
 def main() -> None:
     n = int(os.environ.get("N_QUBITS", 20))
-    chi = int(os.environ.get("CHI", 64))
+    chi = int(os.environ.get("CHI", 32))  # BASELINE/round-2 artifact point
     swaps = os.environ.get("QFT_SWAPS", "1") == "1"
     t0 = time.perf_counter()
     res = EquivalenceChecker().check(
