@@ -39,7 +39,14 @@ def to_device(x):
     if np.iscomplexobj(x):
         if _complexify is None:
             _complexify = jax.jit(jax.lax.complex)
-        return _complexify(np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag))
+        # np.ascontiguousarray promotes 0-d to 1-d — use asarray(order="C"),
+        # which keeps rank; cast the parts to the input's real dtype so a
+        # complex64 input stays complex64 under an x64-enabled config
+        rdt = x.real.dtype
+        return _complexify(
+            np.asarray(x.real, dtype=rdt, order="C"),
+            np.asarray(x.imag, dtype=rdt, order="C"),
+        )
     return jnp.asarray(x)
 
 
