@@ -291,35 +291,35 @@ class NoiseModel:
         processes: list[dict[str, Any]] | None = None,
         scheduled_jumps: list[dict[str, Any]] | None = None,
     ) -> None:
-        self.processes: list[dict[str, Any]] = []
-        self.scheduled_jumps: list[dict[str, Any]] = []
+        def _normalized(entries, label, normalize):
+            if entries is None:
+                return []
+            if not isinstance(entries, (list, tuple)):
+                _fail(TypeError, f"{label} must be a list or tuple of dictionaries.")
+            return [normalize(e) for e in entries]
 
-        if scheduled_jumps is not None:
-            if not isinstance(scheduled_jumps, (list, tuple)):
-                msg = "scheduled_jumps must be a list or tuple of dictionaries."
-                raise TypeError(msg)
-            self.scheduled_jumps = [
-                self._normalize_scheduled_jump(j) for j in scheduled_jumps
-            ]
-
-        if processes is not None:
-            if not isinstance(processes, (list, tuple)):
-                _fail(TypeError, "processes must be a list or tuple of dictionaries.")
-            self.processes = [self._normalize_process(p) for p in processes]
+        self.scheduled_jumps: list[dict[str, Any]] = _normalized(
+            scheduled_jumps, "scheduled_jumps", self._normalize_scheduled_jump
+        )
+        self.processes: list[dict[str, Any]] = _normalized(
+            processes, "processes", self._normalize_process
+        )
 
     # -- normalization -----------------------------------------------------
 
     @staticmethod
     def _normalize_scheduled_jump(jump: object) -> dict[str, Any]:
         original = _as_mapping(jump, "scheduled jump")
-        for key in ("time", "sites", "name"):
-            if key not in original:
-                msg = f"Each scheduled jump must have a '{key}' key."
-                raise ValueError(msg)
+        missing = [k for k in ("time", "sites", "name") if k not in original]
+        if missing:
+            _fail(ValueError, f"Each scheduled jump must have a {missing[0]!r} key.")
         jump_dict = dict(original)
         if "factors" in jump_dict:
-            msg = "Scheduled jumps do not accept 'factors'; use 'matrix' for custom operators."
-            raise ValueError(msg)
+            _fail(
+                ValueError,
+                "Scheduled jumps do not accept 'factors'; use 'matrix' for "
+                "custom operators.",
+            )
         jump_dict["name"] = _as_name(jump_dict["name"], "Scheduled jump")
         jump_dict["time"] = _as_real(jump_dict["time"], "Scheduled jump time")
         sites = _as_sites(jump_dict["sites"], "Scheduled jump")
