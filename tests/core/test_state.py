@@ -223,3 +223,26 @@ def test_qudit_zeros_vector():
     expected = np.zeros(9, dtype=complex)
     expected[0] = 1.0
     global_phase_allclose(psi, expected)
+
+
+def test_preset_draw_shared_across_representations():
+    """to_vector() must materialize (and cache) the SAME mps encoding the
+    engines consume — for shape-dependent preset draws (haar-random) the
+    vector, density-matrix, and MPS views are one state, not three draws."""
+    from yaqs_tpu.core import mps_ops
+
+    s = State(4, state="haar-random")
+    v = s.to_vector()
+    arr = np.asarray(s.ensure_encoded("mps").to_padded_mps(8))
+    v_mps = mps_ops.to_statevector_np(arr)
+    v_mps = v_mps / np.linalg.norm(v_mps)
+    np.testing.assert_allclose(abs(np.vdot(v, v_mps)), 1.0, atol=1e-10)
+    rho = s.to_density_matrix()
+    np.testing.assert_allclose(rho, np.outer(v, v.conj()), atol=1e-10)
+
+
+def test_to_vector_caches_tensors_for_engine_reuse():
+    s = State(3, state="haar-random")
+    assert s.tensors is None
+    _ = s.to_vector()
+    assert s.tensors is not None  # the engine will reuse this exact draw

@@ -198,19 +198,14 @@ class State:
         if self.density_matrix is not None:
             msg = "density_matrix states have no pure-state vector"
             raise ValueError(msg)
-        if self.tensors is not None:
-            import jax.numpy as jnp
-
-            chi = max(16, 2 ** (self.length // 2))
-            arr = self.to_padded_mps(min(chi, 256))
-            return mps_ops.to_statevector_np(arr)
-        import jax.numpy as jnp
-
-        chi = 1 if self.state not in {"haar-random"} else min(2 ** (self.length // 2), 64)
-        tensors = mps_ops.named_product_state(
-            self.state, self.length, chi, self.d, basis_string=self.basis_string
-        )
-        psi = mps_ops.to_statevector_np(tensors)
+        if self.tensors is None:
+            # materialize (and cache) the SAME mps encoding the engines use:
+            # a preset whose draw depends on the padding shape (haar-random)
+            # must give every representation the identical state
+            self.ensure_encoded("mps")
+        chi = max(16, 2 ** (self.length // 2))
+        arr = self.to_padded_mps(min(chi, 256))
+        psi = mps_ops.to_statevector_np(arr)
         return psi / np.linalg.norm(psi)
 
     def to_density_matrix(self) -> np.ndarray:
