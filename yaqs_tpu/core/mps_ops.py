@@ -34,6 +34,7 @@ __all__ = [
     "norm_squared",
     "scalar_product",
     "canonicalize_right",
+    "zero_boundary_pads",
     "shift_center_right",
     "normalize_canonical",
     "left_gram_environments",
@@ -235,7 +236,7 @@ def canonicalize_right(tensors: jnp.ndarray, method: str = "qr") -> jnp.ndarray:
     """
     length, d, chi, _ = tensors.shape
     if length == 1:
-        return tensors
+        return zero_boundary_pads(tensors)
 
     if method == "newton":
         from ..ops.decomp import newton_schulz_orthogonalize
@@ -270,7 +271,30 @@ def canonicalize_right(tensors: jnp.ndarray, method: str = "qr") -> jnp.ndarray:
     c, bs_rev = jax.lax.scan(step, c0, jnp.flip(tensors[1:], axis=0))
     bs = jnp.flip(bs_rev, axis=0)
     a0 = jnp.einsum("slr,rm->slm", tensors[0], c)
-    return jnp.concatenate([a0[None], bs], axis=0)
+    return zero_boundary_pads(jnp.concatenate([a0[None], bs], axis=0))
+
+
+def zero_boundary_pads(tensors: jnp.ndarray) -> jnp.ndarray:
+    """Zero the contraction-unreachable boundary-pad entries.
+
+    The padded layout anchors both chain boundaries at bond index 0, so
+    ``tensors[0][:, 1:, :]`` and ``tensors[-1][:, :, 1:]`` never contribute
+    to any anchored contraction.  LQ/polar canonicalization nevertheless
+    fills the last site's pad COLUMNS with unit-norm isometry-completion
+    rows, and a later two-site solve that merges that site lets those
+    unit singular values compete with physical weight for the keep slots —
+    truncation then silently moves real amplitude into the pad sector
+    (bisected via the digital window-TDVP stage: a full-chain CX-generator
+    window lost 0.43% of physical weight while the trace norm read 1.0).
+    Re-zeroing here restores the documented zero-padding invariant at
+    every canonicalization.  Only valid for FULL chains (every caller —
+    engines, checker, MPS/MPO classes — canonicalizes whole chains; embedded
+    windows never route through this function).
+    """
+    z0 = tensors[0] * jnp.zeros_like(tensors[0]).at[:, 0, :].set(1.0)
+    tensors = tensors.at[0].set(z0)  # sequential: site 0 may BE site -1 (L=1)
+    zl = tensors[-1] * jnp.zeros_like(tensors[-1]).at[:, :, 0].set(1.0)
+    return tensors.at[-1].set(zl)
 
 
 def shift_center_right(tensors: jnp.ndarray, n: int) -> jnp.ndarray:
