@@ -92,6 +92,17 @@ def run_optimization_characterization(
     if (reference_model is None) == (ref_expectations is None):
         msg = "Specify exactly one of reference_model= or ref_expectations=."
         raise ValueError(msg)
+    observables = list(observables)
+    if not observables:
+        msg = "observables must be a non-empty list (the loss is their mean-squared trajectory mismatch)."
+        raise ValueError(msg)
+    n_proc = len(init_guess.processes)
+    if len(np.atleast_1d(x_low)) != n_proc or len(np.atleast_1d(x_up)) != n_proc:
+        msg = (
+            f"x_low/x_up must provide one bound per noise process: expected "
+            f"{n_proc}, got {len(np.atleast_1d(x_low))}/{len(np.atleast_1d(x_up))}."
+        )
+        raise ValueError(msg)
 
     rep = resolve_noise_representation(
         init_state.length, representation, lindblad_max_qubits, vector_max_qubits
@@ -120,6 +131,15 @@ def run_optimization_characterization(
     if ref_expectations is None:
         ref_expectations = forward(reference_model)
     ref_expectations = np.asarray(ref_expectations, dtype=float)
+    expected_rows = len(observables)
+    if ref_expectations.ndim != 2 or ref_expectations.shape[0] != expected_rows:
+        # a mis-shaped reference would silently BROADCAST inside the loss
+        # (reference trajectories.py validates the same contract)
+        msg = (
+            "ref_expectations must be a (num_observables, num_timesteps) "
+            f"array with {expected_rows} rows, got shape {ref_expectations.shape}."
+        )
+        raise ValueError(msg)
 
     x0 = np.asarray([float(p["strength"]) for p in init_guess.processes])
     x_low = np.asarray(x_low, dtype=float)
