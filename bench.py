@@ -115,8 +115,9 @@ def digital_bench() -> dict:
     # first run (measured 16.5 -> 36 -> 47 traj/s over 6 reps on the v5e —
     # cache fill + tunnel warmup).  Fixed warmup counts understate the
     # engine (driver-captured 20.6 vs 41-45 steady state in round 2), so
-    # run until two consecutive reps agree within 10% (capped), then
-    # record the faster of the converged pair.
+    # run at least 6 reps and stop only once two consecutive reps agree
+    # within 10% and the wall has stopped improving (capped), then record
+    # the minimum wall seen.
     cpu = os.environ.get("BENCH_CPU") == "1"
     max_runs = int(os.environ.get("BENCH_DIGITAL_RUNS", 3 if cpu else 10))
     walls: list[float] = []
@@ -126,13 +127,17 @@ def digital_bench() -> dict:
         res = sim.run(State(n), circ, params, noise)
         walls.append(time.perf_counter() - t0)
         print(f"  digital rep {len(walls)}: {walls[-1]:.2f}s", file=sys.stderr, flush=True)
-        # converged = two consecutive reps agree AND the last rep is no longer
-        # improving on the best seen (early reps can plateau slow before the
-        # per-shape jit caches finish filling — r2's 20.6 vs 41-45 artifact)
+        # Converged = at least 6 reps (the documented warmup horizon: per-rep
+        # wall keeps improving through >=6 reps as per-shape jit caches fill),
+        # two consecutive reps agree within 10%, the last rep is no longer
+        # improving on the best seen, and the last rep did not improve >5% on
+        # its predecessor (still-improving runs must keep going).  With CPU
+        # default max_runs=3 this early-stop never fires and all reps run.
         if (
-            len(walls) >= 4
+            len(walls) >= 6
             and abs(walls[-1] - walls[-2]) <= 0.1 * walls[-2]
             and walls[-1] <= 1.1 * min(walls)
+            and walls[-1] >= 0.95 * walls[-2]
         ):
             break
         # the tunnel degrades progressively under sustained dispatch load
@@ -156,12 +161,13 @@ def digital_bench() -> dict:
     }
 
 
-def analog_run(model: str, chi: int, batch: int, reps: int) -> float:
+def analog_run(model: str, chi: int, batch: int, reps: int, length: int | None = None) -> float:
     """Run the analog TJM workload; return trajectories/sec/chip.
 
     Shared by the headline config (MODEL/CHI/BATCH/REPS env knobs) and the
-    scaling points (chi=128 Dw=3, chi=64 Dw=5) recorded alongside it.
+    scaling points (chi=128/256 Dw=3, chi=64 Dw=5, L=200) recorded alongside.
     """
+    L = length if length is not None else globals()["L"]
     dev = jax.devices()[0]
     use_x64 = dev.platform == "cpu" and jax.config.read("jax_enable_x64")
     # operands stay host-side numpy (complex device arrays cannot be jit
@@ -253,16 +259,23 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - never break the headline
             record["digital_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_SCALING", "0" if os.environ.get("BENCH_CPU") == "1" else "1") == "1":
-        # MXU-scaling points (VERDICT r2 #2): chi=128 quadruples the matmul
-        # work per MV, Dw=5 widens the MPO chain.  Small batches keep each
-        # dispatch under the ~40s TPU worker limit (chi=128 is ~8x the
-        # per-trajectory compute of the headline).
-        for key, model, chi, batch in (
-            ("scaling_chi128_value", "tfim", 128, 8),
-            ("scaling_dw5_chi64_value", "heisenberg", 64, 16),
+        # MXU-scaling points (VERDICT r2 #2 + r3 #8): chi=128/256 grow the
+        # matmul work per MV 4x/16x (chi=256 is where the chip starts earning
+        # its keep: the chi trend 9% -> 39% MFU continues), Dw=5 widens the
+        # MPO chain, L=200 doubles the sweep length at headline chi.  Small
+        # batches keep each dispatch under the ~40s TPU worker limit; the
+        # per-trajectory HBM envelope is documented in docs/tpu_numerics.md
+        # (state L*d*chi^2 + right-envs L*Dw*chi^2 + Krylov (k+1)*site
+        # complex64 words — chi=256 L=100 is ~0.3 GB/trajectory, so batch 2
+        # fits a 16 GB v5e with room to spare).
+        for key, model, chi, batch, length in (
+            ("scaling_chi128_value", "tfim", 128, 8, None),
+            ("scaling_dw5_chi64_value", "heisenberg", 64, 16, None),
+            ("scaling_chi256_value", "tfim", 256, 2, None),
+            ("scaling_L200_value", "tfim", 64, 16, 200),
         ):
             try:
-                record[key] = round(analog_run(model, chi, batch, 1), 4)
+                record[key] = round(analog_run(model, chi, batch, 1, length), 4)
             except Exception as exc:  # noqa: BLE001 - never break the headline
                 record[key.replace("_value", "_error")] = (
                     f"{type(exc).__name__}: {exc}"[:200]

@@ -242,7 +242,12 @@ def test_window_tdvp_converges_with_sweeps():
         )
         res = Simulator().run(State(length), c, params, None)
         errs.append(np.abs(res.expectation_values[:, -1] - exact).max())
-    assert errs[2] < errs[1] < errs[0]
+    # Convergence with an epsilon floor: at high sweep counts both errors sit
+    # at machine epsilon (~1e-14) and their strict ordering is floating-point
+    # noise that flips across environments (round-3 VERDICT weak #1).
+    eps_floor = 1e-12
+    assert errs[1] <= max(errs[0], eps_floor), errs
+    assert errs[2] <= max(errs[1], eps_floor), errs
     assert errs[2] < 0.02, errs
 
 

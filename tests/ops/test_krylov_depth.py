@@ -95,8 +95,10 @@ def test_accuracy_improves_with_k_until_saturation():
             lambda x: jnp.asarray(h) @ x, jnp.asarray(v), -0.4j, k=k
         )
         errs.append(np.max(np.abs(np.asarray(got) - want)))
-    # strictly improving until the saturation floor
-    assert errs[1] < errs[0] and errs[2] < errs[1], errs
+    # improving until the saturation floor (epsilon-floored: once an error
+    # reaches ~1e-9 its ordering vs the next is floating-point noise)
+    floor = 1e-9
+    assert errs[1] <= max(errs[0], floor) and errs[2] <= max(errs[1], floor), errs
     assert errs[3] < 1e-9, errs
 
 

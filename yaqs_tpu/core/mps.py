@@ -187,7 +187,7 @@ class MPS:
         return bra.scalar_product(ket)
 
     def measure_shots(
-        self, shots: int, seed: int | None = None, basis: str = "Z"
+        self, shots: int, basis: str = "Z", *, seed: int | None = None
     ) -> dict[int, int]:
         """Projective sampling in a global X/Y/Z basis; returns basis-state
         counts (site 0 least significant).  Reference MPS.measure_shots
@@ -204,9 +204,9 @@ class MPS:
         return counts_from_samples(samples, self.d)
 
     def measure_single_shot(
-        self, seed: int | None = None, basis: str = "Z"
+        self, basis: str = "Z", *, seed: int | None = None
     ) -> int:
-        return next(iter(self.measure_shots(1, seed=seed, basis=basis)))
+        return next(iter(self.measure_shots(1, basis=basis, seed=seed)))
 
     def _measurement_rotation(self, basis: str) -> np.ndarray | None:
         """Map a basis name to the bra-row rotation (|b_k> -> |k>); None

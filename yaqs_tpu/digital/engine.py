@@ -20,12 +20,14 @@ difference.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.mps_ops import normalize_canonical, shift_center_right
 from ..core.noise_model import CompiledNoise, compile_noise
@@ -35,6 +37,7 @@ from ..methods.mpo_ops import mpo_apply_mps_zipup
 from ..methods.stochastic import channel_weights
 from ..methods.tdvp import TDVPConfig, sweep_2site
 from ..ops.decomp import merge_two_site, split_two_site_truncated
+from ..parallel.runtime import make_trajectory_mesh
 from ..utils.host import fetch, to_device
 from .circuit import Circuit, load_circuit
 from .compile import CompiledSegment, GateStage, compile_circuit
@@ -692,79 +695,170 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     seed = sim_params.random_seed if sim_params.random_seed is not None else 0
     base_key = jax.random.PRNGKey(seed)
 
-    # batched trajectory evolution, stage by stage.  The initial broadcast
-    # stays HOST-side numpy and observable evaluation is wrapped in jit:
-    # eager complex device ops are UNIMPLEMENTED on the tunneled TPU platform
-    # (host->device complex transfer of jit *arguments* works fine).
-    batch = num_traj
-    # device-resident from the start: complex arrays can only reach the
-    # device as trace constants or via on-device complexification
-    # (utils.host.to_device); device-resident complex args then flow between
-    # stage dispatches freely
-    tensors_b = to_device(
-        np.broadcast_to(np.asarray(tensors0)[None], (batch,) + tensors0.shape)
-    )
+    # ---- mesh / chunk resolution ------------------------------------------
+    # The trajectory batch is the data-parallel axis, exactly as in the
+    # analog runtime (parallel/runtime.py): the batched state and the
+    # per-trajectory keys are laid out over the 1-D "traj" mesh via
+    # NamedSharding, so every per-stage vmapped dispatch below compiles to
+    # one SPMD program whose batch axis is partitioned across chips over ICI
+    # (reference parity: digital workers run through the same parallel pool
+    # as analog, simulator.py:853 + core/parallel_utils.py:331-391).  All
+    # RNG keys derive from the GLOBAL trajectory index, so results are
+    # bit-identical for any device count and any batch_size chunking.
+    config = simulator.execution
+    mesh = make_trajectory_mesh(config)
+    n_dev = int(mesh.devices.size)
+    use_mesh = config.parallel and n_dev > 1 and num_traj > 1
+    traj_shard = NamedSharding(mesh, P("traj")) if use_mesh else None
+
+    def _shard(x):
+        return jax.device_put(x, traj_shard) if traj_shard is not None else x
+
+    chunk = config.batch_size or num_traj
+    chunk = max(1, min(chunk, num_traj))
+    if use_mesh:
+        # round the chunk to a device multiple so shards are even; indices
+        # padded past num_traj evolve dummy trajectories, sliced off below
+        chunk = int(math.ceil(chunk / n_dev) * n_dev)
+
     hl_full, hl_noiseless, hl_nobond = make_half_layer_step(noise, cfg, noisy)
-
     eval_batch = jax.jit(jax.vmap(lambda t: evaluate_observables(t, observables)))
-
-    mid_cols: list[np.ndarray] = []
-    if sim_params.sample_layers and wants_obs:
-        mid_cols.append(np.real(np.asarray(eval_batch(tensors_b))))
-
-    stage_idx = 0
     gate_stage_cache: dict[tuple, object] = {}  # (kind, w) -> compiled pipeline
-    for plan_idx, plan in enumerate(compiled_circ.segments):
-        for stage in plan.stages:
-            keys = jax.vmap(
-                lambda i: jax.random.fold_in(jax.random.fold_in(base_key, stage_idx), i)
-            )(jnp.arange(batch))
-            if isinstance(stage, GateStage):
-                site_mask, bond_mask, ch_mask = _gate_stage_noise_masks(
-                    stage, length, noise
-                )
-                w = stage.mpo.shape[0]
-                cache_key = (stage.kind, w, stage.mpo.shape[-1])
-                if cache_key not in gate_stage_cache:
-                    gate_stage_cache[cache_key] = make_gate_stage_steps(
-                        noise, cfg, noisy, stage.kind, w
+
+    def _evolve_chunk(idx: np.ndarray):
+        """Evolve the trajectories with global indices ``idx`` stage by stage
+        and return (final batched device state, observable columns).
+
+        The initial broadcast stays HOST-side numpy and observable evaluation
+        is wrapped in jit: eager complex device ops are UNIMPLEMENTED on the
+        tunneled TPU platform (host->device complex transfer of jit
+        *arguments* works fine).  The state is device-resident (and
+        mesh-sharded) from the start: complex arrays can only reach the
+        device as trace constants or via on-device complexification
+        (utils.host.to_device); device-resident complex args then flow
+        between stage dispatches freely.
+        """
+        cb = len(idx)
+        idx_arr = _shard(jnp.asarray(idx))
+        tensors_b = to_device(
+            np.broadcast_to(np.asarray(tensors0)[None], (cb,) + tensors0.shape),
+            sharding=traj_shard,
+        )
+        mid: list[np.ndarray] = []
+        if sim_params.sample_layers and wants_obs:
+            mid.append(np.real(np.asarray(eval_batch(tensors_b))))
+
+        stage_idx = 0
+        for plan_idx, plan in enumerate(compiled_circ.segments):
+            for stage in plan.stages:
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(
+                        jax.random.fold_in(base_key, stage_idx), i
                     )
-                run_stage = gate_stage_cache[cache_key]
-                tensors_b = run_stage(
-                    tensors_b, stage.w0, to_device(stage.mpo), keys,
-                    site_mask, bond_mask, ch_mask,
-                )
-            else:
-                scope, bond_masks = (
-                    _channel_scope_masks(stage, noise)
-                    if noise is not None
-                    else (None, None)
-                )
-                n_hl = stage.mats1q.shape[0]
-                # same per-half-layer key derivation as apply_segment
-                hl_keys = jax.vmap(lambda k: jax.random.split(k, n_hl))(keys)
-                for h in range(n_hl):
-                    ops1_d = to_device(stage.mats1q[h])
-                    bmats_d = to_device(stage.bond_mats[h])
-                    if not noisy:
-                        tensors_b = hl_noiseless(
-                            tensors_b, ops1_d, bmats_d, hl_keys[:, h]
+                )(idx_arr)
+                if isinstance(stage, GateStage):
+                    site_mask, bond_mask, ch_mask = _gate_stage_noise_masks(
+                        stage, length, noise
+                    )
+                    w = stage.mpo.shape[0]
+                    cache_key = (stage.kind, w, stage.mpo.shape[-1])
+                    if cache_key not in gate_stage_cache:
+                        gate_stage_cache[cache_key] = make_gate_stage_steps(
+                            noise, cfg, noisy, stage.kind, w
                         )
-                    elif bond_masks is None:
-                        tensors_b = hl_nobond(
-                            tensors_b, ops1_d, bmats_d,
-                            stage.noise_site_mask[h], scope[h], hl_keys[:, h],
-                        )
-                    else:
-                        tensors_b = hl_full(
-                            tensors_b, ops1_d, bmats_d,
-                            stage.noise_site_mask[h], bond_masks[h], scope[h],
-                            hl_keys[:, h],
-                        )
-            stage_idx += 1
-        is_last = plan_idx == len(compiled_circ.segments) - 1
-        if wants_obs and (sim_params.sample_layers or is_last):
-            mid_cols.append(np.real(np.asarray(eval_batch(tensors_b))))
+                    run_stage = gate_stage_cache[cache_key]
+                    tensors_b = run_stage(
+                        tensors_b, stage.w0, to_device(stage.mpo), keys,
+                        site_mask, bond_mask, ch_mask,
+                    )
+                else:
+                    scope, bond_masks = (
+                        _channel_scope_masks(stage, noise)
+                        if noise is not None
+                        else (None, None)
+                    )
+                    n_hl = stage.mats1q.shape[0]
+                    # same per-half-layer key derivation as apply_segment
+                    hl_keys = jax.vmap(lambda k: jax.random.split(k, n_hl))(keys)
+                    for h in range(n_hl):
+                        ops1_d = to_device(stage.mats1q[h])
+                        bmats_d = to_device(stage.bond_mats[h])
+                        if not noisy:
+                            tensors_b = hl_noiseless(
+                                tensors_b, ops1_d, bmats_d, hl_keys[:, h]
+                            )
+                        elif bond_masks is None:
+                            tensors_b = hl_nobond(
+                                tensors_b, ops1_d, bmats_d,
+                                stage.noise_site_mask[h], scope[h], hl_keys[:, h],
+                            )
+                        else:
+                            tensors_b = hl_full(
+                                tensors_b, ops1_d, bmats_d,
+                                stage.noise_site_mask[h], bond_masks[h], scope[h],
+                                hl_keys[:, h],
+                            )
+                stage_idx += 1
+            is_last = plan_idx == len(compiled_circ.segments) - 1
+            if wants_obs and (sim_params.sample_layers or is_last):
+                mid.append(np.real(np.asarray(eval_batch(tensors_b))))
+        return tensors_b, mid
+
+    # ---- chunked driver loop ----------------------------------------------
+    mid_chunks: list[list[np.ndarray]] = []
+    all_samples: list[np.ndarray] = []
+    tensors_b0 = None  # chunk-0 final state (get_state / noiseless sampling)
+    shot_base, shot_rem = divmod(shots, num_traj) if shots > 0 else (0, 0)
+    for start in range(0, num_traj, chunk):
+        idx = np.arange(start, start + chunk)  # may pad past num_traj
+        attempt = 0
+        last_sig = None
+        while True:  # in-process chunk retry (ExecutionConfig.max_retries)
+            try:
+                tensors_b, mid = _evolve_chunk(idx)
+                break
+            except Exception as exc:
+                attempt += 1
+                sig = (type(exc), str(exc))
+                if attempt > config.max_retries or sig == last_sig:
+                    # identical repeat = deterministic failure (or the
+                    # platform's dispatch wedge): retrying cannot help
+                    raise
+                last_sig = sig
+        mid_chunks.append(mid)
+        if start == 0:
+            tensors_b0 = tensors_b
+        if shots > 0 and noisy:
+            # reference: one shot per noisy trajectory, remainder spread over
+            # the first trajectories; keys from the GLOBAL index
+            per_shot_max = shot_base + 1
+            shot_keys = _shard(
+                jax.vmap(
+                    lambda i: jax.random.fold_in(
+                        jax.random.fold_in(base_key, 999983), i
+                    )
+                )(jnp.asarray(idx))
+            )
+            samples_b = jax.vmap(
+                lambda t, k: sample_bitstrings(t, k, per_shot_max)
+            )(tensors_b, shot_keys)
+            samples_np = np.asarray(samples_b)
+            for j, i in enumerate(idx):
+                if i >= num_traj:
+                    break
+                alloc = shot_base + (1 if i < shot_rem else 0)
+                if alloc > 0:
+                    all_samples.append(samples_np[j, :alloc])
+        if config.show_progress:
+            done = min(start + chunk, num_traj)
+            print(f"[yaqs_tpu] digital trajectories {done}/{num_traj}", flush=True)
+
+    # stitch per-chunk observable columns back into (num_traj, rows) columns
+    mid_cols: list[np.ndarray] = []
+    if mid_chunks and mid_chunks[0]:
+        for j in range(len(mid_chunks[0])):
+            col = np.concatenate([m[j] for m in mid_chunks], axis=0)
+            mid_cols.append(col[:num_traj])
 
     # ---- results ----------------------------------------------------------
     expectation_values = None
@@ -793,21 +887,9 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
     measurements = None
     if shots > 0:
         if noisy:
-            base, rem = divmod(shots, batch)
-            shot_keys = jax.random.split(jax.random.fold_in(base_key, 999983), batch)
-            all_samples = []
-            per_shot_max = base + 1
-            samples_b = jax.vmap(
-                lambda t, k: sample_bitstrings(t, k, per_shot_max)
-            )(tensors_b, shot_keys)
-            samples_np = np.asarray(samples_b)
-            for i in range(batch):
-                alloc = base + (1 if i < rem else 0)
-                if alloc > 0:
-                    all_samples.append(samples_np[i, :alloc])
             measurements = np.concatenate(all_samples, axis=0) if all_samples else None
         else:
-            first = jax.jit(lambda t: t[0])(tensors_b)
+            first = jax.jit(lambda t: t[0])(tensors_b0)
             samples = sample_bitstrings(first, jax.random.fold_in(base_key, 999983), shots)
             measurements = np.asarray(samples)
         if measurements is not None:
@@ -820,7 +902,7 @@ def run_digital(simulator, initial_state, circuit, sim_params, noise_model) -> R
         from ..core.state import State
 
         output_state = State(
-            length=length, tensors=fetch(jax.jit(lambda t: t[0])(tensors_b))
+            length=length, tensors=fetch(jax.jit(lambda t: t[0])(tensors_b0))
         )
 
     times = np.arange(len(mid_cols), dtype=float) if mid_cols else None

@@ -22,7 +22,7 @@ __all__ = ["fetch", "to_device"]
 _complexify = None
 
 
-def to_device(x):
+def to_device(x, sharding=None):
     """Host array -> device array, complex-safe on the tunneled TPU.
 
     Host->device transfer of complex arrays is UNIMPLEMENTED there (both as
@@ -31,10 +31,15 @@ def to_device(x):
     from separately-transferred real and imaginary parts — which this helper
     does.  Device-resident complex arrays are then valid jit arguments for
     subsequent dispatches.  Real arrays transfer directly.
+
+    With ``sharding`` (a ``jax.sharding.Sharding``), the parts are placed
+    under that sharding before complexification, so the result lands
+    distributed over the mesh without a replicated intermediate (the digital
+    engine shards its trajectory batch this way).
     """
     global _complexify
     if isinstance(x, jax.Array):
-        return x
+        return jax.device_put(x, sharding) if sharding is not None else x
     x = np.asarray(x)
     if np.iscomplexobj(x):
         if _complexify is None:
@@ -43,11 +48,15 @@ def to_device(x):
         # which keeps rank; cast the parts to the input's real dtype so a
         # complex64 input stays complex64 under an x64-enabled config
         rdt = x.real.dtype
-        return _complexify(
-            np.asarray(x.real, dtype=rdt, order="C"),
-            np.asarray(x.imag, dtype=rdt, order="C"),
-        )
-    return jnp.asarray(x)
+        re = np.asarray(x.real, dtype=rdt, order="C")
+        im = np.asarray(x.imag, dtype=rdt, order="C")
+        if sharding is not None:
+            re = jax.device_put(re, sharding)
+            im = jax.device_put(im, sharding)
+        # jit propagates the parts' shardings to the complex output
+        return _complexify(re, im)
+    out = jnp.asarray(x)
+    return jax.device_put(out, sharding) if sharding is not None else out
 
 
 def _fetch_one(x):
