@@ -232,12 +232,117 @@ def test_qasm3_declarations_and_measure():
 
 @pytest.mark.parametrize(
     "stmt",
-    ["for int i in [0:2] { x q[0]; }", "while (true) { x q[0]; }",
+    ["while (true) { x q[0]; }",
      "if (c[0]) { x q[0]; }", "def f() { }", "reset q[0];"],
 )
 def test_qasm3_unsupported_constructs_rejected(stmt):
     src = "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\n" + stmt
     with pytest.raises((NotImplementedError, ValueError)):
+        parse_qasm3(src)
+
+
+# -- QASM3 for-loop unrolling ---------------------------------------------------
+# OpenQASM 3 `for` over literal integer ranges/sets is unrolled at parse time
+# (reference route: qiskit's qasm3 importer, qasm_utils.py:133). Ranges are
+# inclusive of the stop value per the OpenQASM 3 spec.
+
+Q3HEADER = 'OPENQASM 3.0;\ninclude "stdgates.inc";\n'
+
+
+def test_qasm3_for_brickwork_matches_unrolled_qasm2():
+    """A looped brickwork circuit must match its hand-unrolled QASM2 twin
+    (round-3 VERDICT item 9's battery case), checked on the dense oracle."""
+    n = 6
+    q3 = Q3HEADER + (
+        f"qubit[{n}] q;\n"
+        f"for uint i in [0:{n - 1}] h q[i];\n"
+        "for int l in [0:1] {\n"
+        f"  for int i in [0:2:{n - 2}] {{ cx q[i], q[i+1]; }}\n"
+        f"  for int i in [1:2:{n - 3}] {{ cx q[i], q[i+1]; }}\n"
+        f"  for int i in [0:{n - 1}] {{ rz(0.3*(i+1)) q[i]; }}\n"
+        "}\n"
+    )
+    lines = [f"qreg q[{n}];"]
+    lines += [f"h q[{i}];" for i in range(n)]
+    for _ in range(2):
+        lines += [f"cx q[{i}],q[{i + 1}];" for i in range(0, n - 1, 2)]
+        lines += [f"cx q[{i}],q[{i + 1}];" for i in range(1, n - 2, 2)]
+        lines += [f"rz({0.3 * (i + 1)!r}) q[{i}];" for i in range(n)]
+    q2 = HEADER + "\n".join(lines)
+    c3, c2 = parse_qasm3(q3), parse_qasm2(q2)
+    assert _ops(c3) == _ops(c2)
+    psi0 = np.zeros(2**n, dtype=complex)
+    psi0[0] = 1.0
+    np.testing.assert_allclose(run_dense(c3, psi0), run_dense(c2, psi0), atol=1e-12)
+
+
+def test_qasm3_for_range_is_stop_inclusive():
+    c = parse_qasm3(Q3HEADER + "qubit[4] q;\nfor int i in [0:3] x q[i];")
+    assert _ops(c) == [("x", (i,), ()) for i in range(4)]
+
+
+def test_qasm3_for_range_with_step():
+    c = parse_qasm3(Q3HEADER + "qubit[5] q;\nfor int i in [0:2:4] x q[i];")
+    assert _ops(c) == [("x", (0,), ()), ("x", (2,), ()), ("x", (4,), ())]
+
+
+def test_qasm3_for_negative_step():
+    c = parse_qasm3(Q3HEADER + "qubit[4] q;\nfor int i in [3:-1:1] x q[i];")
+    assert _ops(c) == [("x", (3,), ()), ("x", (2,), ()), ("x", (1,), ())]
+
+
+def test_qasm3_for_discrete_set():
+    c = parse_qasm3(Q3HEADER + "qubit[5] q;\nfor int k in {4, 0, 2} x q[k];")
+    assert _ops(c) == [("x", (4,), ()), ("x", (0,), ()), ("x", (2,), ())]
+
+
+def test_qasm3_for_loop_var_in_parameter_expression():
+    """QFT-style controlled-phase cascade: the loop variable feeds the angle."""
+    c = parse_qasm3(
+        Q3HEADER + "qubit[4] q;\nfor int i in [1:3] { cp(pi/2**i) q[0], q[i]; }"
+    )
+    assert [(o.name, o.qubits) for o in c.ops] == [
+        ("cp", (0, 1)), ("cp", (0, 2)), ("cp", (0, 3))
+    ]
+    np.testing.assert_allclose(
+        [o.params[0] for o in c.ops], [np.pi / 2, np.pi / 4, np.pi / 8], atol=1e-12
+    )
+
+
+def test_qasm3_for_nested_with_index_arithmetic():
+    c = parse_qasm3(
+        Q3HEADER
+        + "qubit[6] q;\nfor int a in [0:1] { for int b in [0:1] { cx q[2*a+b], q[2*a+b+1]; } }"
+    )
+    assert [(o.name, o.qubits) for o in c.ops] == [
+        ("cx", (0, 1)), ("cx", (1, 2)), ("cx", (2, 3)), ("cx", (3, 4))
+    ]
+
+
+def test_qasm3_for_body_set_with_braced_block():
+    c = parse_qasm3(Q3HEADER + "qubit[3] q;\nfor int k in {0, 2} { h q[k]; t q[k]; }")
+    assert _ops(c) == [
+        ("h", (0,), ()), ("t", (0,), ()), ("h", (2,), ()), ("t", (2,), ())
+    ]
+
+
+def test_qasm3_for_empty_range_emits_nothing():
+    c = parse_qasm3(Q3HEADER + "qubit[2] q;\nfor int i in [1:0] x q[i];\nh q[0];")
+    assert _ops(c) == [("h", (0,), ())]
+
+
+@pytest.mark.parametrize(
+    ("stmt", "match"),
+    [
+        ("for int i in [0:n] x q[0];", "literal integer"),
+        ("for int i in [0:1:2:3] x q[0];", "range"),
+        ("for int i in [0:0:3] x q[0];", "step"),
+        ("for q_iter in [0:2] x q[0];", "for statement"),
+    ],
+)
+def test_qasm3_for_malformed_rejected(stmt, match):
+    src = "OPENQASM 3.0;\nqubit[2] q;\nint n = 2;\n" + stmt
+    with pytest.raises((NotImplementedError, ValueError), match=match):
         parse_qasm3(src)
 
 

@@ -188,9 +188,18 @@ def _split_statements(text: str) -> list[str]:
         elif ch == "}":
             depth -= 1
             buf.append(ch)
-            if depth == 0 and "".join(buf).lstrip().startswith("gate"):
-                stmts.append("".join(buf).strip())
+            joined = "".join(buf).lstrip()
+            if depth == 0 and joined.startswith("gate"):
+                stmts.append(joined.strip())
                 buf = []
+            elif depth == 0 and joined.startswith("for"):
+                # flush only when the closed brace group is the loop BODY —
+                # a set literal (`for int k in {0, 3} ...`) also closes a
+                # depth-0 brace but leaves the body still to come
+                m = _FOR_HEAD_RE.match(joined)
+                if m is None or m.group(3).strip():
+                    stmts.append(joined.strip())
+                    buf = []
         elif ch == ";" and depth == 0:
             s = "".join(buf).strip()
             if s:
@@ -361,20 +370,118 @@ def parse_qasm2(text: str) -> Circuit:
     return circuit
 
 
+# ``for <int-type> <var> in <[range] | {set}> <body>`` — body is either a
+# braced block or a single statement (both per the OpenQASM 3 grammar)
+_FOR_HEAD_RE = re.compile(
+    r"^for\s+(?:u?int|float)(?:\s*\[\s*\d+\s*\])?\s+"
+    r"([a-zA-Z_][a-zA-Z0-9_]*)\s+in\s+(\[[^\]]*\]|\{[^{}]*\})\s*(.*)$",
+    re.S,
+)
+
+_INT_ARITH_RE = re.compile(r"^[0-9+\-*/() ]+$")
+
+
+def _int_literal_expr(expr: str, what: str) -> int:
+    """Evaluate an integer arithmetic literal (no identifiers)."""
+    expr = expr.strip()
+    if not expr or not _INT_ARITH_RE.match(expr):
+        msg = (
+            f"only literal integer {what} are supported in the OpenQASM 3 "
+            f"subset (got {expr!r}); unroll variable bounds externally"
+        )
+        raise NotImplementedError(msg)
+    val = eval(expr, {"__builtins__": {}}, {})  # noqa: S307 - charset-sandboxed
+    if val != int(val):
+        msg = f"{what} must be an integer, got {expr!r} = {val}"
+        raise ValueError(msg)
+    return int(val)
+
+
+def _unroll_for(stmt: str) -> list[str]:
+    """Expand a literal-range ``for`` statement into its body statements.
+
+    OpenQASM 3 ranges are INCLUSIVE of the stop value: ``[0:3]`` iterates
+    0,1,2,3 and ``[0:2:6]`` (start:step:stop) iterates 0,2,4,6.  The loop
+    variable is substituted textually (parenthesized), so nested loops and
+    parameter expressions like ``rz(pi/2**i)`` resolve on re-parse; qubit
+    index arithmetic is folded afterwards by :func:`_fold_index_arith`.
+    Reference route: qiskit's qasm3 importer accepts the full language
+    (qasm_utils.py:133); this covers its most common loop form natively.
+    """
+    m = _FOR_HEAD_RE.match(stmt)
+    if not m:
+        msg = f"cannot parse OpenQASM 3 for statement: {stmt[:80]!r}"
+        raise NotImplementedError(msg)
+    var, rng, body = m.group(1), m.group(2), m.group(3)
+    if rng.startswith("["):
+        parts = rng[1:-1].split(":")
+        if len(parts) == 2:
+            start = _int_literal_expr(parts[0], "loop bounds")
+            stop = _int_literal_expr(parts[1], "loop bounds")
+            step = 1
+        elif len(parts) == 3:
+            start = _int_literal_expr(parts[0], "loop bounds")
+            step = _int_literal_expr(parts[1], "loop bounds")
+            stop = _int_literal_expr(parts[2], "loop bounds")
+        else:
+            msg = f"cannot parse for range {rng!r}"
+            raise ValueError(msg)
+        if step == 0:
+            msg = f"for range step must be nonzero: {rng!r}"
+            raise ValueError(msg)
+        values = list(range(start, stop + (1 if step > 0 else -1), step))
+    else:  # discrete set {a, b, c}
+        values = [
+            _int_literal_expr(p, "loop set values")
+            for p in rng[1:-1].split(",")
+            if p.strip()
+        ]
+    body = body.strip()
+    if body.startswith("{"):
+        body = body[1:].rsplit("}", 1)[0]
+    body_stmts = _split_statements(body)
+    var_re = re.compile(rf"\b{re.escape(var)}\b")
+    return [var_re.sub(f"({v})", bs) for v in values for bs in body_stmts]
+
+
+def _fold_index_arith(stmt: str) -> str:
+    """Evaluate bracketed integer arithmetic (``q[(2)+1]`` -> ``q[3]``) left
+    by loop-variable substitution; bare integers and non-arithmetic brackets
+    pass through untouched."""
+
+    def fold(m: re.Match) -> str:
+        inner = m.group(1)
+        if re.fullmatch(r"\s*\d+\s*", inner) or not _INT_ARITH_RE.match(inner):
+            return m.group(0)
+        return f"[{_int_literal_expr(inner, 'index expressions')}]"
+
+    return re.sub(r"\[([^\[\]]+)\]", fold, stmt)
+
+
 def parse_qasm3(text: str) -> Circuit:
     """Parse an OpenQASM 3.0 subset by rewriting declarations/measures to the
     QASM 2 grammar and reusing :func:`parse_qasm2`.
 
     Supported: ``qubit[n] name;`` / ``qubit name;`` declarations, ``bit``
     declarations, ``c = measure q;`` and ``measure q -> c;`` forms, stdgates
-    applications, user ``gate`` definitions, parameter expressions.
+    applications, user ``gate`` definitions, parameter expressions, and
+    ``for`` loops over literal integer ranges/sets (unrolled, including
+    nesting; see :func:`_unroll_for`).  ``while/if/def/reset`` remain
+    explicitly rejected.
     """
+    from collections import deque
+
     text = _strip_comments(text)
     out_lines: list[str] = []
-    for stmt in _split_statements(text):
-        s = stmt.strip()
+    queue = deque(_split_statements(text))
+    while queue:
+        s = queue.popleft().strip()
         if s.startswith("OPENQASM") or s.startswith("include"):
             continue
+        if re.match(r"for[\s(]", s):
+            queue.extendleft(reversed(_unroll_for(s)))
+            continue
+        s = _fold_index_arith(s)
         m = re.fullmatch(r"qubit\s*\[(\d+)\]\s*([a-zA-Z_][a-zA-Z0-9_]*)", s)
         if m:
             out_lines.append(f"qreg {m.group(2)}[{m.group(1)}]")
@@ -395,7 +502,7 @@ def parse_qasm3(text: str) -> Circuit:
         if m:
             out_lines.append(f"measure {m.group(1)} -> __discard")
             continue
-        for kw in ("for ", "while ", "if ", "def ", "reset "):
+        for kw in ("while ", "if ", "def ", "reset "):
             if s.startswith(kw):
                 msg = f"unsupported OpenQASM 3 statement: {kw.strip()}"
                 raise NotImplementedError(msg)
