@@ -219,16 +219,20 @@ class EquivalenceChecker:
 
         # per-gate LOCAL op streams: one-site ops absorb in place, two-site
         # gates update only their own bond (merge -> matrix -> truncated
-        # split), long-range gates walk via fused-index SWAPs.  This replaces
+        # split), long-range gates route via fused-index SWAPs.  This replaces
         # the earlier full-chain half-layer sweeps, whose O(L) cost per gate
         # made QFT-class circuits (O(n^2) long-range gates) scale as n^4 —
         # measured 101 s at n=12 / 267 s at n=16, extrapolating to ~8 h at
         # the BASELINE config-4 size n=50; the local engine runs n=50 in
         # minutes (the reference's local checkerboard pair updates,
         # contraction_utils.py:271-341, have the same per-gate locality).
-        units1 = _emit_doubled_ops(c1, below=True, d=d)
-        units2 = _emit_doubled_ops(c2, below=False, d=d)
-        stream = _interleave_units(units1, units2)
+        # Routing is LAZY (one shared site permutation, no per-gate restore;
+        # see _route_stream): the trace |Tr O| is invariant under the qubit
+        # relabeling P O P^dag, so only the closing restore walk is needed
+        # to report bond spectra in physical order.
+        units1 = _emit_logical_units(c1, below=True, d=d)
+        units2 = _emit_logical_units(c2, below=False, d=d)
+        stream = _route_stream(_interleave_units(units1, units2), length, d)
 
         # center-planning pass: faithful truncation requires the
         # orthogonality center AT the split bond (local singular values in an
@@ -293,28 +297,17 @@ def _fused_swap(d: int = 2) -> np.ndarray:
     )
 
 
-def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
-    """Host-side op-UNIT stream for one circuit layer.
+def _emit_logical_units(circ: Circuit, below: bool, d: int = 2):
+    """Host-side LOGICAL unit stream for one circuit layer.
 
-    Returns ``[(weight, qubits, [(kind, idx, mat), ...])]`` — one unit per
-    circuit gate (``qubits`` = the gate's logical qubits, for the per-qubit
-    interleaving clocks).  kind 0: one-site doubled op at site ``idx`` (``(d^2, d^2)``
-    embedded in the top-left of a ``(d^4, d^4)`` buffer for uniform
-    stacking); kind 1: bond op at bond ``idx`` (full ``(d^4, d^4)``).
-    Long-range two-site gates route via fused-index SWAP walks
-    (2*(dist-1)+1 bond ops).  Units are ATOMIC for interleaving: the routing
-    SWAPs act on BOTH operator layers, so below/above streams only commute
-    at whole-unit granularity (each unit restores site positions).
+    Returns ``[(weight, qubits, payload)]`` — one unit per circuit gate
+    (``qubits`` = the gate's logical qubits, for the per-qubit interleaving
+    clocks).  Payloads: ``("1q", q, dm)`` with ``dm (d^2, d^2)`` and
+    ``("2q", (a, b), dm)`` with ``a < b`` and ``dm (d^4, d^4)`` whose FIRST
+    fused site is ``a``.  Routing to physical bonds happens later against
+    the shared lazy layout (:func:`_route_stream`).
     """
-    dd2 = (d * d) ** 2
-    fswap = _fused_swap(d)
     units: list = []
-
-    def pad1(m: np.ndarray) -> np.ndarray:
-        out = np.eye(dd2, dtype=np.complex128)
-        out[: d * d, : d * d] = m
-        return out
-
     for op in circ.ops:
         if op.name in {"barrier", "measure"}:
             continue
@@ -322,7 +315,7 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
         m = op.resolved_matrix()
         if len(qs) == 1:
             dm = _double_1q_below(m) if below else _double_1q_above(m)
-            units.append((0, tuple(qs), [(0, qs[0], pad1(dm))]))
+            units.append((0, tuple(qs), ("1q", qs[0], dm)))
         elif len(qs) == 2:
             a, b = qs
             if a > b:
@@ -330,14 +323,7 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
                 perm = [0, 2, 1, 3]
                 m = m[np.ix_(perm, perm)]
                 a, b = b, a
-            dm = _double_2q(m, below, d)
-            if b == a + 1:
-                units.append((1, (a, b), [(1, a, dm)]))
-            else:
-                unit = [(1, k, fswap) for k in range(b - 1, a, -1)]
-                unit.append((1, a, dm))
-                unit += [(1, k, fswap) for k in range(a + 1, b)]
-                units.append((1, (a, b), unit))
+            units.append((1, (a, b), ("2q", (a, b), _double_2q(m, below, d))))
         else:
             msg = (
                 "the MPO equivalence backend supports 1- and 2-qubit gates; "
@@ -345,6 +331,79 @@ def _emit_doubled_ops(circ: Circuit, below: bool, d: int = 2):
             )
             raise NotImplementedError(msg)
     return units
+
+
+def _route_stream(units, length: int, d: int = 2):
+    """Lower interleaved logical units onto bonds via a LAZY shared layout.
+
+    One site permutation evolves across the whole interleaved stream: a
+    two-site gate routes its qubits adjacent via fused-index SWAPs and does
+    NOT restore positions (the old per-unit restore walk made QFT-class
+    circuits O(n^3) in local ops; lazy routing collapses the repeated
+    shared-control walks to the O(n^2) "caravan" pattern).  Correctness:
+    the evolved MPS then represents ``P O P^dag`` for the accumulated qubit
+    relabeling ``P``; the identity-fidelity ``|Tr O|/d^L`` is relabeling-
+    invariant, and a single closing restore walk returns to physical order
+    so the reported bond spectra/entropies mean physical cuts.
+
+    Mover heuristic: when the NEXT two-site unit shares exactly one qubit
+    with the current gate, move the shared qubit next to its partner (it is
+    about to travel anyway — the QFT control caravan); otherwise move the
+    left qubit rightwards.
+    """
+    dd2 = (d * d) ** 2
+    fswap = _fused_swap(d)
+    perm = list(range(length))  # position -> logical qubit
+    pos = list(range(length))  # logical qubit -> position
+    ops: list = []
+
+    def pad1(m: np.ndarray) -> np.ndarray:
+        out = np.eye(dd2, dtype=np.complex128)
+        out[: d * d, : d * d] = m
+        return out
+
+    def swap_bond(p: int) -> None:
+        ops.append((1, p, fswap))
+        qa, qb = perm[p], perm[p + 1]
+        perm[p], perm[p + 1] = qb, qa
+        pos[qa], pos[qb] = p + 1, p
+
+    def move_adjacent(mover: int, anchor: int) -> None:
+        while abs(pos[mover] - pos[anchor]) > 1:
+            p = pos[mover]
+            swap_bond(p if pos[anchor] > p else p - 1)
+
+    # lookahead: for each 2q unit, the next 2q unit's qubit set
+    next_2q: list = [None] * len(units)
+    nxt = None
+    for k in range(len(units) - 1, -1, -1):
+        next_2q[k] = nxt
+        if units[k][0] == 1:
+            nxt = set(units[k][1])
+
+    for k, (w, qs, payload) in enumerate(units):
+        if payload[0] == "1q":
+            _, q, m = payload
+            ops.append((0, pos[q], pad1(m)))
+            continue
+        _, (a, b), m = payload
+        look = next_2q[k]
+        shared = (look & {a, b}) if look else set()
+        mover, anchor = (a, b)
+        if len(shared) == 1:
+            mover = shared.pop()
+            anchor = b if mover == a else a
+        move_adjacent(mover, anchor)
+        p = min(pos[a], pos[b])
+        if perm[p] != a:  # layout holds b left of a: conjugate by the SWAP
+            m = fswap @ m @ fswap
+        ops.append((1, p, m))
+
+    # closing restore walk: adjacent-swap selection sort back to identity
+    for target in range(length):
+        while pos[target] > target:
+            swap_bond(pos[target] - 1)
+    return ops
 
 
 def _interleave_units(units1, units2):
@@ -360,7 +419,8 @@ def _interleave_units(units1, units2):
     clocks (progress of each stream normalized by its own per-qubit totals)
     are invariant under per-gate decomposition factors, so streams align at
     gate-correspondence boundaries exactly: the same pair is conclusive at
-    chi=16.  Units are atomic (their routing SWAPs act on both layers).
+    chi=16.  Units are LOGICAL here; bond routing happens afterwards against
+    the shared lazy layout (:func:`_route_stream`).
     """
     from collections import Counter, defaultdict
 
@@ -380,15 +440,15 @@ def _interleave_units(units1, units2):
             i += 1
         return i
 
-    stream = []
+    merged = []
     i = j = 0
     n1, n2 = len(units1), len(units2)
     while i < n1 or j < n2:
         i2, j2 = next_2q(units1, i), next_2q(units2, j)
         if i2 >= n1 and j2 >= n2:
             # only trailing one-site units remain
-            for _, _, ops in units1[i:] + units2[j:]:
-                stream.extend(ops)
+            merged.extend(units1[i:])
+            merged.extend(units2[j:])
             break
         take1 = j2 >= n2
         if not take1 and i2 < n1:
@@ -399,18 +459,16 @@ def _interleave_units(units1, units2):
             d2 = sum(f2[q] - f1[q] for q in q2s) / max(len(q2s), 1)
             take1 = d1 <= d2
         if take1:
-            for _, qs, ops in units1[i : i2 + 1]:
-                stream.extend(ops)
+            merged.extend(units1[i : i2 + 1])
             for q in units1[i2][1]:
                 f1[q] += 1.0 / t1[q]
             i = i2 + 1
         else:
-            for _, qs, ops in units2[j : j2 + 1]:
-                stream.extend(ops)
+            merged.extend(units2[j : j2 + 1])
             for q in units2[j2][1]:
                 f2[q] += 1.0 / t2[q]
             j = j2 + 1
-    return stream
+    return merged
 
 
 def _plan_center_walks(stream, d: int = 2):
