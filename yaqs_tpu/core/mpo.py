@@ -477,7 +477,21 @@ class MPO:
         out = run(to_device(self.tensors))
         length, dd, chi, _ = out.shape
         d = self.physical_dimension
-        self.tensors = fetch(out).reshape(length, d, d, chi, chi)
+        arr = fetch(out).reshape(length, d, d, chi, chi)
+        # slice the surviving rank off the padding so bond_dimension reports
+        # it (reference MPO.compress shrinks its tensors the same way).  Rank
+        # comes from the bond spectra (gauge-invariant — canonical-gauge
+        # column occupancy says nothing about weight); kept directions occupy
+        # the leading slots, the same contract chi_out slicing relies on.
+        if length > 1:
+            spectra, _ = jax.jit(mps_ops.bond_spectra)(out)
+            spectra = np.asarray(spectra)
+            smax = max(float(np.max(spectra)), 1e-300)
+            eff = int(np.max(np.sum(spectra > 1e-12 * smax, axis=1)))
+            eff = max(eff, 1)
+            if eff < chi:
+                arr = arr[:, :, :, :eff, :eff]
+        self.tensors = np.ascontiguousarray(arr)
         return self
 
     def check_if_valid_mpo(self) -> bool:

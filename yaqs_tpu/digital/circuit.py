@@ -47,6 +47,10 @@ class Circuit:
         self.num_qubits = int(num_qubits)
         self.ops: list[GateOp] = []
         self.measured_qubits: list[int] = []
+        # set when a gate is appended after a measure: the measurement is
+        # then genuinely mid-circuit, which the terminal-shots model cannot
+        # represent (reference digital_tjm process_layer rejects this)
+        self.has_mid_circuit_measurements: bool = False
 
     # -- construction API --------------------------------------------------
     def append(self, name: str, qubits, params=(), matrix=None) -> Circuit:
@@ -68,6 +72,8 @@ class Circuit:
             if matrix.shape != (dim, dim):
                 msg = f"matrix shape {matrix.shape} != ({dim},{dim}) for {len(qubits)} qubits"
                 raise ValueError(msg)
+        if self.measured_qubits and name not in {"barrier", "measure"}:
+            self.has_mid_circuit_measurements = True
         self.ops.append(GateOp(name, qubits, tuple(float(p) for p in params), matrix))
         return self
 

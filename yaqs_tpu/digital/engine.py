@@ -640,6 +640,7 @@ def _apply_mid_measurement_count(circ, sim_params):
     )
     out = Circuit(circ.num_qubits)
     out.measured_qubits = list(circ.measured_qubits)
+    out.has_mid_circuit_measurements = circ.has_mid_circuit_measurements
     for i, op in enumerate(circ.ops):
         out.ops.append(op)
         for _ in range(cuts.get(i, 0)):

@@ -129,7 +129,8 @@ class EquivalenceChecker:
                 if op.name != "measure":
                     break
                 tail += 1
-            if any(op.name == "measure" for op in gates[: len(gates) - tail]):
+            mid_ops = any(op.name == "measure" for op in gates[: len(gates) - tail])
+            if c.has_mid_circuit_measurements or mid_ops:
                 msg = "mid-circuit measurements are not supported by the equivalence checker"
                 raise ValueError(msg)
         if method == "auto":
@@ -250,7 +251,9 @@ class EquivalenceChecker:
         # canonicalization captures all truncation loss, which is the only
         # norm change (every doubled op is unitary, shifts are exact)
         chunk = max(2 * length, 16)
-        pad = (-len(stream)) % chunk
+        # gateless circuits: run one chunk of identity no-ops so the closing
+        # normalize/spectra path still sees a contracted state
+        pad = (-len(stream)) % chunk if stream else chunk
         stream = stream + [(0, 0, np.eye((d * d) ** 2, dtype=np.complex128))] * pad
         kinds = np.asarray([k for k, _, _ in stream], dtype=np.int32)
         idxs = np.asarray([i for _, i, _ in stream], dtype=np.int32)
