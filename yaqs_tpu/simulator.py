@@ -79,6 +79,19 @@ class Simulator:
         # ensemble is one batched device program, so worker counts and fork
         # semantics have no equivalent — accepted and ignored so call sites
         # port unchanged.  max_retries maps to the chunk re-dispatch budget.
+        if max_workers is not None:
+            if isinstance(max_workers, bool) or not isinstance(max_workers, (int, np.integer)):
+                msg = f"max_workers must be a positive int, got {max_workers!r}"
+                raise TypeError(msg)
+            if max_workers < 1:
+                msg = f"max_workers must be >= 1, got {max_workers}"
+                raise ValueError(msg)
+        if isinstance(max_retries, bool) or not isinstance(max_retries, (int, np.integer)):
+            msg = f"max_retries must be a non-negative int, got {max_retries!r}"
+            raise TypeError(msg)
+        if max_retries < 0:
+            msg = f"max_retries must be >= 0, got {max_retries}"
+            raise ValueError(msg)
         del max_workers, mp_context, retry_exceptions
         self._execution = ExecutionConfig(
             parallel=parallel,
