@@ -198,14 +198,20 @@ class EquivalenceChecker:
     def _mpo_fidelity(self, c1: Circuit, c2: Circuit, chi: int, svd_threshold: float):
         """Doubled-MPS contraction of ``U2^dag U1`` vs identity.
 
-        Pinned to the CPU backend in float64: the checker is a host-side
-        analysis tool (the reference's runs on CPU), its per-op program is a
-        sequential chain of small QR/SVDs — the opposite of MXU-shaped work
-        — and the tunneled TPU worker crashes on the switch/scan program
-        (probed 2026-08-18).  ``jax.devices("cpu")`` is available even when
-        the default platform is the axon TPU; x64 is forced locally because
-        complex64 roundoff across thousands of local ops (~1.5e-6 on an
-        8-qubit smoke) already exceeds the 1e-6 default verdict threshold.
+        Pinned to the CPU backend in float64, by measurement: the checker is
+        a host-side analysis tool (the reference's runs on CPU) and its
+        per-op program is a sequential chain of small QR/SVDs — the opposite
+        of MXU-shaped work.  A TPU c64 first pass was re-measured on hardware
+        after the lazy-permutation redesign (2026-08-20, QFT-20 chi=32): the
+        chunk program now lowers and runs (the 2026-08-18 worker crash was
+        the old per-half-layer program), but cold compile costs 256 s, the
+        warm pass is only 2.0x faster than CPU x64 (6.9 s vs 13.8 s), and
+        c64 norm drift across the ~5k-op stream reads fidelity 1.109 for a
+        truly-equivalent pair — every verdict near 1 would need an x64
+        escalation anyway, making the TPU pass pure overhead.
+        ``jax.devices("cpu")`` is available even when the default platform is
+        the axon TPU; x64 is forced locally because c64 roundoff already
+        exceeds the 1e-6 default verdict threshold on an 8-qubit smoke.
         """
         cpu0 = jax.devices("cpu")[0]
         with jax.default_device(cpu0), jax.enable_x64(True):
