@@ -56,6 +56,15 @@ def sample_dataset(
     intervention_style: str = "haar",
 ):
     """Simulate random MP sequences -> (features (N,k,32), rho8 (N,8))."""
+    if num_interventions < 1:
+        msg = f"num_interventions must be >= 1, got {num_interventions}"
+        raise ValueError(msg)
+    if num_sequences < 1:
+        msg = f"num_sequences must be >= 1, got {num_sequences}"
+        raise ValueError(msg)
+    if not np.isfinite(tau):
+        msg = f"tau must be finite, got {tau}"
+        raise ValueError(msg)
     rng = np.random.default_rng(seed)
     k = num_interventions
     seqs = [
@@ -117,6 +126,13 @@ class ProcessTensorSurrogate:
         return np.asarray(out)
 
     def evaluate_probes(self, sequences: list[list[MPIntervention]]) -> np.ndarray:
+        bad = {len(s) for s in sequences} - {self.num_interventions}
+        if bad:
+            msg = (
+                f"surrogate was trained for {self.num_interventions} interventions "
+                f"per sequence; got sequence length(s) {sorted(bad)}"
+            )
+            raise ValueError(msg)
         feats = np.stack([[iv.features() for iv in s] for s in sequences])
         rho8 = self.predict_features(feats)
         return np.stack([unpack_rho8(v) for v in rho8])
