@@ -162,6 +162,83 @@ def test_predict_forwards_to_evaluate_probes():
     np.testing.assert_array_equal(mc.predict(pt, seqs), pt.evaluate_probes(seqs))
 
 
+# ------------------------------------------------------------- initial_state
+def test_initial_state_vector_and_rho_agree():
+    """A state vector and its rank-1 density matrix drive the same run up to
+    the two normalization orders' rounding (reference initial_psi,
+    memory_characterizer.py:516)."""
+    ham = Hamiltonian.ising(2, 1.0, 1.0)
+    dim = 4
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=dim) + 1j * rng.normal(size=dim)
+    probes = sample_probes(cut=2, num_interventions=3, n_pasts=6, n_futures=6,
+                           rng=np.random.default_rng(1))
+    runs = []
+    for init in (psi, np.outer(psi, psi.conj()) / np.vdot(psi, psi).real):
+        backend = ExactBackend(ham, TAU, initial_state=init)
+        runs.append(run_memory_characterization(
+            backend=backend, cut=2, num_interventions=3, probe_set=probes))
+    np.testing.assert_allclose(
+        runs[0].response_matrix, runs[1].response_matrix, atol=1e-12
+    )
+    assert runs[0].entropy == pytest.approx(runs[1].entropy, abs=1e-10)
+
+
+def test_initial_state_changes_the_characterization():
+    """A different bath start changes the response (the probe grid sees the
+    bath through the coupling), while J=0 stays exactly memoryless for ANY
+    start — the interventions fully reset the decoupled system."""
+    probes = sample_probes(cut=CUT, num_interventions=K, n_pasts=N, n_futures=N,
+                           rng=np.random.default_rng(2))
+    ham = Hamiltonian.ising(2, 1.0, 1.0)
+    plus = np.ones(4, dtype=complex) / 2.0
+    e_default = run_memory_characterization(
+        backend=ExactBackend(ham, TAU), cut=CUT, num_interventions=K,
+        probe_set=probes).entropy
+    e_plus = run_memory_characterization(
+        backend=ExactBackend(ham, TAU, initial_state=plus), cut=CUT,
+        num_interventions=K, probe_set=probes).entropy
+    assert abs(e_plus - e_default) > 1e-6
+
+    decoupled = Hamiltonian.ising(2, 0.0, 0.9)
+    e0 = run_memory_characterization(
+        backend=ExactBackend(decoupled, TAU, initial_state=plus), cut=CUT,
+        num_interventions=K, probe_set=probes).entropy
+    assert e0 == pytest.approx(0.0, abs=1e-8)
+
+
+def test_initial_state_validation():
+    ham = Hamiltonian.ising(2, 1.0, 1.0)
+    with pytest.raises(ValueError, match="shape"):
+        ExactBackend(ham, TAU, initial_state=np.ones(3))
+    with pytest.raises(ValueError, match="nonzero"):
+        ExactBackend(ham, TAU, initial_state=np.zeros(4))
+    with pytest.raises(ValueError, match="Hermitian"):
+        ExactBackend(ham, TAU, initial_state=1j * np.eye(4))
+    mc = MemoryCharacterizer(preset="quick", n_pasts=4, n_futures=4)
+    pt = build_process_tensor(ham, num_interventions=2, tau=0.3)
+    with pytest.raises(ValueError, match="Hamiltonian"):
+        mc.characterize(pt, cut=1, initial_state=np.ones(4) / 2.0)
+    with pytest.raises(ValueError, match="exact"):
+        mc.characterize(ham, num_interventions=2, tau=0.3, cut=1,
+                        backend="mps", initial_state=np.ones(4) / 2.0)
+
+
+def test_characterize_forwards_initial_state():
+    """The facade's initial_state= reaches the exact backend."""
+    ham = Hamiltonian.ising(2, 1.0, 1.0)
+    mc = MemoryCharacterizer(preset="quick", n_pasts=6, n_futures=6)
+    plus = np.ones(4, dtype=complex) / 2.0
+    a = mc.characterize(ham, num_interventions=3, tau=TAU, cut=2, seed=9,
+                        initial_state=plus)
+    probes = a.by_cut[2].probe_set
+    direct = run_memory_characterization(
+        backend=ExactBackend(ham, TAU, initial_state=plus), cut=2,
+        num_interventions=3, probe_set=probes)
+    np.testing.assert_array_equal(a.by_cut[2].response_matrix,
+                                  direct.response_matrix)
+
+
 # -------------------------------------------------------- surrogate contracts
 def test_sample_dataset_validates_sizes():
     ham = Hamiltonian.ising(2, 1.0, 0.5)

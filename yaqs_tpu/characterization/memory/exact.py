@@ -93,7 +93,14 @@ class ExactBackend:
         d: System local dimension (2).
     """
 
-    def __init__(self, hamiltonian, tau: float, noise_model=None, d: int = 2) -> None:
+    def __init__(
+        self,
+        hamiltonian,
+        tau: float,
+        noise_model=None,
+        d: int = 2,
+        initial_state=None,
+    ) -> None:
         h = hamiltonian.ensure_matrix()
         self.length = hamiltonian.length
         self.d = d
@@ -108,9 +115,36 @@ class ExactBackend:
             liou = build_liouvillian(h, jumps)
             self.prop = scipy.linalg.expm(tau * liou)
         dim = h.shape[0]
-        psi0 = np.zeros(dim, dtype=np.complex128)
-        psi0[0] = 1.0
-        self.rho0 = np.outer(psi0, psi0.conj())
+        self.rho0 = self._resolve_initial_state(initial_state, dim)
+
+    @staticmethod
+    def _resolve_initial_state(initial_state, dim: int) -> np.ndarray:
+        """Initial chain state: ``None`` -> |0...0>; a ``(dim,)`` vector or a
+        ``(dim, dim)`` density matrix otherwise (normalized here; the
+        reference's ``initial_psi``, memory_characterizer.py:516,812)."""
+        if initial_state is None:
+            psi0 = np.zeros(dim, dtype=np.complex128)
+            psi0[0] = 1.0
+            return np.outer(psi0, psi0.conj())
+        arr = np.asarray(initial_state, dtype=np.complex128)
+        if arr.shape == (dim,):
+            nrm = np.linalg.norm(arr)
+            if nrm == 0:
+                msg = "initial_state vector must be nonzero"
+                raise ValueError(msg)
+            psi = arr / nrm
+            return np.outer(psi, psi.conj())
+        if arr.shape == (dim, dim):
+            tr = np.trace(arr).real
+            if tr <= 0 or np.linalg.norm(arr - arr.conj().T) > 1e-10 * max(tr, 1.0):
+                msg = "initial_state density matrix must be Hermitian with positive trace"
+                raise ValueError(msg)
+            return arr / tr
+        msg = (
+            f"initial_state must have shape ({dim},) or ({dim}, {dim}), "
+            f"got {arr.shape}"
+        )
+        raise ValueError(msg)
 
     def evaluate_kraus_sequences(self, kraus, kraus_r=None) -> np.ndarray:
         """Simulate per-step Kraus sequences: ``kraus (batch, k, d, d)`` ->

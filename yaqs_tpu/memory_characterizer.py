@@ -150,6 +150,7 @@ class MemoryCharacterizer:
         delay: int = 0,
         backend: str = "exact",
         backend_options: dict | None = None,
+        initial_state=None,
     ) -> CharacterizationResult:
         """Operational split-cut memory characterization.
 
@@ -158,6 +159,9 @@ class MemoryCharacterizer:
         chains; both require ``tau``) or a :class:`DenseProcessTensor` /
         surrogate exposing ``evaluate_probes``.  ``backend_options`` forwards
         kwargs (``chi``, ``dt``, ``num_traj``, ...) to the MPS backend.
+        ``initial_state`` (a chain state vector or density matrix) replaces
+        the default |0...0> start for the exact backend (reference
+        ``initial_psi``, memory_characterizer.py:516).
         """
         # validation contracts (reference memory_characterizer.py:586-640)
         if cut is not None and cuts is not None:
@@ -171,6 +175,9 @@ class MemoryCharacterizer:
             raise ValueError(msg)
         if delay > 0 and not isinstance(target, Hamiltonian):
             msg = "delay > 0 is supported for Hamiltonian characterize() only"
+            raise ValueError(msg)
+        if initial_state is not None and not isinstance(target, Hamiltonian):
+            msg = "initial_state is supported for Hamiltonian characterize() only"
             raise ValueError(msg)
         probe_set = _coerce_probe_set(probe_set)
         if probe_set is not None and cuts is not None and len(cuts) > 1:
@@ -188,13 +195,18 @@ class MemoryCharacterizer:
                 msg = "characterize(Hamiltonian, ...) requires num_interventions="
                 raise ValueError(msg)
             if backend == "mps":
+                if initial_state is not None:
+                    msg = "initial_state is supported for the exact backend only"
+                    raise ValueError(msg)
                 from .characterization.memory.mps_backend import MPSBackend
 
                 backend = MPSBackend(
                     target, tau, noise_model, **(backend_options or {})
                 )
             elif backend == "exact":
-                backend = ExactBackend(target, tau, noise_model)
+                backend = ExactBackend(
+                    target, tau, noise_model, initial_state=initial_state
+                )
             else:
                 msg = f"backend must be 'exact' or 'mps', got {backend!r}"
                 raise ValueError(msg)
