@@ -56,9 +56,14 @@ class NoiseCharacterizer:
         x_up: np.ndarray,
         reference_model=None,
         ref_expectations=None,
+        representation: str | None = None,
         **optimizer_kwargs,
     ) -> NoiseCharacterizationResult:
-        """Fit noise strengths; see module docstring."""
+        """Fit noise strengths; see module docstring.
+
+        ``representation=`` overrides the constructor's choice for this call
+        (previously it collided with the forwarded constructor kwarg and
+        raised TypeError)."""
         self.result = run_optimization_characterization(
             hamiltonian=hamiltonian,
             sim_params=sim_params,
@@ -70,7 +75,9 @@ class NoiseCharacterizer:
             reference_model=reference_model,
             ref_expectations=ref_expectations,
             execution=self._execution,
-            representation=self.representation,
+            representation=(
+                self.representation if representation is None else representation
+            ),
             lindblad_max_qubits=self.lindblad_max_qubits,
             vector_max_qubits=self.vector_max_qubits,
             **optimizer_kwargs,
