@@ -31,14 +31,22 @@ __all__ = [
 ]
 
 
-def newton_schulz_orthogonalize(y: jnp.ndarray) -> jnp.ndarray:
+def newton_schulz_orthogonalize(y: jnp.ndarray, passes: int = 1) -> jnp.ndarray:
     """Orthonormalize the columns of ``y`` by Newton-Schulz polar iteration.
 
     Matmuls only (MXU-native): avoids the XLA:TPU Householder-QR NaN hazard on
     exactly rank-deficient blocks (padded states produce them).  Rank-safe:
     for rank-deficient ``y`` the iteration converges to a partial isometry —
-    null directions stay (harmlessly) null; weak singular directions are only
-    partially orthonormalized, which carries negligible state weight.
+    null directions stay (harmlessly) null.
+
+    ``passes``: each full pass lifts relative singular values by ~3 decades,
+    so 1 pass fully orthonormalizes spreads down to ~1e-2, 2 passes ~1e-4,
+    3 passes ~1e-6 (measured).  Weak-but-significant directions (slowly
+    decaying Schmidt spectra — Heisenberg-class states) NEED >= 2 passes when
+    the result is used as an isometric factor: a partial isometry there
+    distorts the split (bisected end-to-end: 1.9e-2 XXZ observable error at
+    1 pass vs 4e-4 exact-QR; see split_matrix_subspace).  Near-isometric
+    inputs (canonicalization shifts) are fine with 1.
 
     The scaling must be a GUARANTEED upper bound on sigma_max — the degree-5
     polynomial (polar-express coefficients) diverges for singular values above
@@ -50,27 +58,29 @@ def newton_schulz_orthogonalize(y: jnp.ndarray) -> jnp.ndarray:
     Degree-5 accelerated iterations pull singular values from ~1e-4 up to 1
     in a handful of steps; plain NS steps polish to isometry.
     """
-    a1 = jnp.abs(y)
-    holder = jnp.sqrt(
-        jnp.max(jnp.sum(a1, axis=-2), axis=-1) * jnp.max(jnp.sum(a1, axis=-1), axis=-1)
-    )
-    frob = jnp.sqrt(jnp.sum(a1**2, axis=(-2, -1)))
-    bound = (jnp.minimum(frob, holder) + 1e-30)[..., None, None]
-    x = y / bound.astype(y.dtype)
-    for a, b, c in (
-        (3.4445, -4.7750, 2.0315),
-        (3.4445, -4.7750, 2.0315),
-        (3.4445, -4.7750, 2.0315),
-        (3.4445, -4.7750, 2.0315),
-        (2.0, -1.3333, 0.3333),
-        (2.0, -1.3333, 0.3333),
-    ):
-        g = jnp.swapaxes(x.conj(), -1, -2) @ x
-        xg = x @ g
-        x = a * x + b * xg + c * (xg @ g)
-    for _ in range(2):
-        g = jnp.swapaxes(x.conj(), -1, -2) @ x
-        x = 1.5 * x - 0.5 * (x @ g)
+    x = y
+    for _ in range(passes):
+        a1 = jnp.abs(x)
+        holder = jnp.sqrt(
+            jnp.max(jnp.sum(a1, axis=-2), axis=-1) * jnp.max(jnp.sum(a1, axis=-1), axis=-1)
+        )
+        frob = jnp.sqrt(jnp.sum(a1**2, axis=(-2, -1)))
+        bound = (jnp.minimum(frob, holder) + 1e-30)[..., None, None]
+        x = x / bound.astype(x.dtype)
+        for a, b, c in (
+            (3.4445, -4.7750, 2.0315),
+            (3.4445, -4.7750, 2.0315),
+            (3.4445, -4.7750, 2.0315),
+            (3.4445, -4.7750, 2.0315),
+            (2.0, -1.3333, 0.3333),
+            (2.0, -1.3333, 0.3333),
+        ):
+            g = jnp.swapaxes(x.conj(), -1, -2) @ x
+            xg = x @ g
+            x = a * x + b * xg + c * (xg @ g)
+        for _ in range(2):
+            g = jnp.swapaxes(x.conj(), -1, -2) @ x
+            x = 1.5 * x - 0.5 * (x @ g)
     return x
 
 
@@ -209,9 +219,14 @@ def split_matrix_subspace(
     # precision for the power iteration.
     eps_reg = float(jnp.finfo(_real_or(m.dtype)).eps) ** 0.75
 
-    def _safe_qr(y, seed):
+    def _safe_qr(y, seed, passes=1):
         if qr_method == "newton":
-            return newton_schulz_orthogonalize(y)
+            # the FINAL basis doubles as the isometric factor: 2 NS passes
+            # cover singular-value spreads to ~1e-4 (the power iterate cubes
+            # the spectrum, so Heisenberg-class slowly-decaying spectra land
+            # there; 1 pass leaves a partial isometry and a measured 1.9e-2
+            # end-to-end XXZ observable error — see the NS docstring)
+            return newton_schulz_orthogonalize(y, passes=passes)
         if qr_method == "cholesky":
             # CholQR with an eps-shifted Gram: ~2x cheaper than Householder
             # per microbenchmark, but XLA:TPU's cholesky NaNs on the
@@ -237,7 +252,7 @@ def split_matrix_subspace(
             if orth_every:  # re-orth between powers: resolves tails ~eps^(1/2)
                 y = _safe_qr(y, 31 + it)
             y = m @ (mh @ y)
-        q = _safe_qr(y, 63)
+        q = _safe_qr(y, 63, passes=2)
         left = q
         right = jnp.swapaxes(q.conj(), -1, -2) @ m
         s_approx = jnp.sqrt(jnp.sum(jnp.abs(right) ** 2, axis=-1))
@@ -248,7 +263,7 @@ def split_matrix_subspace(
             if orth_every:
                 y = _safe_qr(y, 47 + it)
             y = mh @ (m @ y)
-        v = _safe_qr(y, 79)
+        v = _safe_qr(y, 79, passes=2)
         left = m @ v
         right = jnp.swapaxes(v.conj(), -1, -2)
         s_approx = jnp.sqrt(jnp.sum(jnp.abs(left) ** 2, axis=-2))
