@@ -59,6 +59,7 @@ def _split_cfg(theta, chi, cfg: TDVPConfig, distribution: str):
             chi,
             iters=cfg.subspace_iters,
             orth_every=cfg.subspace_orth,
+            qr_method=cfg.subspace_qr,
             svd_distribution=distribution,
         )
     return split_two_site_truncated(
@@ -388,6 +389,7 @@ def apply_gate_stage(
             max_bond_dim=cfg.max_bond_dim,
             svd_method=cfg.svd_method,
             subspace_iters=cfg.subspace_iters,
+            subspace_qr=cfg.subspace_qr,
         )
     tensors = tensors.at[w0 : w0 + w].set(window)
     tensors, _ = normalize_canonical(tensors, method=cfg.canon_method)
@@ -459,6 +461,7 @@ def make_gate_stage_steps(
                     max_bond_dim=cfg.max_bond_dim,
                     svd_method=cfg.svd_method,
                     subspace_iters=cfg.subspace_iters,
+                    subspace_qr=cfg.subspace_qr,
                 )
 
             return jax.vmap(one)(window_b)

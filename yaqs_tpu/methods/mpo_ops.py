@@ -56,6 +56,7 @@ def mpo_apply_mps_zipup(
     max_bond_dim: int | None = None,
     svd_method: str = "exact",
     subspace_iters: int = 2,
+    subspace_qr: str = "householder",
 ) -> jnp.ndarray:
     """``W |psi>`` by zip-up: truncate each bond as the sweep passes.
 
@@ -75,7 +76,8 @@ def mpo_apply_mps_zipup(
         m = e.reshape(d * chi, dw * chi)
         if svd_method == "subspace":
             left, right, _, _ = split_matrix_subspace(
-                m, chi, iters=subspace_iters, svd_distribution="right"
+                m, chi, iters=subspace_iters, qr_method=subspace_qr,
+                svd_distribution="right"
             )
         else:
             left, right, _, _ = split_matrix_truncated(
