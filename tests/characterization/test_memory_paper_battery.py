@@ -239,6 +239,35 @@ def test_characterize_forwards_initial_state():
                                   direct.response_matrix)
 
 
+def test_initial_state_rejects_indefinite_density_matrix():
+    """Hermitian + positive trace is not enough: an indefinite matrix would
+    silently drive an unphysical characterization (ADVICE r4)."""
+    ham = Hamiltonian.ising(2, 1.0, 1.0)
+    indefinite = np.diag([1.5, -0.5, 0.0, 0.0]).astype(complex)  # trace 1, Hermitian
+    with pytest.raises(ValueError, match="positive semidefinite"):
+        ExactBackend(ham, TAU, initial_state=indefinite)
+    # tiny negative rounding noise still passes
+    ok = np.diag([1.0, 1e-13 * -1, 0.0, 0.0]).astype(complex)
+    ExactBackend(ham, TAU, initial_state=ok)
+
+
+def test_characterize_accepts_initial_psi_alias():
+    """Reference call sites use initial_psi=; it must be a drop-in alias
+    (reference memory_characterizer.py:516)."""
+    ham = Hamiltonian.ising(2, 1.0, 1.0)
+    mc = MemoryCharacterizer(preset="quick", n_pasts=6, n_futures=6)
+    plus = np.ones(4, dtype=complex) / 2.0
+    a = mc.characterize(ham, num_interventions=3, tau=TAU, cut=2, seed=9,
+                        initial_psi=plus)
+    b = mc.characterize(ham, num_interventions=3, tau=TAU, cut=2, seed=9,
+                        initial_state=plus)
+    np.testing.assert_array_equal(a.by_cut[2].response_matrix,
+                                  b.by_cut[2].response_matrix)
+    with pytest.raises(ValueError, match="not both"):
+        mc.characterize(ham, num_interventions=3, tau=TAU, cut=2, seed=9,
+                        initial_state=plus, initial_psi=plus)
+
+
 # -------------------------------------------------------- surrogate contracts
 def test_sample_dataset_validates_sizes():
     ham = Hamiltonian.ising(2, 1.0, 0.5)

@@ -144,6 +144,48 @@ def test_gate_stage_path_device_invariant():
     np.testing.assert_array_equal(r8.trajectories, r1.trajectories)
 
 
+@pytest.mark.slow
+def test_production_shape_bit_identity():
+    """Bench-shape digital mesh coverage (VERDICT r4 #4): the BENCH config-3
+    circuit at n=20, chi=32, 8-layer noisy brickwork with the mid-circuit
+    observable column and gate_mode=swaps — 8-vs-1 bit identity through
+    Simulator.run at a real workload, not a toy."""
+    from yaqs_tpu.digital.circuit import GateOp, load_circuit
+
+    n, layers = 20, 8
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{n}];",
+             f"creg c[{n}];"]
+    for layer in range(layers):
+        for q in range(n):
+            lines.append(f"rx({0.3 + 0.01 * q}) q[{q}];")
+        for q in range(layer % 2, n - 1, 2):
+            lines.append(f"cx q[{q}],q[{q + 1}];")
+    lines.append("measure q -> c;")
+    circ = load_circuit("\n".join(lines))
+    circ.ops.insert(len(circ.ops) // 2, GateOp("barrier", (), label="SAMPLE_OBSERVABLES"))
+    noise = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": 0.02} for i in range(n)]
+    )
+
+    def params():
+        return DigitalSimParams(
+            observables=[Observable("z", i) for i in range(n)],
+            num_traj=8,
+            shots=16,
+            max_bond_dim=32,
+            sample_layers=True,
+            random_seed=3,
+            gate_mode="swaps",
+        )
+
+    r8 = Simulator(parallel=True).run(State(n), circ, params(), noise)
+    r1 = Simulator(parallel=False).run(State(n), circ, params(), noise)
+    np.testing.assert_array_equal(r8.trajectories, r1.trajectories)
+    np.testing.assert_array_equal(r8.measurements, r1.measurements)
+    assert r8.counts == r1.counts
+    assert np.all(np.isfinite(r8.trajectories))
+
+
 def test_max_retries_accepted():
     n = 4
     p = _params(num_traj=8, shots=0)

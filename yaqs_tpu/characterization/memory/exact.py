@@ -139,6 +139,15 @@ class ExactBackend:
             if tr <= 0 or np.linalg.norm(arr - arr.conj().T) > 1e-10 * max(tr, 1.0):
                 msg = "initial_state density matrix must be Hermitian with positive trace"
                 raise ValueError(msg)
+            # positivity: an indefinite Hermitian input would silently produce
+            # an unphysical characterization (ADVICE r4)
+            lo = float(np.linalg.eigvalsh(arr)[0])
+            if lo < -1e-10 * max(tr, 1.0):
+                msg = (
+                    "initial_state density matrix must be positive semidefinite "
+                    f"(min eigenvalue {lo:.3e})"
+                )
+                raise ValueError(msg)
             return arr / tr
         msg = (
             f"initial_state must have shape ({dim},) or ({dim}, {dim}), "

@@ -151,6 +151,7 @@ class MemoryCharacterizer:
         backend: str = "exact",
         backend_options: dict | None = None,
         initial_state=None,
+        initial_psi=None,
     ) -> CharacterizationResult:
         """Operational split-cut memory characterization.
 
@@ -160,10 +161,16 @@ class MemoryCharacterizer:
         surrogate exposing ``evaluate_probes``.  ``backend_options`` forwards
         kwargs (``chi``, ``dt``, ``num_traj``, ...) to the MPS backend.
         ``initial_state`` (a chain state vector or density matrix) replaces
-        the default |0...0> start for the exact backend (reference
+        the default |0...0> start for the exact backend; ``initial_psi`` is
+        accepted as a drop-in alias for reference call sites (reference
         ``initial_psi``, memory_characterizer.py:516).
         """
         # validation contracts (reference memory_characterizer.py:586-640)
+        if initial_psi is not None:
+            if initial_state is not None:
+                msg = "pass either initial_state= or initial_psi=, not both"
+                raise ValueError(msg)
+            initial_state = initial_psi
         if cut is not None and cuts is not None:
             msg = "pass either cut= or cuts=, not both"
             raise ValueError(msg)

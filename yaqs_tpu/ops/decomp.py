@@ -31,7 +31,9 @@ __all__ = [
 ]
 
 
-def newton_schulz_orthogonalize(y: jnp.ndarray, passes: int = 1) -> jnp.ndarray:
+def newton_schulz_orthogonalize(
+    y: jnp.ndarray, passes: int = 1, aggressive: int = 4
+) -> jnp.ndarray:
     """Orthonormalize the columns of ``y`` by Newton-Schulz polar iteration.
 
     Matmuls only (MXU-native): avoids the XLA:TPU Householder-QR NaN hazard on
@@ -39,14 +41,23 @@ def newton_schulz_orthogonalize(y: jnp.ndarray, passes: int = 1) -> jnp.ndarray:
     for rank-deficient ``y`` the iteration converges to a partial isometry —
     null directions stay (harmlessly) null.
 
-    ``passes``: each full pass lifts relative singular values by ~3 decades,
-    so 1 pass fully orthonormalizes spreads down to ~1e-2, 2 passes ~1e-4,
-    3 passes ~1e-6 (measured).  Weak-but-significant directions (slowly
-    decaying Schmidt spectra — Heisenberg-class states) NEED >= 2 passes when
-    the result is used as an isometric factor: a partial isometry there
-    distorts the split (bisected end-to-end: 1.9e-2 XXZ observable error at
-    1 pass vs 4e-4 exact-QR; see split_matrix_subspace).  Near-isometric
-    inputs (canonicalization shifts) are fine with 1.
+    ``aggressive`` counts the accelerated (polar-express) quintics per pass;
+    each multiplies small singular values by ~3.44, the two mild quintics by
+    ~2, so one default pass (4 aggressive) lifts ~2.8 decades — full
+    orthonormalization for spreads down to ~1e-2.  ``aggressive=7`` lifts
+    ~4.4 decades (covers ~1e-4) at ~1.4x the cost of a default pass — cheaper
+    than ``passes=2``.  ``passes`` repeats the whole pass (re-normalizing in
+    between), stacking coverage multiplicatively.
+
+    complex64 floor: the Gram products that drive the iteration carry ~eps
+    absolute noise from the strong directions, so directions below ~sqrt(eps)
+    ~ 2.4e-4 relative are lifted with O(eps/sigma^2) angular noise and
+    directions below ~1e-6 relative are noise-dominated NO MATTER HOW MANY
+    passes run.  Callers must therefore never feed NS an iterate whose
+    significant directions have been powered below that floor — see
+    split_matrix_subspace's half-step scheme (bisected end-to-end: the
+    full-power iterate cost 1.9e-2 XXZ observable error; spread ladder in
+    tests/methods/test_fast_path_battery.py).
 
     The scaling must be a GUARANTEED upper bound on sigma_max — the degree-5
     polynomial (polar-express coefficients) diverges for singular values above
@@ -55,8 +66,6 @@ def newton_schulz_orthogonalize(y: jnp.ndarray, passes: int = 1) -> jnp.ndarray:
     ``min(frobenius, sqrt(norm1 * norminf))`` — both are true upper bounds,
     and the Holder bound is typically ~sqrt(rank) tighter than Frobenius,
     which buys roughly one extra converged decade per iteration budget.
-    Degree-5 accelerated iterations pull singular values from ~1e-4 up to 1
-    in a handful of steps; plain NS steps polish to isometry.
     """
     x = y
     for _ in range(passes):
@@ -67,14 +76,11 @@ def newton_schulz_orthogonalize(y: jnp.ndarray, passes: int = 1) -> jnp.ndarray:
         frob = jnp.sqrt(jnp.sum(a1**2, axis=(-2, -1)))
         bound = (jnp.minimum(frob, holder) + 1e-30)[..., None, None]
         x = x / bound.astype(x.dtype)
-        for a, b, c in (
-            (3.4445, -4.7750, 2.0315),
-            (3.4445, -4.7750, 2.0315),
-            (3.4445, -4.7750, 2.0315),
-            (3.4445, -4.7750, 2.0315),
+        coeffs = [(3.4445, -4.7750, 2.0315)] * aggressive + [
             (2.0, -1.3333, 0.3333),
             (2.0, -1.3333, 0.3333),
-        ):
+        ]
+        for a, b, c in coeffs:
             g = jnp.swapaxes(x.conj(), -1, -2) @ x
             xg = x @ g
             x = a * x + b * xg + c * (xg @ g)
@@ -221,12 +227,12 @@ def split_matrix_subspace(
 
     def _safe_qr(y, seed, passes=1):
         if qr_method == "newton":
-            # the FINAL basis doubles as the isometric factor: 2 NS passes
-            # cover singular-value spreads to ~1e-4 (the power iterate cubes
-            # the spectrum, so Heisenberg-class slowly-decaying spectra land
-            # there; 1 pass leaves a partial isometry and a measured 1.9e-2
-            # end-to-end XXZ observable error — see the NS docstring)
-            return newton_schulz_orthogonalize(y, passes=passes)
+            # only reached via the half-step scheme below: inputs carry the
+            # kept subspace's RAW sigma spread (never a powered spectrum), so
+            # one extended pass (8 aggressive quintics ~ 4.9 decades, full
+            # coverage of spreads to 1e-4) orthonormalizes every direction
+            # that is significant at the complex64 truncation floor
+            return newton_schulz_orthogonalize(y, passes=1, aggressive=8)
         if qr_method == "cholesky":
             # CholQR with an eps-shifted Gram: ~2x cheaper than Householder
             # per microbenchmark, but XLA:TPU's cholesky NaNs on the
@@ -245,13 +251,32 @@ def split_matrix_subspace(
         scale = (eps_reg * jnp.linalg.norm(y)).astype(y.dtype)
         q, _ = jnp.linalg.qr(y + scale * jnp.asarray(nz, dtype=y.dtype))
         return q
+    # Newton (TPU default) uses HALF-STEP alternation: orthonormalize after
+    # EVERY application of m / m^H, so each NS input carries the kept
+    # subspace's raw sigma spread — never sigma^(2*iters+1).  The full-power
+    # iterate is unrecoverable in complex64: powering crushes significant
+    # directions (sigma_rel ~ 1e-3 at the bench truncation floor) below the
+    # Gram noise floor (~sqrt(eps) ~ 2.4e-4), where NO pass count can lift
+    # them cleanly (bisected: 1.9e-2 XXZ observable error; spread-ladder unit
+    # pins in tests/methods/test_fast_path_battery.py).  Same total power
+    # applications (2*iters + 1) as the classic scheme, so the subspace
+    # convergence rate is unchanged.  Householder keeps the classic scheme:
+    # exact QR handles any spread, and float64's deeper eps floor tolerates
+    # the powered spectrum.
+    half_step = qr_method == "newton"
     if svd_distribution == "right":
         # left factor isometric: dominant COLUMN subspace of m
         y = m @ jnp.asarray(omega_c, dtype=m.dtype)
-        for it in range(iters):
-            if orth_every:  # re-orth between powers: resolves tails ~eps^(1/2)
-                y = _safe_qr(y, 31 + it)
-            y = m @ (mh @ y)
+        if half_step:
+            for it in range(iters):
+                q = _safe_qr(y, 31 + it)
+                z = _safe_qr(mh @ q, 131 + it)
+                y = m @ z
+        else:
+            for it in range(iters):
+                if orth_every:  # re-orth between powers: resolves tails ~eps^(1/2)
+                    y = _safe_qr(y, 31 + it)
+                y = m @ (mh @ y)
         q = _safe_qr(y, 63, passes=2)
         left = q
         right = jnp.swapaxes(q.conj(), -1, -2) @ m
@@ -259,10 +284,16 @@ def split_matrix_subspace(
     elif svd_distribution == "left":
         # right factor isometric: dominant ROW subspace of m
         y = mh @ jnp.asarray(omega_r, dtype=m.dtype)
-        for it in range(iters):
-            if orth_every:
-                y = _safe_qr(y, 47 + it)
-            y = mh @ (m @ y)
+        if half_step:
+            for it in range(iters):
+                v0 = _safe_qr(y, 47 + it)
+                z = _safe_qr(m @ v0, 147 + it)
+                y = mh @ z
+        else:
+            for it in range(iters):
+                if orth_every:
+                    y = _safe_qr(y, 47 + it)
+                y = mh @ (m @ y)
         v = _safe_qr(y, 79, passes=2)
         left = m @ v
         right = jnp.swapaxes(v.conj(), -1, -2)
