@@ -232,13 +232,99 @@ def test_qasm3_declarations_and_measure():
 
 @pytest.mark.parametrize(
     "stmt",
-    ["while (true) { x q[0]; }",
-     "if (c[0]) { x q[0]; }", "def f() { }", "reset q[0];"],
+    ["while (true) { x q[0]; }", "def f() { }", "reset q[0];"],
 )
 def test_qasm3_unsupported_constructs_rejected(stmt):
     src = "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\n" + stmt
     with pytest.raises((NotImplementedError, ValueError)):
         parse_qasm3(src)
+
+
+def test_qasm3_reset_rejection_parity_with_reference():
+    """`reset` is rejected here at parse; the reference rejects it in its DAG
+    walk (_REJECTED_INSTRUCTIONS, dag_utils.py:49) — neither engine executes
+    it, so rejection is the parity behavior."""
+    with pytest.raises(NotImplementedError, match="reset"):
+        parse_qasm3("OPENQASM 3.0;\nqubit[2] q;\nh q[0];\nreset q[0];\nh q[0];")
+
+
+# -- QASM3 compile-time-decidable if -------------------------------------------
+# Classical bits are 0-initialized and the execution model is terminal-
+# measure-only, so an `if` on a never-measured register is statically
+# decidable: the branch inlines or drops at parse time.  `if` on a measured
+# register is genuine mid-circuit control flow and stays rejected.
+
+
+def test_qasm3_if_on_zero_bit_inlines_body():
+    src = (
+        "OPENQASM 3.0;\nqubit[2] q;\nbit[2] c;\n"
+        "if (c == 0) { h q[0]; cx q[0], q[1]; }\n"
+    )
+    c = parse_qasm3(src)
+    assert [(o.name, tuple(o.qubits)) for o in c.ops] == [("h", (0,)), ("cx", (0, 1))]
+
+
+def test_qasm3_if_on_nonzero_comparison_drops_body():
+    src = "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\nif (c == 1) { x q[0]; }\nh q[0];\n"
+    c = parse_qasm3(src)
+    assert [o.name for o in c.ops] == ["h"]
+
+
+def test_qasm3_if_single_statement_form():
+    src = "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\nif (c[0] == 0) x q[0];\n"
+    c = parse_qasm3(src)
+    assert [o.name for o in c.ops] == ["x"]
+
+
+def test_qasm3_if_bare_condition_is_falsy():
+    src = "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\nif (c) x q[0];\nh q[0];\n"
+    assert [o.name for o in parse_qasm3(src).ops] == ["h"]
+
+
+def test_qasm3_if_not_equal_forms():
+    src = (
+        "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\n"
+        "if (c != 0) x q[0];\nif (c != 1) h q[0];\n"
+    )
+    assert [o.name for o in parse_qasm3(src).ops] == ["h"]
+
+
+def test_qasm3_if_on_measured_register_rejected():
+    src = (
+        "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\n"
+        "h q[0];\nc = measure q;\nif (c == 1) x q[0];\n"
+    )
+    with pytest.raises(NotImplementedError, match="measured classical register"):
+        parse_qasm3(src)
+
+
+def test_qasm3_if_on_other_unmeasured_register_still_decides():
+    src = (
+        "OPENQASM 3.0;\nqubit[2] q;\nbit[1] c;\nbit[1] d;\n"
+        "h q[0];\nc = measure q[0];\nif (d == 0) x q[1];\n"
+    )
+    c = parse_qasm3(src)
+    assert [o.name for o in c.ops if o.name != "measure"] == ["h", "x"]
+
+
+def test_qasm3_else_rejected():
+    src = (
+        "OPENQASM 3.0;\nqubit[1] q;\nbit[1] c;\n"
+        "if (c == 0) { x q[0]; } else { h q[0]; }\n"
+    )
+    with pytest.raises(NotImplementedError, match="else"):
+        parse_qasm3(src)
+
+
+def test_qasm3_if_body_with_for_loop_unrolls():
+    src = (
+        "OPENQASM 3.0;\nqubit[3] q;\nbit[1] c;\n"
+        "if (c == 0) { for int i in [0:2] { h q[i]; } }\n"
+    )
+    c = parse_qasm3(src)
+    assert [(o.name, tuple(o.qubits)) for o in c.ops] == [
+        ("h", (0,)), ("h", (1,)), ("h", (2,)),
+    ]
 
 
 # -- QASM3 for-loop unrolling ---------------------------------------------------

@@ -198,6 +198,9 @@ def _split_statements(text: str) -> list[str]:
             if depth == 0 and joined.startswith("gate"):
                 stmts.append(joined.strip())
                 buf = []
+            elif depth == 0 and joined.startswith("if"):
+                stmts.append(joined.strip())
+                buf = []
             elif depth == 0 and joined.startswith("for"):
                 # flush only when the closed brace group is the loop BODY —
                 # a set literal (`for int k in {0, 3} ...`) also closes a
@@ -450,6 +453,58 @@ def _unroll_for(stmt: str) -> list[str]:
     return [var_re.sub(f"({v})", bs) for v in values for bs in body_stmts]
 
 
+_IF_HEAD_RE = re.compile(r"if\s*\((.*?)\)\s*(.*)", re.DOTALL)
+_IF_COND_RE = re.compile(
+    r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\[\s*(\d+)\s*\])?\s*(?:(==|!=)\s*([0-9]+))?\s*$"
+)
+
+
+def _unroll_if(stmt: str, written_cregs: set[str]) -> list[str]:
+    """Resolve a compile-time-decidable ``if`` into its body or nothing.
+
+    Classical bits start at 0 in OpenQASM 3, and the digital engine's
+    terminal-measure-only model means a bit compared before any measure into
+    its register is statically 0: ``if (c == 0)`` inlines the body,
+    ``if (c == 1)`` (or any nonzero comparison) drops it, ``if (c)`` drops it
+    (0 is falsy), and the ``!=`` forms negate.  An ``if`` on a register that
+    HAS been measured is genuinely mid-circuit control flow and stays
+    rejected (the execution model cannot represent it — the reference's
+    digital engine is terminal-measure-only as well, digital_tjm.py).
+    """
+    m = _IF_HEAD_RE.match(stmt)
+    if not m:
+        msg = f"cannot parse OpenQASM 3 if statement: {stmt[:80]!r}"
+        raise NotImplementedError(msg)
+    cond, body = m.group(1).strip(), m.group(2).strip()
+    cm = _IF_COND_RE.match(cond)
+    if not cm:
+        msg = (
+            f"unsupported OpenQASM 3 if condition {cond!r}: only "
+            "'creg [== int]' / 'creg != int' comparisons are supported"
+        )
+        raise NotImplementedError(msg)
+    creg, op, rhs = cm.group(1), cm.group(3), cm.group(4)
+    if creg in written_cregs:
+        msg = (
+            f"if on measured classical register {creg!r} is mid-circuit "
+            "control flow, which the terminal-measure execution model cannot "
+            "represent"
+        )
+        raise NotImplementedError(msg)
+    value = 0  # never written -> 0-initialized
+    if op is None:
+        taken = value != 0
+    elif op == "==":
+        taken = value == int(rhs)
+    else:
+        taken = value != int(rhs)
+    if not taken:
+        return []
+    if body.startswith("{"):
+        body = body[1:].rsplit("}", 1)[0]
+    return _split_statements(body)
+
+
 def _fold_index_arith(stmt: str) -> str:
     """Evaluate bracketed integer arithmetic (``q[(2)+1]`` -> ``q[3]``) left
     by loop-variable substitution; bare integers and non-arithmetic brackets
@@ -470,15 +525,22 @@ def parse_qasm3(text: str) -> Circuit:
 
     Supported: ``qubit[n] name;`` / ``qubit name;`` declarations, ``bit``
     declarations, ``c = measure q;`` and ``measure q -> c;`` forms, stdgates
-    applications, user ``gate`` definitions, parameter expressions, and
+    applications, user ``gate`` definitions, parameter expressions,
     ``for`` loops over literal integer ranges/sets (unrolled, including
-    nesting; see :func:`_unroll_for`).  ``while/if/def/reset`` remain
-    explicitly rejected.
+    nesting; see :func:`_unroll_for`), and ``if`` statements whose condition
+    is compile-time decidable — a comparison against a classical bit that is
+    never written before the ``if`` (bits are 0-initialized, and the
+    terminal-measure-only execution model makes "never written" decidable):
+    the branch is inlined or dropped.  ``if`` on a measured bit, ``else``,
+    ``while/def/reset`` remain explicitly rejected (the reference routes
+    QASM 3 through qiskit's importer, qasm_utils.py:133, but its digital
+    engine is terminal-measure-only as well).
     """
     from collections import deque
 
     text = _strip_comments(text)
     out_lines: list[str] = []
+    written_cregs: set[str] = set()
     queue = deque(_split_statements(text))
     while queue:
         s = queue.popleft().strip()
@@ -487,6 +549,12 @@ def parse_qasm3(text: str) -> Circuit:
         if re.match(r"for[\s(]", s):
             queue.extendleft(reversed(_unroll_for(s)))
             continue
+        if re.match(r"if[\s(]", s):
+            queue.extendleft(reversed(_unroll_if(s, written_cregs)))
+            continue
+        if s.startswith("else"):
+            msg = "unsupported OpenQASM 3 statement: else"
+            raise NotImplementedError(msg)
         s = _fold_index_arith(s)
         m = re.fullmatch(r"qubit\s*\[(\d+)\]\s*([a-zA-Z_][a-zA-Z0-9_]*)", s)
         if m:
@@ -502,13 +570,17 @@ def parse_qasm3(text: str) -> Circuit:
             continue
         m = re.fullmatch(r"([a-zA-Z_][a-zA-Z0-9_\[\]]*)\s*=\s*measure\s+(\S+)", s)
         if m:
+            written_cregs.add(m.group(1).split("[")[0])
             out_lines.append(f"measure {m.group(2)} -> {m.group(1)}")
             continue
         m = re.fullmatch(r"measure\s+(\S+)", s)
         if m:
             out_lines.append(f"measure {m.group(1)} -> __discard")
             continue
-        for kw in ("while ", "if ", "def ", "reset "):
+        m = re.match(r"measure\s+\S+\s*->\s*([a-zA-Z_][a-zA-Z0-9_]*)", s)
+        if m:
+            written_cregs.add(m.group(1))
+        for kw in ("while ", "def ", "reset "):
             if s.startswith(kw):
                 msg = f"unsupported OpenQASM 3 statement: {kw.strip()}"
                 raise NotImplementedError(msg)
