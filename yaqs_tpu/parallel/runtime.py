@@ -65,6 +65,31 @@ def make_trajectory_mesh(config: ExecutionConfig | None = None) -> Mesh:
     return Mesh(np.array(devices), ("traj",))
 
 
+# Cross-run cache of jitted ensemble programs: traj_fn closures are rebuilt
+# per Simulator.run (complex operands must ride as trace-time constants on
+# the tunneled TPU platform), so without this every run retraces+recompiles.
+# Callers opt in by passing program_key = a content digest of everything the
+# closure captures (see digital engine _tree_digest).
+_ENSEMBLE_CACHE: dict = {}
+_ENSEMBLE_CACHE_MAX = 64
+
+
+def tree_digest(tree) -> str:
+    """Stable content digest of a host-numpy pytree (structure+shape+bytes);
+    the identity used for cross-run program caching."""
+    import hashlib
+
+    h = hashlib.sha1()
+    leaves, treedef = jax.tree.flatten(tree)
+    h.update(repr(treedef).encode())
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def run_ensemble(
     traj_fn: Callable,
     num_traj: int,
@@ -72,12 +97,17 @@ def run_ensemble(
     key_fns: tuple[Callable, Callable],
     config: ExecutionConfig | None = None,
     reduce: str | None = None,
+    program_key: object | None = None,
 ) -> np.ndarray:
     """Run ``traj_fn(traj_key, smpl_key) -> (n_obs, T)`` for ``num_traj``
     trajectories and return the stacked ``(num_traj, n_obs, T)`` host array.
 
     The batch axis is padded up to a multiple of the device count per chunk,
     sharded over the ``traj`` mesh axis, and chunked by ``batch_size``.
+
+    ``program_key``: optional hashable identity for ``traj_fn``'s captured
+    content; when given, the jitted batched program is reused across calls
+    with the same key (cold-start fix, round 5).
 
     With ``reduce="mean"`` the cross-trajectory mean is taken ON DEVICE
     inside the jitted program: the sum over the sharded ``traj`` axis lowers
@@ -98,17 +128,24 @@ def run_ensemble(
     n_dev = mesh.devices.size
 
     traj_key_fn, sample_key_fn = key_fns
-    if reduce == "mean":
+    cache_key = None if program_key is None else (program_key, reduce)
+    batched = _ENSEMBLE_CACHE.get(cache_key) if cache_key is not None else None
+    if batched is None:
+        if reduce == "mean":
 
-        @jax.jit
-        def batched(tks, sks, valid):
-            res = jax.vmap(traj_fn)(tks, sks)
-            w = valid.reshape((-1,) + (1,) * (res.ndim - 1)).astype(res.dtype)
-            # sum over the sharded axis -> XLA all-reduce over the traj mesh
-            return jnp.sum(res * w, axis=0)
+            @jax.jit
+            def batched(tks, sks, valid):
+                res = jax.vmap(traj_fn)(tks, sks)
+                w = valid.reshape((-1,) + (1,) * (res.ndim - 1)).astype(res.dtype)
+                # sum over the sharded axis -> XLA all-reduce over the traj mesh
+                return jnp.sum(res * w, axis=0)
 
-    else:
-        batched = jax.jit(jax.vmap(traj_fn))
+        else:
+            batched = jax.jit(jax.vmap(traj_fn))
+        if cache_key is not None:
+            if len(_ENSEMBLE_CACHE) >= _ENSEMBLE_CACHE_MAX:
+                _ENSEMBLE_CACHE.pop(next(iter(_ENSEMBLE_CACHE)))
+            _ENSEMBLE_CACHE[cache_key] = batched
 
     chunk = config.batch_size or num_traj
     chunk = max(1, min(chunk, num_traj))

@@ -47,7 +47,7 @@ from .core.sim_params import AnalogSimParams, DigitalSimParams
 from .core.state import State
 from .methods.tdvp import TDVPConfig
 from .utils.host import fetch, to_device
-from .parallel.runtime import ExecutionConfig, run_ensemble
+from .parallel.runtime import ExecutionConfig, run_ensemble, tree_digest
 
 __all__ = ["Simulator"]
 
@@ -441,6 +441,13 @@ class Simulator:
             base_key,
             (trajectory_key, sample_key),
             self._execution,
+            program_key=(
+                "tjm",
+                tree_digest(
+                    (tensors0, mpo, compiled, observables, sj_flags, sj_mats, sj_two)
+                ),
+                plan,
+            ),
         )  # (n_traj, n_obs_sorted [+ ns*chi spectra] + 3, T)
         per_traj = stacked[:, :-3, :]
         diag_traj = stacked[:, -3:, :]
