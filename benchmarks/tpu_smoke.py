@@ -304,6 +304,49 @@ def main() -> None:
         vals = np.asarray(res.expectation_values)
         assert np.all(np.isfinite(vals)) and np.all(np.abs(vals) <= 1 + 1e-6)
 
+    def analog_l200():
+        """Finiteness + accuracy at 2x bench length (VERDICT r4 #1/#2).
+
+        The round-4 driver artifact recorded a non-finite L=200 observable
+        (partial-isometry split class, fixed by half-step NS — see
+        docs/tpu_numerics.md).  Noisy leg: bench knob set stays finite.
+        Noiseless leg: interior <X> after t=0.2 is length-independent
+        (light cone), golden 0.85034266 from L=12 dense expm + L=24/48 x64
+        MPS (all agree to 5e-9).
+        """
+        Lb = 200
+        hamb = Hamiltonian.ising(Lb, 1.0, 0.5)
+        nmb = NoiseModel(
+            [{"name": "z", "sites": [i], "strength": 0.05} for i in range(Lb)]
+            + [{"name": "lowering", "sites": [i], "strength": 0.05} for i in range(Lb)]
+        )
+        knobs = dict(svd_method="subspace", subspace_qr="newton",
+                     canon_method="newton", lanczos_reorth=False,
+                     subspace_iters=1)
+        res = Simulator().run(
+            State(Lb, state="x+"), hamb,
+            AnalogSimParams(
+                observables=[Observable("z", i) for i in range(0, Lb, 20)],
+                elapsed_time=0.2, dt=0.1, num_traj=2, order=2,
+                max_bond_dim=16, krylov_dim=4, random_seed=1, **knobs,
+            ),
+            nmb,
+        )
+        assert np.all(np.isfinite(np.asarray(res.expectation_values)))
+        res2 = Simulator().run(
+            State(Lb, state="x+"), hamb,
+            AnalogSimParams(
+                observables=[Observable("x", i) for i in range(90, 111, 5)],
+                elapsed_time=0.2, dt=0.1, num_traj=1, order=2,
+                max_bond_dim=16, krylov_dim=8, random_seed=1, **knobs,
+            ),
+        )
+        xs = np.asarray(res2.expectation_values)[:, -1]
+        assert np.all(np.isfinite(xs))
+        # interior uniformity (translation invariance) + golden accuracy
+        assert np.abs(xs - xs.mean()).max() < 2e-3, xs
+        assert abs(xs.mean() - 0.85034266) < 5e-3, xs.mean()
+
     def characterize_memory():
         from yaqs_tpu import MemoryCharacterizer
 
@@ -330,6 +373,7 @@ def main() -> None:
     check("chunked order-2 dispatch", chunked_analog)
     check("MCWF large-system (MPO H_eff + Arnoldi)", mcwf_krylov)
     check("Lindblad large-system (sparse RK4 ODE)", lindblad_rk4)
+    check("analog L=200 chain (finiteness + interior-X golden)", analog_l200)
     if _ONE is not None:
         return
     if FAIL:
