@@ -129,6 +129,35 @@ def test_fast_path_length_ladder(name, factory, length):
     assert np.abs(f - e).max() < 1e-3, np.abs(f - e).max()
 
 
+@pytest.mark.slow
+def test_fast_path_complex64_symmetric_z_cliff():
+    """Golden-free c64 guard for the noise-amplification cliff.
+
+    Noiseless TFIM from |x+> has <Z_i(t)> = 0 EXACTLY (spin-flip symmetry:
+    X^(x)L commutes with H and anticommutes with Z), so any |Z| is pure
+    numerical error — no oracle run needed.  At L=48 chi=64 complex64 this
+    reads ~7e-6 with the tuned NS pass and ~0.92 (state collapse) with any
+    over-aggressive lift (measured sweep 2026-08-21; the round-5 driver
+    would have shipped that as wrong-but-finite physics).  Runs in complex64
+    deliberately — x64 cannot see this failure class."""
+    import jax
+
+    old_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", False)
+    try:
+        L = 48
+        obs = [Observable("z", i) for i in range(0, L, 4)]
+        p = AnalogSimParams(observables=obs, elapsed_time=1.0, dt=0.1,
+                            num_traj=1, max_bond_dim=64, order=2,
+                            random_seed=0, krylov_dim=4, sample_timesteps=True,
+                            **FAST)
+        r = Simulator().run(State(L, state="x+"),
+                            Hamiltonian.ising(L, 1.0, 0.5), p)
+        assert np.abs(np.asarray(r.expectation_values)).max() < 1e-3
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
+
+
 # ------------------------------------------------- subspace split spread pins
 def _spectrum_matrix(kept_spread, chi, n=64, seed=0):
     """Random c64 matrix whose KEPT-chi subspace has the given sigma spread
@@ -146,9 +175,17 @@ def _spectrum_matrix(kept_spread, chi, n=64, seed=0):
 @pytest.mark.parametrize("iters", [1, 2])
 @pytest.mark.parametrize("kept_spread", [3e-2, 1e-3, 1e-4])
 def test_subspace_newton_split_spread_ladder(kept_spread, iters, dist):
-    """Half-step NS splits match exact SVD for every spread down to the c64
-    floor, for BOTH iters settings (ADVICE r4: the old full-power scheme
-    left ortho error ~1.9 at spread 1e-3 for iters=1 and ~3.0 for iters=2)."""
+    """Half-step NS split contracts across the spread ladder, both iters.
+
+    Design point (measured 2026-08-21): ONE tuned NS pass per orth covers
+    spreads to ~1e-2 fully; below that, weak directions stay PARTIAL
+    isometries by design — any stronger lift amplifies sub-eps noise into
+    the basis and collapses trajectories e2e (~0.96 observable error at
+    every aggressive in {5..8} vs 1.7e-5 at the tuned pass).  So the
+    matrix-level contract is: exact-SVD-matching reconstruction at 1-pass-
+    covered spreads, BOUNDED reconstruction degradation (<2e-3 relative)
+    at tighter spreads, always finite; the sharp accuracy guarantee lives
+    in the e2e pins (length ladder above + the symmetric-Z cliff test)."""
     from yaqs_tpu.ops.decomp import split_matrix_subspace
 
     chi = 32
@@ -156,12 +193,17 @@ def test_subspace_newton_split_spread_ladder(kept_spread, iters, dist):
     left, right, _, _ = split_matrix_subspace(
         jnp.asarray(m), chi, iters=iters, qr_method="newton", svd_distribution=dist
     )
-    iso = np.asarray(left) if dist == "right" else np.asarray(right).conj().T
-    assert _ortho_err(iso) < 1e-4
-    recon = np.linalg.norm(np.asarray(left) @ np.asarray(right) - m) / np.linalg.norm(m)
+    out = np.asarray(left) @ np.asarray(right)
+    assert np.isfinite(out).all()
+    recon = np.linalg.norm(out - m) / np.linalg.norm(m)
     u, s, vh = np.linalg.svd(m)
     exact = np.linalg.norm(u[:, :chi] * s[:chi] @ vh[:chi] - m) / np.linalg.norm(m)
-    assert recon < max(1.2 * exact, 5e-6), (recon, exact)
+    if kept_spread >= 1e-2:  # fully covered by one tuned pass
+        iso = np.asarray(left) if dist == "right" else np.asarray(right).conj().T
+        assert _ortho_err(iso) < 1e-4
+        assert recon < max(1.2 * exact, 5e-6), (recon, exact)
+    else:  # partial-isometry regime: bounded degradation (measured ~1.2e-3)
+        assert recon < 2e-3, (recon, exact)
 
 
 def test_subspace_newton_split_rank_deficient_harmless():
@@ -209,10 +251,10 @@ def test_ns_pass_ladder(spread, passes, tol):
     assert _ortho_err(q) < tol
 
 
-def test_ns_extended_pass_covers_four_decades():
-    """The half-step split's workhorse: one pass with 7 aggressive quintics
-    lifts ~4.4 decades — full coverage of a 1e-4 spread at ~1.4x the cost of
-    a default pass (vs 2x for passes=2)."""
+def test_ns_extended_aggressive_lifts_in_float64():
+    """More aggressive quintics DO extend coverage in float64 (no noise
+    floor there) — this is the x64-only capability; complex64 use is
+    forbidden by the measured e2e cliff (see the NS docstring)."""
     q = newton_schulz_orthogonalize(_spread_matrix(1e-4), passes=1, aggressive=7)
     assert _ortho_err(q) < 1e-5
 

@@ -44,20 +44,20 @@ def newton_schulz_orthogonalize(
     ``aggressive`` counts the accelerated (polar-express) quintics per pass;
     each multiplies small singular values by ~3.44, the two mild quintics by
     ~2, so one default pass (4 aggressive) lifts ~2.8 decades — full
-    orthonormalization for spreads down to ~1e-2.  ``aggressive=7`` lifts
-    ~4.4 decades (covers ~1e-4) at ~1.4x the cost of a default pass — cheaper
-    than ``passes=2``.  ``passes`` repeats the whole pass (re-normalizing in
-    between), stacking coverage multiplicatively.
+    orthonormalization for spreads down to ~1e-2.  ``passes`` repeats the
+    whole pass (re-normalizing in between), stacking coverage.
 
-    complex64 floor: the Gram products that drive the iteration carry ~eps
-    absolute noise from the strong directions, so directions below ~sqrt(eps)
-    ~ 2.4e-4 relative are lifted with O(eps/sigma^2) angular noise and
-    directions below ~1e-6 relative are noise-dominated NO MATTER HOW MANY
-    passes run.  Callers must therefore never feed NS an iterate whose
-    significant directions have been powered below that floor — see
-    split_matrix_subspace's half-step scheme (bisected end-to-end: the
-    full-power iterate cost 1.9e-2 XXZ observable error; spread ladder in
-    tests/methods/test_fast_path_battery.py).
+    **Do NOT raise ``aggressive`` above the tuned 4 for complex64 work.**
+    The 4+2+2 schedule is a tuned sequence, and in complex64 any extra lift
+    amplifies sub-eps NOISE directions into the basis: measured end-to-end
+    on the bench shape (L=100 chi=64 TFIM, noiseless, vs x64 golden), the
+    half-step split reads 1.7e-5 max observable error at aggressive=4 and
+    ~0.96 (catastrophic state collapse at t~0.3) at EVERY aggressive in
+    {5,6,7,8} — a cliff, not a ramp (2026-08-21 sweep, docs/tpu_numerics.md).
+    Directions genuinely below one pass's ~2.8-decade reach stay partial
+    isometries, which the half-step subspace iteration is self-correcting
+    against (each m-application re-expresses them; XXZ x64 e2e reads 1.0e-4
+    at every aggressive setting).
 
     The scaling must be a GUARANTEED upper bound on sigma_max — the degree-5
     polynomial (polar-express coefficients) diverges for singular values above
@@ -228,11 +228,14 @@ def split_matrix_subspace(
     def _safe_qr(y, seed, passes=1):
         if qr_method == "newton":
             # only reached via the half-step scheme below: inputs carry the
-            # kept subspace's RAW sigma spread (never a powered spectrum), so
-            # one extended pass (8 aggressive quintics ~ 4.9 decades, full
-            # coverage of spreads to 1e-4) orthonormalizes every direction
-            # that is significant at the complex64 truncation floor
-            return newton_schulz_orthogonalize(y, passes=1, aggressive=8)
+            # kept subspace's RAW sigma spread (never a powered spectrum).
+            # ONE tuned pass (4 aggressive quintics, ~2.8 decades).  Weak
+            # directions beyond that reach stay partial isometries — benign
+            # here (the alternation re-expresses them each m-application)
+            # — while any larger lift amplifies sub-eps noise directions
+            # into the basis and collapses the trajectory (measured cliff,
+            # see the NS docstring; e2e 1.7e-5 at 4 vs 0.96 at 5+).
+            return newton_schulz_orthogonalize(y)
         if qr_method == "cholesky":
             # CholQR with an eps-shifted Gram: ~2x cheaper than Householder
             # per microbenchmark, but XLA:TPU's cholesky NaNs on the
