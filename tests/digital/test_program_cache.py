@@ -140,3 +140,22 @@ def test_run_ensemble_program_key_reuse_and_isolation():
     assert len(calls) > n_traces
     assert float(out3[0, 0, 0]) == 3.0
     assert any(k[0] == ("t", "digest1") for k in _ENSEMBLE_CACHE)
+
+
+def test_clear_program_cache_forces_retrace():
+    """Monkeypatch hygiene: clearing the caches drops every cached program
+    (content keys cannot see patched internals, so patched test code MUST
+    call this)."""
+    from yaqs_tpu.digital.engine import _PROGRAM_CACHE, clear_program_cache
+    from yaqs_tpu.parallel.runtime import _ENSEMBLE_CACHE as ens
+    from yaqs_tpu.core.noise_model import NoiseModel as NM, compile_noise
+    from yaqs_tpu.methods.tdvp import TDVPConfig
+
+    cfg = TDVPConfig(krylov_dim=4, threshold=1e-6, max_bond_dim=8)
+    noise = compile_noise(NM([{"name": "lowering", "sites": [0], "strength": 0.1}]), 2, 2)
+    a = make_half_layer_step(noise, cfg, True)
+    assert _PROGRAM_CACHE
+    clear_program_cache()
+    assert not _PROGRAM_CACHE and not ens
+    b = make_half_layer_step(noise, cfg, True)
+    assert a[0] is not b[0]

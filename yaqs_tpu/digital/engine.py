@@ -318,6 +318,16 @@ _PROGRAM_CACHE_MAX = 128
 _tree_digest = tree_digest
 
 
+def clear_program_cache() -> None:
+    """Drop all cached digital step programs (test hygiene: required after
+    monkeypatching numerical internals the content keys cannot see); also
+    clears the analog ensemble cache."""
+    from ..parallel.runtime import clear_ensemble_cache
+
+    _PROGRAM_CACHE.clear()
+    clear_ensemble_cache()
+
+
 def _cached_build(key, builder):
     hit = _PROGRAM_CACHE.get(key)
     if hit is None:

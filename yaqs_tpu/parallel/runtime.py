@@ -74,6 +74,13 @@ _ENSEMBLE_CACHE: dict = {}
 _ENSEMBLE_CACHE_MAX = 64
 
 
+def clear_ensemble_cache() -> None:
+    """Drop all cached jitted ensemble programs (test hygiene: required
+    after monkeypatching numerical internals that the cache key — captured
+    CONTENT + config — cannot see)."""
+    _ENSEMBLE_CACHE.clear()
+
+
 def tree_digest(tree) -> str:
     """Stable content digest of a host-numpy pytree (structure+shape+bytes);
     the identity used for cross-run program caching."""
