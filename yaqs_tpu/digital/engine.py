@@ -192,6 +192,12 @@ def _per_gate_jumps(tensors, noise: CompiledNoise, gate_ch_masks, key, cfg=None)
     def per_gate(t, xs):
         mask_g, kg = xs
         wg = w_all * mask_g
+        # relative noise floor: zero-true-weight channels read ~1e-7 moment
+        # noise in complex64; sampling one near-annihilates the state and
+        # the renormalization cascade overflows (same guard as
+        # methods/stochastic.py stochastic_process)
+        pg0 = jnp.sum(wg)
+        wg = jnp.where(wg > 1e-5 * pg0, wg, 0.0)
         pg = jnp.sum(wg)
         k_decide, k_choose = jax.random.split(kg)
         u = jax.random.uniform(k_decide, dtype=pg.dtype)

@@ -172,7 +172,19 @@ def stochastic_process(
     w1 = channel_weights(tensors, noise, dt, moments) if nc1 else jnp.zeros((0,))
     w2 = channel_weights2(tensors, noise, dt) if nc2 else jnp.zeros((0,))
     w = jnp.concatenate([jnp.maximum(w1, 0.0), jnp.maximum(w2, 0.0)])
+    # Relative noise floor on the channel weights: in complex64 a channel
+    # whose TRUE weight is zero (e.g. lowering on an empty site) reads
+    # ~1e-7 moment noise; sampling it applies a near-annihilating operator
+    # and the renormalization cascade overflows to NaN.  At L=200 the pick
+    # probability integrates to ~2-3% of trajectories (3/128 measured on
+    # hardware, 2026-08-21).  Physical channels carry O(1/L) relative
+    # weight, so a 1e-5 relative floor separates cleanly; zeroed entries
+    # give log(0) = -inf and are never sampled (exact-arithmetic
+    # semantics).  If EVERY channel is noise the step does not jump.
+    total0 = jnp.sum(w)
+    w = jnp.where(w > 1e-5 * total0, w, 0.0)
     total = jnp.sum(w)
+    jumped = jnp.logical_and(jumped, total > 0)
     safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
     idx = jax.random.categorical(key_choose, jnp.log(safe_w))
 
