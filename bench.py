@@ -314,7 +314,12 @@ def _scaling_point_subprocess(model: str, chi: int, batch: int, length: int | No
         BENCH_MODEL=model,
         BENCH_CHI=str(chi),
         BENCH_BATCH=str(batch),
-        BENCH_REPS="1",
+        # 2 timed reps: the first dispatch round of a freshly-compiled
+        # program reads ~35% (sometimes 2-3x at small batch) below steady
+        # state on the tunneled platform; a fresh subprocess per point makes
+        # every point "first-run", so average two rounds (chi=256 measured
+        # 0.13 at 1 rep cold vs 0.395 at 3 reps warm, 2026-08-21)
+        BENCH_REPS="2",
     )
     if length is not None:
         env["BENCH_L"] = str(length)
