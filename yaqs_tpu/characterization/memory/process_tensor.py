@@ -114,6 +114,9 @@ class DenseProcessTensor:
         system channel, so only environment-mediated correlations survive.
         """
         n = 2 * self.k + 1
+        if not 1 <= cut <= self.k:
+            msg = f"cut must be in [1, {self.k}] for a {self.k}-step process tensor, got {cut}"
+            raise ValueError(msg)
         split = 2 * cut - 1  # legs [0, split) = past (through in_cut)
         past = list(range(split))
         future = list(range(split, n))
@@ -127,6 +130,12 @@ class DenseProcessTensor:
         cuts: A = legs before in_cut1 (inclusive), B = legs between the cuts,
         C = the rest including the final leg."""
         n = 2 * self.k + 1
+        if not 1 <= cut1 < cut2 <= self.k:
+            msg = (
+                f"cmi cuts must satisfy 1 <= cut1 < cut2 <= {self.k} "
+                f"(got {cut1}, {cut2})"
+            )
+            raise ValueError(msg)
         s1, s2 = 2 * cut1 - 1, 2 * cut2 - 1
         a = list(range(s1))
         b = list(range(s1, s2))
