@@ -36,3 +36,35 @@ TEST_SEED = 42
 @pytest.fixture
 def seed() -> int:
     return TEST_SEED
+
+
+# ---------------------------------------------------------------------------
+# Periodic compiler-state flush.
+#
+# A full single-process suite run compiles many thousands of XLA:CPU
+# programs; past ~2/3 of the suite the in-process LLVM JIT state can
+# segfault on a FRESH compile of even a trivial program (observed twice on
+# 2026-08-21: `Fatal Python error: Segmentation fault` inside
+# backend_compile_and_load while compiling a vmapped key-split, ~39% into
+# tests/digital — the same battery is green standalone).  Dropping the jit
+# caches every few test files bounds accumulated executables; the affected
+# programs simply recompile on next use.
+# ---------------------------------------------------------------------------
+_SEEN_FILES: set = set()
+_CLEAR_EVERY_FILES = 6
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear(request):
+    path = str(getattr(request.node, "fspath", ""))
+    if path and path not in _SEEN_FILES:
+        _SEEN_FILES.add(path)
+        if len(_SEEN_FILES) % _CLEAR_EVERY_FILES == 0:
+            jax.clear_caches()
+            try:
+                from yaqs_tpu.digital.engine import clear_program_cache
+
+                clear_program_cache()
+            except Exception:
+                pass
+    yield
