@@ -222,3 +222,28 @@ def test_non_equivalent_pair_still_returns_diagnostics():
     assert not res.equivalent
     assert res.fidelity < 0.9
     assert res.schmidt_values is not None
+
+
+def test_qasm3_decidable_if_through_checker():
+    """Round-5 QASM3 if-unrolling composes with the checker: a circuit whose
+    if-branches are compile-time decidable is equivalent to its manual
+    expansion."""
+    from yaqs_tpu import EquivalenceChecker
+
+    q3 = (
+        "OPENQASM 3.0;\nqubit[3] q;\nbit[1] c;\n"
+        "if (c == 0) { h q[0]; cx q[0], q[1]; }\n"
+        "if (c == 1) { x q[2]; }\n"
+        "cx q[1], q[2];\n"
+    )
+    q2 = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\n'
+        "h q[0];\ncx q[0],q[1];\ncx q[1],q[2];\n"
+    )
+    res = EquivalenceChecker().check(q3, q2)
+    assert res.equivalent
+    q2_different = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\n'
+        "h q[0];\ncx q[0],q[1];\nx q[2];\ncx q[1],q[2];\n"
+    )
+    assert not EquivalenceChecker().check(q3, q2_different).equivalent
