@@ -14,10 +14,12 @@ cd "$(dirname "$0")/.."
 
 echo "== lint =="
 python -m compileall -q yaqs_tpu tests benchmarks bench.py __graft_entry__.py
+# stdlib AST linter (F401/F811/F822/E722/W605 subset); always executes
+python scripts/lint.py
 if python -m ruff --version >/dev/null 2>&1; then
   python -m ruff check yaqs_tpu tests
 else
-  echo "ruff unavailable in this image; config in pyproject.toml (skipped)"
+  echo "ruff unavailable in this image; scripts/lint.py covers the F-rules subset"
 fi
 
 echo "== public API pin =="

@@ -17,7 +17,7 @@ import scipy.linalg
 
 from yaqs_tpu import AnalogSimParams, Hamiltonian, Observable, Simulator, State
 from yaqs_tpu.analog.embedding import embed_one_site
-from yaqs_tpu.models.operators import pauli_x, pauli_z
+from yaqs_tpu.models.operators import pauli_z
 
 
 def dense_z_trajectory(h_mat, psi0, dt, steps, length, d=2):

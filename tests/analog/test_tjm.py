@@ -25,7 +25,7 @@ from yaqs_tpu.core.noise_model import NoiseModel, compile_noise
 from yaqs_tpu.methods.dissipation import apply_dissipation
 from yaqs_tpu.methods.stochastic import channel_weights, stochastic_process
 from yaqs_tpu.methods.tdvp import TDVPConfig
-from yaqs_tpu.models.operators import lowering, pauli_x, pauli_z
+from yaqs_tpu.models.operators import lowering, pauli_z
 
 
 def make_obs_z(length):

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from yaqs_tpu import MPS
-from yaqs_tpu.analog.embedding import embed_one_site, embed_operator
+from yaqs_tpu.analog.embedding import embed_one_site
 from yaqs_tpu.models.operators import pauli_x, pauli_y, pauli_z
 
 S2 = 1 / np.sqrt(2)

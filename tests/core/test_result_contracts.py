@@ -10,7 +10,6 @@ rather than on mocks: the aggregation path under test is the one users hit.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from yaqs_tpu import (
     AnalogSimParams,

@@ -9,7 +9,6 @@ trajectory index alone.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

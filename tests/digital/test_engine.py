@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from yaqs_tpu import DigitalSimParams, NoiseModel, Observable, Simulator, State
 from yaqs_tpu.analog.embedding import embed_one_site, embed_operator
 from yaqs_tpu.digital.circuit import Circuit
-from yaqs_tpu.models.gates import gate_matrix
 from yaqs_tpu.models.operators import lowering, pauli_z
 
 

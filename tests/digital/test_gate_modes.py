@@ -11,7 +11,7 @@ import scipy.linalg
 from yaqs_tpu import DigitalSimParams, Observable, Simulator, State
 from yaqs_tpu.core.mpo_builders import gate_product_terms
 from yaqs_tpu.digital.circuit import Circuit
-from yaqs_tpu.digital.compile import CompiledSegment, GateStage, compile_circuit
+from yaqs_tpu.digital.compile import GateStage, compile_circuit
 from yaqs_tpu.models.gates import gate_generator, gate_matrix, permute_qubits
 
 from test_engine import run_dense, zexp

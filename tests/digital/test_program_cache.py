@@ -10,7 +10,6 @@ independent of cache hits.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from yaqs_tpu import DigitalSimParams, NoiseModel, Observable, Simulator, State
 from yaqs_tpu.core.noise_model import compile_noise

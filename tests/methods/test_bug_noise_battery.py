@@ -13,7 +13,6 @@ the analog cross-backend pattern in tests/analog/test_analog_tjm.py).
 
 from __future__ import annotations
 
-import jax
 import numpy as np
 import pytest
 import scipy.linalg

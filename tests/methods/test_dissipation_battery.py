@@ -10,10 +10,8 @@ matrix exponential on the statevector.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import scipy.linalg as sla
 
 from yaqs_tpu.core import mps_ops

@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from yaqs_tpu.core import mps_ops
 from yaqs_tpu.core.noise_model import NoiseModel, compile_noise

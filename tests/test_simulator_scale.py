@@ -15,7 +15,6 @@ from yaqs_tpu import (
     AnalogSimParams,
     DigitalSimParams,
     Hamiltonian,
-    NoiseModel,
     Observable,
     Simulator,
     State,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core.mps_ops import canonicalize_right, transfer_right
 from ..core.observables import evaluate_observables
-from ..methods.tdvp import TDVPConfig, tdvp_step
+from ..methods.tdvp import tdvp_step
 
 __all__ = ["mixed_site_expectation", "mixed_terms_expectation", "ensemble_trajectory"]
 

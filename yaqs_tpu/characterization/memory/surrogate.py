@@ -29,7 +29,7 @@ except ImportError:  # pragma: no cover
     HAS_FLAX = False
 
 from .exact import ExactBackend
-from .interventions import MPIntervention, choi_features, sample_intervention
+from .interventions import MPIntervention, sample_intervention
 
 __all__ = ["sample_dataset", "train_surrogate", "ProcessTensorSurrogate"]
 

@@ -41,7 +41,6 @@ import numpy as np
 
 from ..models.operators import (
     PAULI,
-    is_pauli_matrix,
     lowering,
     pauli_x,
     pauli_y,

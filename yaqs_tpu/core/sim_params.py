@@ -9,7 +9,6 @@ a static compile parameter on TPU).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import numpy as np

@@ -21,7 +21,6 @@ from .characterization.memory.exact import ExactBackend
 from .characterization.memory.operational import (
     ProbeSet,
     characterize_cuts,
-    run_memory_characterization,
 )
 from .characterization.memory.process_tensor import DenseProcessTensor, build_process_tensor
 from .characterization.memory.results import CharacterizationResult

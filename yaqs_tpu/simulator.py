@@ -23,7 +23,6 @@ import numpy as np
 
 from .analog.embedding import embed_one_site
 from .analog.lindblad import (
-    lindblad_expectations,
     noise_model_jump_ops,
     noise_model_jump_ops_sparse,
 )
