@@ -134,3 +134,26 @@ def test_all_dark_channels_step_is_identity_up_to_gauge():
         assert not bool(np.asarray(jumped))
         psi = np.asarray(mps_ops.to_statevector(out))
         np.testing.assert_allclose(abs(np.vdot(psi0, psi)), 1.0, atol=1e-9)
+
+
+def test_mcwf_dark_channels_never_produce_nonfinite():
+    """The dense MCWF path carries the same floor: lowering channels on
+    |0...0> are dark; trajectories stay finite and the state stays |0...0>
+    for every seed."""
+    from yaqs_tpu import AnalogSimParams, Hamiltonian, NoiseModel, Observable, Simulator, State
+
+    L = 2
+    p = AnalogSimParams(
+        observables=[Observable("z", i) for i in range(L)],
+        elapsed_time=0.5, dt=0.1, num_traj=8, random_seed=3,
+        sample_timesteps=True,
+    )
+    nm = NoiseModel(
+        [{"name": "lowering", "sites": [i], "strength": 2.0} for i in range(L)]
+    )
+    res = Simulator().run(
+        State(L, representation="vector"), Hamiltonian.ising(L, 0.0, 0.0), p, nm
+    )
+    ev = np.asarray(res.expectation_values)
+    assert np.isfinite(ev).all()
+    np.testing.assert_allclose(ev, 1.0, atol=1e-8)  # |00> stays dark

@@ -158,9 +158,17 @@ def mcwf_trajectory_krylov(
         def do_jump(_):
             lpsi = jnp.stack([j @ psi for j in ctx.jump_ops])
             w = jnp.real(jnp.einsum("ki,ki->k", lpsi.conj(), lpsi))
+            # relative noise floor: channels whose true weight is ~0 read
+            # dtype noise; sampling one divides by a ~0 norm (same guard as
+            # methods/stochastic.py stochastic_process)
+            w = jnp.where(w > 1e-5 * jnp.sum(w), w, 0.0)
             idx = jax.random.categorical(k2, jnp.log(jnp.maximum(w, 1e-300)))
             out = lpsi[idx]
-            return out / jnp.linalg.norm(out).astype(psi.dtype)
+            nrm = jnp.linalg.norm(out)
+            safe = out / jnp.maximum(nrm, 1e-300).astype(psi.dtype)
+            # all channels dark (total weight 0): a noise-positive dp must
+            # not jump — fall back to the no-jump output
+            return jnp.where(jnp.sum(w) > 0, safe, no_jump(None))
 
         psi_next = jax.lax.cond(u < dp, do_jump, no_jump, None)
         return psi_next, measure(psi_next)
@@ -359,9 +367,17 @@ def mcwf_trajectory_local(
         def do_jump(_):
             lpsi = jnp.stack([apply_channel(psi, ch) for ch in ctx.channels])
             w = jnp.real(jnp.einsum("ki,ki->k", lpsi.conj(), lpsi))
+            # relative noise floor: channels whose true weight is ~0 read
+            # dtype noise; sampling one divides by a ~0 norm (same guard as
+            # methods/stochastic.py stochastic_process)
+            w = jnp.where(w > 1e-5 * jnp.sum(w), w, 0.0)
             idx = jax.random.categorical(k2, jnp.log(jnp.maximum(w, 1e-300)))
             out = lpsi[idx]
-            return out / jnp.linalg.norm(out).astype(psi.dtype)
+            nrm = jnp.linalg.norm(out)
+            safe = out / jnp.maximum(nrm, 1e-300).astype(psi.dtype)
+            # all channels dark (total weight 0): a noise-positive dp must
+            # not jump — fall back to the no-jump output
+            return jnp.where(jnp.sum(w) > 0, safe, no_jump(None))
 
         psi_next = jax.lax.cond(u < dp, do_jump, no_jump, None)
         return psi_next, measure(psi_next)
@@ -405,9 +421,17 @@ def mcwf_trajectory(
         def do_jump(_):
             lpsi = jnp.einsum("kij,j->ki", ctx.jump_ops, psi)  # pre-step state
             w = ctx.gammas * jnp.real(jnp.einsum("ki,ki->k", lpsi.conj(), lpsi))
+            # relative noise floor: channels whose true weight is ~0 read
+            # dtype noise; sampling one divides by a ~0 norm (same guard as
+            # methods/stochastic.py stochastic_process)
+            w = jnp.where(w > 1e-5 * jnp.sum(w), w, 0.0)
             idx = jax.random.categorical(k2, jnp.log(jnp.maximum(w, 1e-300)))
             out = lpsi[idx]
-            return out / jnp.linalg.norm(out).astype(psi.dtype)
+            nrm = jnp.linalg.norm(out)
+            safe = out / jnp.maximum(nrm, 1e-300).astype(psi.dtype)
+            # all channels dark (total weight 0): a noise-positive dp must
+            # not jump — fall back to the no-jump output
+            return jnp.where(jnp.sum(w) > 0, safe, no_jump(None))
 
         psi_next = jax.lax.cond(u < dp, do_jump, no_jump, None)
         return psi_next, measure(psi_next)
